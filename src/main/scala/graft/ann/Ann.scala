@@ -1,0 +1,128 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>) — the similarity-search leg of a training-data pipeline.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (correctness baseline; O(n²) — fine for a
+  *    query set × corpus where one side broadcasts);
+  *  - random-hyperplane LSH buckets (the scale path: same banding/bucketing
+  *    skeleton as text MinHash-LSH, so the salting machinery in graft.lsh
+  *    applies unchanged).
+  *
+  * Scores use quantized integer dot products (element → round(x*1000) as
+  * long): integer sums are exact and order-independent, which makes results
+  * bit-stable across engines/partitionings — floating-point reduction order
+  * never changes a rank.
+  */
+object Ann {
+
+  /** Quantize an array<float|double> to array<long> at 3 decimal places. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized L2 norm (double, deterministic: sqrt of an exact long). */
+  def qnorm(a: Column): Column = sqrt(qdot(a, a).cast("double"))
+
+  /** Cosine similarity over quantized vectors — deterministic to the bit. */
+  def qcosine(a: Column, b: Column): Column =
+    when(qnorm(a) === 0.0 || qnorm(b) === 0.0, lit(0.0))
+      .otherwise(qdot(a, b).cast("double") / (qnorm(a) * qnorm(b)))
+
+  /** Pairwise cosine from per-row precomputed (qv, norm): norms are computed
+    * once per ROW before the join, never per pair — at n² pairs that is the
+    * difference between O(n·d) and O(n²·d) norm work.
+    */
+  private def pairCos(nl: Column, nr: Column, dot: Column): Column =
+    round(when(nl === 0.0 || nr === 0.0, lit(0.0))
+      .otherwise(dot.cast("double") / (nl * nr)), 6)
+
+  /** Brute-force cosine top-k: for each left row, the k nearest right rows.
+    * The right side is broadcast when it fits (Catalyst decides via AQE;
+    * callers can hint). Output: (id, nbr_id, cos, rank).
+    */
+  def bruteForceKnn(left: DataFrame, right: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val l = left.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nl", qnorm(col("qv")))
+    val r = right.select(col(idCol).as("nbr_id"), quantize(col(vecCol)).as("qw"))
+      .withColumn("nr", qnorm(col("qw")))
+    val scored = l.join(r, col("id") =!= col("nbr_id"))
+      .withColumn("cos", pairCos(col("nl"), col("nr"), qdot(col("qv"), col("qw"))))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "nbr_id", "cos", "rank")
+  }
+
+  /** Sign-random-projection (SimHash-for-vectors) bucket key: `nPlanes`
+    * deterministic pseudo-random hyperplanes; bit i = sign(v · h_i).
+    * Hyperplane components are derived from the avalanche mixer — no
+    * stored model, reproducible everywhere.
+    */
+  def hyperplaneSignature(v: Column, nPlanes: Int, seed: Long): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // h_i components: deterministic in {-1,0,1}-ish via hashed index sign
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
+          val h = xxhash64(lit(seed), lit(p), i)
+          x.cast("double") * when(pmod(h, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: candidate pairs share a hyperplane-signature band;
+    * exact cosine is computed only within buckets. Same band/bucket shape
+    * as text LSH → reuses graft.lsh.LSH for pair generation at scale.
+    */
+  def lshKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+             nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val rowsPerBand = nPlanes / bands
+    val mask = (1L << rowsPerBand) - 1
+    val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+      hyperplaneSignature(col(vecCol), nPlanes, seed).as("sig"))
+    val exploded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        expr(s"shiftright(sig, band * $rowsPerBand) & $mask"))
+    val l = exploded.select(col("id"), col("qv"), col("band"), col("band_hash"))
+    val r = exploded.select(col("id").as("nbr_id"), col("qv").as("qw"),
+      col("band").as("band_r"), col("band_hash").as("band_hash_r"))
+    val pairs = l.join(r,
+        col("band") === col("band_r") && col("band_hash") === col("band_hash_r") &&
+          col("id") =!= col("nbr_id"))
+      .select("id", "nbr_id", "qv", "qw").distinct()
+    val scored = pairs
+      .withColumn("cos", pairCos(qnorm(col("qv")), qnorm(col("qw")), qdot(col("qv"), col("qw"))))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "nbr_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: unordered pairs above a cosine
+    * threshold (the embedding leg of the dedup suite).
+    */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val l = vecs.select(col(idCol).as("id_a"), quantize(col(vecCol)).as("qv"))
+      .withColumn("na", qnorm(col("qv")))
+    val r = vecs.select(col(idCol).as("id_b"), quantize(col(vecCol)).as("qw"))
+      .withColumn("nb", qnorm(col("qw")))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", pairCos(col("na"), col("nb"), qdot(col("qv"), col("qw"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.fingerprint
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
+
+/** Column-level fingerprint builders — the dual-fingerprint stage of the
+  * reference (image-deduper `src/processing/core.rs`): a cryptographic
+  * content hash for exact identity plus similarity signatures (SimHash /
+  * MinHash) for near-duplicate detection. Everything here is a pure
+  * per-row projection: no shuffle, fully codegen-compatible, prunable.
+  */
+object Fingerprints {
+
+  /** Default MinHash configuration: 128 permutations banded as 64 bands ×
+    * 2 rows. LSH candidate probability at Jaccard s is 1-(1-s^2)^64:
+    * ≈ 1-1e-8 at s=0.5 (the verify threshold — planted edit_10pct pairs sit
+    * at s≈0.57, so banding recall must be ~1 there for the ≥0.99 target),
+    * ≈ 0.23 at s=0.06 (unrelated-doc regime; survivors are killed by the
+    * exact-Jaccard verify, so precision is unaffected).
+    */
+  val NumPerms = 128
+  val DefaultBands = 64
+  val DefaultRowsPerBand = 2
+  val HashSeed = 42L
+
+  /** Canonical text normalization before tokenization: lowercase and
+    * collapse whitespace (analog of the reference's grayscale+resize
+    * canonicalization, `src/processing/core.rs:44-56`). The raw `text`
+    * column itself is never modified — the byte-identity invariant binds
+    * the extraction output, not this.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text; empty text → empty array. */
+  def tokens(text: Column): Column = {
+    val n = normalized(text)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  /** 64-bit hashes of tokens (xxhash64, seed 42 — Spark built-in). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** Distinct k-shingle hashes of the token stream.
+    * Shingle i = tokens[i..i+k); docs shorter than k tokens contribute a
+    * single whole-document shingle (so short docs still fingerprint).
+    * Output: array<long>, deduplicated (MinHash is over the shingle SET).
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val full = array(xxhash64(concat_ws(" ", toks)))
+    val grams = transform(
+      sequence(lit(0), n - lit(k)),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    array_distinct(when(n >= k, grams).otherwise(full))
+  }
+
+  /** Exact-identity content hash: sha2-256 hex of the RAW text bytes
+    * (role of blake3 in the reference, `src/processing/core.rs:10-33`;
+    * the identity invariant binds the text bytes, not the digest algo).
+    */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Fallback fingerprint when content is unusable (reference
+    * `generate_fallback_hash`, `file_processing.rs:182-200`): hash of the
+    * row's metadata columns.
+    */
+  def fallbackHash(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** MinHash-128 signature column over distinct k-shingles. */
+  def minhash(text: Column, k: Int = 3, numPerms: Int = NumPerms): Column =
+    shim.toColumn(MinHashSignature(shim.toExpression(shingleHashes(text, k)), numPerms, HashSeed))
+
+  /** MinHash over an existing array<long> of shingle hashes. */
+  def minhashOfHashes(shingles: Column, numPerms: Int = NumPerms): Column =
+    shim.toColumn(MinHashSignature(shim.toExpression(shingles), numPerms, HashSeed))
+
+  /** 64-bit SimHash column over the token multiset. */
+  def simhash(text: Column): Column =
+    shim.toColumn(SimHash64(shim.toExpression(tokenHashes(text))))
+
+  /** SimHash over an existing array<long> of token hashes. */
+  def simhashOfHashes(tokenHashes: Column): Column =
+    shim.toColumn(SimHash64(shim.toExpression(tokenHashes)))
+
+  /** Hamming distance between two 64-bit fingerprints —
+    * `bit_count(a ^ b)`, the reference's `PHash::distance`
+    * (`src/processing/types.rs:19-44`). Pure codegen built-ins.
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic text extraction column: binary html → string. */
+  def extractText(html: Column): Column =
+    shim.toColumn(ExtractText(shim.toExpression(html)))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of equal
+    * slots. zip_with + aggregate — stays in codegen.
+    */
+  def minhashJaccardEst(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v
+    ).cast("double") / size(a)
+
+  /** Exact Jaccard between two array<long> shingle-hash sets. */
+  def exactJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Containment of the smaller set in the larger (asymmetric near-dup:
+    * truncation / quotation cases that symmetric Jaccard misses —
+    * SURVEY.md §7 step 5).
+    */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val minSize = least(size(a), size(b)).cast("double")
+    when(minSize === 0.0, lit(1.0)).otherwise(inter / minSize)
+  }
+}

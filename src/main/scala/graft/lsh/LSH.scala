@@ -1,0 +1,106 @@
+package graft.lsh
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LSH candidate-pair generation — the scalable realization of the
+  * reference's all-pairs `is_similar` θ-join
+  * (image-deduper `src/processing/types.rs:47-58`, threshold
+  * `src/config.rs:51,105`). Instead of O(n²) comparisons, MinHash
+  * signatures are banded; only rows sharing a (band, band_hash) bucket are
+  * compared. Hot buckets (boilerplate mega-buckets) are defused by salted
+  * replication so no single task sees a quadratic bucket, and buckets above
+  * a hard cap are dropped with an explicit logged count (no silent
+  * truncation) — SURVEY.md §4 custom-work item 1.
+  */
+object LSH {
+
+  /** Per-band 64-bit bucket hashes: band b = xxhash64(b, minhash[b*r .. b*r+r)).
+    * Pure built-ins → codegen, no shuffle.
+    */
+  def bandHashes(minhash: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(minhash, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+
+  /** Explode a signatures frame into (id, [carry...], band, band_hash).
+    * Column pruning matters at scale: callers must pass only the columns the
+    * pair stage needs (id + simhash), never text or shingle arrays.
+    */
+  def explodeBands(sigs: DataFrame, idCol: String, minhashCol: String,
+                   bands: Int, rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame = {
+    val cols = (idCol +: carry).map(col) :+
+      posexplode(bandHashes(col(minhashCol), bands, rowsPerBand)).as(Seq("band", "band_hash"))
+    sigs.select(cols: _*)
+  }
+
+  /** Candidate pairs from banded signatures.
+    *
+    * Output columns: `<id>_a, <id>_b [, <carry>_a, <carry>_b ...]`, with
+    * `id_a < id_b`, distinct across bands.
+    *
+    * @param hotThreshold  buckets larger than this use salted replication
+    * @param saltFactor    salt partitions for hot buckets
+    * @param maxBucketSize buckets larger than this are dropped entirely
+    *                      (boilerplate black holes); the drop is logged
+    */
+  def candidatePairs(exploded: DataFrame, idCol: String,
+                     hotThreshold: Int = 200,
+                     saltFactor: Int = 16,
+                     maxBucketSize: Int = 100000,
+                     carry: Seq[String] = Nil): DataFrame = {
+    val bucketKey = Seq("band", "band_hash")
+    val sizes = exploded.groupBy(bucketKey.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+
+    val nDropped = sizes.filter(col("bucket_n") > maxBucketSize).count()
+    if (nDropped > 0) {
+      // explicit, logged coverage loss — never silent
+      System.err.println(
+        s"[lsh] dropped $nDropped bucket(s) larger than $maxBucketSize rows: " +
+          "boilerplate mega-buckets; members remain covered by their other bands")
+    }
+
+    val tagged = exploded.join(sizes, bucketKey).filter(col("bucket_n") <= maxBucketSize)
+
+    def sides(df: DataFrame, extra: Seq[String]): (DataFrame, DataFrame) = {
+      val l = df.select(
+        (idCol +: carry).map(c => col(c).as(c + "_a")) ++
+          bucketKey.map(c => col(c).as(c + "_la")) ++ extra.map(col): _*)
+      val r = df.select(
+        (idCol +: carry).map(c => col(c).as(c + "_b")) ++
+          bucketKey.map(c => col(c).as(c + "_rb")) ++ extra.map(col): _*)
+      (l, r)
+    }
+    val outCols = (idCol +: carry).flatMap(c => Seq(col(c + "_a"), col(c + "_b")))
+
+    // cold path: plain within-bucket self-join; AQE handles residual skew
+    val coldPairs = {
+      val (l, r) = sides(tagged.filter(col("bucket_n") <= hotThreshold), Nil)
+      l.join(r,
+          col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
+            col(idCol + "_a") < col(idCol + "_b"))
+        .select(outCols: _*)
+    }
+
+    // hot path: right side keyed by its own salt g = hash(id) % s; left side
+    // replicated to every salt j. Join on (bucket, j == g) yields each
+    // unordered pair exactly once while splitting the bucket across
+    // saltFactor keys, so no single task materializes a quadratic bucket.
+    val hotPairs = {
+      val hot = tagged.filter(col("bucket_n") > hotThreshold)
+        .withColumn("salt", pmod(xxhash64(col(idCol)), lit(saltFactor)))
+      val l = hot
+        .withColumn("j", explode(sequence(lit(0), lit(saltFactor - 1))))
+        .select((idCol +: carry).map(c => col(c).as(c + "_a")) ++
+          bucketKey.map(c => col(c).as(c + "_la")) :+ col("j"): _*)
+      val r = hot.select((idCol +: carry).map(c => col(c).as(c + "_b")) ++
+        bucketKey.map(c => col(c).as(c + "_rb")) :+ col("salt"): _*)
+      l.join(r,
+          col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
+            col("j") === col("salt") && col(idCol + "_a") < col(idCol + "_b"))
+        .select(outCols: _*)
+    }
+
+    coldPairs.union(hotPairs).distinct() // same pair may collide in several bands
+  }
+}

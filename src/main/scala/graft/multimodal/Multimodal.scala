@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata structs.
+  *
+  * The decode step is STUBBED (this container ships no image/audio codecs):
+  * `fakeDecodeMeta` derives deterministic metadata purely from the byte
+  * stream (length + first-byte), clearly marked as a stand-in. Everything
+  * around it — schema, batch shape, partitioning, column pruning — is the
+  * real Spark-side plumbing a production decode UDF would slot into, and is
+  * tested. Analog: the reference's per-format decoders + magic-byte
+  * sniffing (image-deduper `src/formats/heic.rs:84-110`,
+  * `src/fixsuffix.rs:19-62`).
+  */
+object Multimodal {
+
+  /** Magic-byte content sniffing as pure column expressions — the real
+    * thing, not a stub (reference `is_heic_format` / fixsuffix magics).
+    * Output: "png" | "jpeg" | "gif" | "riff" | "html" | "bin".
+    */
+  def sniffFormat(blob: Column): Column = {
+    val head = hex(substring(blob, 1, 4))
+    when(head.startsWith("89504E47"), "png")
+      .when(head.startsWith("FFD8FF"), "jpeg")
+      .when(head.startsWith("47494638"), "gif")
+      .when(head.startsWith("52494646"), "riff")
+      .when(head.startsWith("3C68746D") || head.startsWith("3C48544D") ||
+        head.startsWith("3C21444F"), "html")
+      .otherwise("bin")
+  }
+
+  /** STUB decode: deterministic fake metadata from byte length only —
+    * replace with a real codec UDF (mapInPandas/mapPartitions batch decode)
+    * in production. Kept SQL-expressible so the oracle can check the
+    * plumbing end-to-end.
+    */
+  def fakeDecodeMeta(blob: Column): Column = {
+    val len = octet_length(blob).cast("long")
+    struct(
+      (pmod(len, lit(640L)) + 16L).as("width"),
+      (pmod(len * 7L, lit(480L)) + 16L).as("height"),
+      // Column `/` is double division — floor for integer frame count
+      (floor(len / lit(250L)).cast("long") + 1L).as("n_frames"))
+  }
+
+  /** Deterministic frame sampling plan for a (fake-)decoded video blob:
+    * one row per sampled frame index — the explode shape a real
+    * frame-extraction stage produces. Batch shape: (id, frame_idx).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
+                   everyNth: Int): DataFrame = {
+    val meta = fakeDecodeMeta(col(blobCol))
+    df.select(col(idCol), meta.getField("n_frames").as("n_frames"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyNth.toLong))))
+      .select(col(idCol), col("frame_idx"))
+  }
+
+  /** Full metadata projection for a binary column: real sniffing + byte
+    * stats + stubbed decode metadata.
+    */
+  def withMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      octet_length(col(blobCol)).cast("long").as("byte_len"),
+      sniffFormat(col(blobCol)).as("format"),
+      fakeDecodeMeta(col(blobCol)).as("meta"))
+}

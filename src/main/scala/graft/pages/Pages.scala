@@ -1,0 +1,202 @@
+package graft.pages
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The input row shape (BASELINE.json `input_hint`): one Common-Crawl-style
+  * web page. Analog of the reference's `ImageFile`
+  * (image-deduper `src/types.rs:49-64`): url≙path, warc_ts≙mtime,
+  * lang≙format, length(text)≙size.
+  */
+case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Ground-truth duplicate pair emitted by the generator — the recall
+  * fixture (reference analog: the named-transformation corpus
+  * `tests/data/jpeg/valid/IMG-*_{original,compress_10,...}.jpeg`,
+  * registry `src/test_utils/test_support.rs:87-139`).
+  */
+case class TruthPair(urlA: String, urlB: String, kind: String, expect_dup: Boolean)
+
+/** Thin IO seam (SURVEY.md §7): production binds to an Iceberg table via
+  * `spark.read.table("pages")`; the sandbox (no Iceberg runtime jar in
+  * /opt/spark/jars) binds the same reader to Parquet paths. Everything
+  * above this seam is identical in both deployments.
+  */
+object PagesIO {
+  def read(spark: SparkSession, pathOrTable: String): DataFrame =
+    if (pathOrTable.contains("/")) spark.read.parquet(pathOrTable)
+    else spark.read.table(pathOrTable)
+
+  def append(df: DataFrame, pathOrTable: String): Unit =
+    if (pathOrTable.contains("/")) df.write.mode("append").parquet(pathOrTable)
+    else df.write.mode("append").saveAsTable(pathOrTable)
+
+  def overwrite(df: DataFrame, pathOrTable: String): Unit =
+    if (pathOrTable.contains("/")) df.write.mode("overwrite").parquet(pathOrTable)
+    else df.write.mode("overwrite").saveAsTable(pathOrTable)
+}
+
+/** Deterministic synthetic corpus generator (seeded; pure function of
+  * (seed, index) so scale tiers are prefix-consistent — FIXTURES.md §5).
+  *
+  * Each base doc spawns named variants mirroring the reference's fixture
+  * transformations; `kind` encodes expected pipeline behavior:
+  *
+  *  - exact_copy        → identical text, new url/ts (≙ compress_*: distance 0)
+  *  - ws_noise          → whitespace/case jitter       (≙ small resize)
+  *  - edit_5pct/10pct   → token replacement            (≙ rotate monotonicity)
+  *  - shuffle_paras     → sentence-block permutation
+  *  - truncate_60       → prefix containment case
+  *  - boilerplate_wrap  → same text, different html chrome
+  *  - unrelated         → fresh doc (precision guard, expect_dup = false)
+  *
+  * Generation is distributed: the driver only plans (spark.range), rows are
+  * synthesized executor-side — the generator itself scales like the engine.
+  */
+object PagesGen {
+
+  private val vocab: Array[String] = {
+    // deterministic 512-word vocabulary from a seeded mixer — no external data
+    val words = new Array[String](512)
+    var i = 0
+    while (i < 512) {
+      var h = graft.fingerprint.HashKernels.avalanche(0xBEEF + i)
+      val len = 3 + (java.lang.Long.remainderUnsigned(h, 6)).toInt
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) {
+        h = graft.fingerprint.HashKernels.avalanche(h)
+        sb.append(('a' + java.lang.Long.remainderUnsigned(h, 26)).toChar)
+        j += 1
+      }
+      words(i) = sb.toString
+      i += 1
+    }
+    words
+  }
+
+  private def rng(seed: Long): () => Long = {
+    var s = graft.fingerprint.HashKernels.avalanche(seed)
+    () => { s = graft.fingerprint.HashKernels.avalanche(s + 0x9E3779B97F4A7C15L); s }
+  }
+
+  private def baseTokens(seed: Long, docIdx: Long, nTokens: Int): Array[String] = {
+    val r = rng(seed * 1000003L + docIdx)
+    Array.fill(nTokens)(vocab(java.lang.Long.remainderUnsigned(r(), vocab.length).toInt))
+  }
+
+  /** Variant kinds in deterministic order; index 0 is the original. */
+  val variantKinds: Seq[String] = Seq(
+    "original", "exact_copy", "ws_noise", "edit_5pct", "edit_10pct",
+    "shuffle_paras", "truncate_60", "boilerplate_wrap", "unrelated")
+
+  def expectDup(kind: String): Boolean = kind match {
+    case "original" | "unrelated" => false // not pairs themselves
+    case _                        => true
+  }
+
+  private def applyVariant(kind: String, base: Array[String], seed: Long, docIdx: Long): Array[String] = {
+    val r = rng(seed * 7777777L + docIdx * 131L + kind.hashCode)
+    kind match {
+      case "original" | "exact_copy" | "boilerplate_wrap" => base
+      case "ws_noise" =>
+        // surface noise only: capitalize ~10% of words. Raw text differs
+        // (content_hash changes) but normalized tokens are identical →
+        // Jaccard 1.0: the canonical "near-dup that is trivially caught".
+        base.map(w => if (java.lang.Long.remainderUnsigned(r(), 100) < 10) w.toUpperCase else w)
+      case "edit_5pct" =>
+        base.map(w => if (java.lang.Long.remainderUnsigned(r(), 100) < 5)
+          vocab(java.lang.Long.remainderUnsigned(r(), vocab.length).toInt) else w)
+      case "edit_10pct" =>
+        base.map(w => if (java.lang.Long.remainderUnsigned(r(), 100) < 10)
+          vocab(java.lang.Long.remainderUnsigned(r(), vocab.length).toInt) else w)
+      case "shuffle_paras" =>
+        val block = 20
+        val blocks = base.grouped(block).toArray
+        // deterministic Fisher-Yates over blocks
+        var i = blocks.length - 1
+        while (i > 0) {
+          val j = java.lang.Long.remainderUnsigned(r(), i + 1).toInt
+          val t = blocks(i); blocks(i) = blocks(j); blocks(j) = t
+          i -= 1
+        }
+        blocks.flatten
+      case "truncate_60" => base.take(math.max(1, (base.length * 60) / 100))
+      case "unrelated"   => baseTokens(seed + 555555L, docIdx * 31 + 17, base.length)
+      case other => throw new IllegalArgumentException(s"unknown variant $other")
+    }
+  }
+
+  /** Render tokens into deterministic html; extraction invariant
+    * extract(html) == text holds by construction (text is built first,
+    * then wrapped — FIXTURES.md §1).
+    */
+  private def render(tokens: Array[String], kind: String, url: String): (String, Array[Byte]) = {
+    val sentences = tokens.grouped(10).map(_.mkString(" ")).toArray
+    val text = sentences.mkString(" ")
+    val chrome =
+      if (kind == "boilerplate_wrap")
+        ("<nav><a href=\"/a\">alpha</a><a href=\"/b\">beta</a></nav>",
+         "<footer>generated corpus · variant chrome</footer>")
+      else ("<nav><a href=\"/home\">home</a></nav>", "<footer>corpus</footer>")
+    val ws = if (kind == "ws_noise") "\n\t  " else "\n"
+    val bodyClean = sentences.map(s => s"<p>$s</p>").mkString(ws)
+    val html =
+      s"""<html><head><title>$url</title><style>p{margin:0}</style></head>
+         |<body>${chrome._1}
+         |$bodyClean
+         |${chrome._2}</body></html>""".stripMargin
+    (text, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Generate `numBase` base docs × 9 variants as a Dataset[Page], plus the
+    * ground-truth pair table. Fully distributed: rows are produced
+    * executor-side from (seed, index).
+    */
+  def pages(spark: SparkSession, numBase: Long, seed: Long = 42L,
+            tokensPerDoc: Int = 300): Dataset[Page] = {
+    import spark.implicits._
+    val kinds = variantKinds
+    spark.range(numBase * kinds.length).mapPartitions { it =>
+      it.map { idx =>
+        val docIdx = idx / kinds.length
+        val kind = kinds((idx % kinds.length).toInt)
+        makePage(seed, docIdx, kind, tokensPerDoc)
+      }
+    }
+  }
+
+  def makePage(seed: Long, docIdx: Long, kind: String, tokensPerDoc: Int): Page = {
+    val r = rng(seed * 424242L + docIdx)
+    val n = tokensPerDoc / 2 + java.lang.Long.remainderUnsigned(r(), tokensPerDoc).toInt
+    val base = baseTokens(seed, docIdx, n)
+    val toks = applyVariant(kind, base, seed, docIdx)
+    val url = s"https://site${docIdx % 97}.example/p/$docIdx/$kind"
+    val (text, html) = render(toks, kind, url)
+    val ts = new Timestamp(1700000000000L + docIdx * 60000L + variantKinds.indexOf(kind) * 1000L)
+    val lang = Seq("en", "en", "en", "de", "fr", "es")(
+      java.lang.Long.remainderUnsigned(graft.fingerprint.HashKernels.avalanche(docIdx), 6).toInt)
+    Page(url, ts, html, text, lang)
+  }
+
+  /** Ground-truth dup pairs: every non-unrelated variant pairs with its
+    * original. `truncate_60` is flagged `containment` (caught by the
+    * containment pass, not symmetric Jaccard).
+    */
+  def truthPairs(spark: SparkSession, numBase: Long, seed: Long = 42L): Dataset[TruthPair] = {
+    import spark.implicits._
+    spark.range(numBase).flatMap { docIdx =>
+      val orig = s"https://site${docIdx % 97}.example/p/$docIdx/original"
+      variantKinds.filter(k => k != "original").map { k =>
+        TruthPair(orig, s"https://site${docIdx % 97}.example/p/$docIdx/$k", k, expectDup(k))
+      }
+    }
+  }
+}

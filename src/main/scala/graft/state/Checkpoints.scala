@@ -1,0 +1,110 @@
+package graft.state
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{DedupConfig, DedupPipeline}
+
+/** Incremental state, resume, quarantine and metrics — the analog of the
+  * reference's persistence layer (image-deduper `src/persistence/db.rs`):
+  *
+  *  - the RocksDB twin-key store (`db.rs:79-84`) becomes a `signatures`
+  *    Parquet/Iceberg table (one row per url — both hashes are columns, so
+  *    the `diagnose_database` half-row scan `db.rs:213-278` is impossible
+  *    by construction);
+  *  - `find_new_images` chunked point-lookups (`db.rs:132-164`) become one
+  *    distributed LEFT ANTI join — the resume primitive;
+  *  - the problematic-file skip list
+  *    (`processing/utils/hash_computation_with_timeout.rs:19-42`) becomes a
+  *    persistent `quarantine` table, anti-joined before processing;
+  *  - flush/compact cadence (`lib.rs:178-223`) becomes an epoch manifest:
+  *    each run appends one epoch (≙ Iceberg snapshot commit) recorded in
+  *    `_manifest.jsonl`, giving resumable, inspectable commits in-sandbox.
+  */
+object Checkpoints {
+
+  def signaturesPath(stateDir: String) = s"$stateDir/signatures"
+  def quarantinePath(stateDir: String) = s"$stateDir/quarantine"
+  def metricsPath(stateDir: String) = s"$stateDir/metrics"
+  def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    if (exists(spark, path)) Some(spark.read.parquet(path)) else None
+
+  /** One incremental epoch: fingerprint only never-seen urls and append.
+    *
+    * @return (numNewSignatures, numQuarantined)
+    */
+  def runEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
+               stateDir: String, cfg: DedupConfig = DedupConfig()): (Long, Long) = {
+    Files.createDirectories(Paths.get(stateDir))
+    val sigPath = signaturesPath(stateDir)
+    val qPath = quarantinePath(stateDir)
+
+    // resume primitive (J1): anti-join against persisted state + skip list.
+    // force_rescan (reference config.rs:81 / reinitialise semantics) bypasses
+    // both filters and OVERWRITES state instead of appending duplicates.
+    val seen = if (cfg.forceRescan) None else readIfExists(spark, sigPath)
+    val quarantined = if (cfg.forceRescan) None else readIfExists(spark, qPath)
+    val unseen0 = seen match {
+      case Some(s) => pages.join(s.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      case None    => pages
+    }
+    val unseen = quarantined match {
+      case Some(q) => unseen0.join(q.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      case None    => unseen0
+    }
+
+    // quarantine: rows whose text is unusable (≙ per-item timeout skip list);
+    // extraction upstream never throws, it degrades to empty text
+    val bad = unseen.filter(col(textCol).isNull || length(col(textCol)) === 0)
+      .select(col(idCol).as("id"), lit("empty_or_null_text").as("reason"),
+        current_timestamp().as("quarantined_at"))
+    val good = unseen.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+
+    val sigs = DedupPipeline.signatures(good, idCol, textCol, cfg)
+      .observe("sig_metrics", count(lit(1)).as("n_rows"))
+
+    // per-partition lineage (north_rule): which partition produced how many
+    // signature rows in which epoch — epoch is stamped on every row, so the
+    // state table itself carries its commit history (≙ Iceberg snapshot id)
+    val epoch = nextEpoch(stateDir)
+    val withPart = sigs
+      .withColumn("part_id", spark_partition_id())
+      .withColumn("epoch", lit(epoch))
+    withPart.write.mode(if (cfg.forceRescan) "overwrite" else "append").parquet(sigPath)
+
+    val nQuarantined = bad.count()
+    if (nQuarantined > 0) bad.write.mode("append").parquet(qPath)
+
+    val thisEpoch = spark.read.parquet(sigPath).filter(col("epoch") === epoch)
+    val lineage = thisEpoch.groupBy("part_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("table", lit("signatures"))
+    lineage.write.mode("append").parquet(metricsPath(stateDir))
+
+    val nNew = thisEpoch.count()
+    appendManifest(stateDir,
+      s"""{"epoch":$epoch,"new_signatures":$nNew,"quarantined":$nQuarantined}""")
+    (nNew, nQuarantined)
+  }
+
+  private def nextEpoch(stateDir: String): Long = {
+    val p = Paths.get(manifestPath(stateDir))
+    if (Files.exists(p)) Files.readAllLines(p).size().toLong else 0L
+  }
+
+  private def appendManifest(stateDir: String, line: String): Unit = {
+    val p = Paths.get(manifestPath(stateDir))
+    Files.writeString(p, line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+}

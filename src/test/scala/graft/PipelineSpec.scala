@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cluster.Clustering
+import graft.pages.PagesGen
+import graft.pipeline.{DedupConfig, DedupPipeline}
+
+/** The recall fixture (north_rule: dup-pair recall ≥ 0.99 at the reference
+  * shingle/signature config) + union-find partition properties + precision
+  * guard — SURVEY.md §5.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val numBase = 30L
+  private lazy val pages = PagesGen.pages(spark, numBase, seed = 42L, tokensPerDoc = 240)
+    .toDF().cache()
+  private lazy val truth = PagesGen.truthPairs(spark, numBase, seed = 42L).toDF().cache()
+  private lazy val clusters =
+    DedupPipeline.run(spark, pages, "url", "text", DedupConfig()).cache()
+
+  test("every url gets exactly one cluster (partition property)") {
+    assert(clusters.count() == numBase * PagesGen.variantKinds.length)
+    assert(clusters.groupBy("id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("dup-pair recall >= 0.99 on planted ground truth") {
+    val assign = clusters.select($"id", $"cluster_id")
+    val joined = truth.filter($"expect_dup")
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+    val total = joined.count()
+    val hit = joined.filter($"ca" === $"cb").count()
+    val recall = hit.toDouble / total
+    val misses = joined.filter($"ca" =!= $"cb").groupBy("kind").count().collect()
+    info(s"recall = $recall ($hit/$total); misses by kind: ${misses.mkString(",")}")
+    assert(recall >= 0.99, s"recall $recall < 0.99; misses: ${misses.mkString(",")}")
+  }
+
+  test("precision guard: unrelated variants never join their base cluster") {
+    val assign = clusters.select($"id", $"cluster_id")
+    val joined = truth.filter(!$"expect_dup")
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+    val falseMerges = joined.filter($"ca" === $"cb").count()
+    assert(falseMerges == 0, s"$falseMerges unrelated pairs wrongly clustered")
+  }
+
+  test("exact copies share content_hash and cluster; kind=exact") {
+    val sigs = DedupPipeline.signatures(pages, "url", "text", DedupConfig())
+    val exactGroups = sigs.groupBy("content_hash").count().filter($"count" > 1).count()
+    assert(exactGroups >= numBase) // every base has an exact_copy variant
+    val kinds = clusters.filter($"id".endsWith("/exact_copy")).select("kind")
+      .distinct().as[String].collect().toSet
+    assert(kinds == Set("exact"))
+  }
+
+  test("exactly one representative per cluster, chosen by (longest, url) priority") {
+    val reps = clusters.filter($"is_representative")
+    assert(reps.count() == clusters.select("cluster_id").distinct().count())
+    assert(reps.groupBy("cluster_id").count().filter($"count" =!= 1).count() == 0)
+  }
+
+  test("union-find: chain a-b, b-c, c-d collapses to one cluster") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("a", "b")
+    val uf = Clustering.unionFind(spark, edges)
+    val m = uf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a", "b", "c", "d").map(m) == Set("a"))
+    assert(Set("x", "y").map(m) == Set("x"))
+  }
+
+  test("union-find handles a long path (worst-case diameter) within iteration bound") {
+    val n = 40
+    val edges = (0 until n).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("a", "b")
+    val uf = Clustering.unionFind(spark, edges, maxIters = 60)
+    assert(uf.select("cluster_id").distinct().count() == 1)
+  }
+
+  test("truncate_60 containment pairs are caught (suffix/containment pass)") {
+    val assign = clusters.select($"id", $"cluster_id")
+    val t = truth.filter($"kind" === "truncate_60")
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+    val total = t.count()
+    val hit = t.filter($"ca" === $"cb").count()
+    assert(hit.toDouble / total >= 0.95, s"containment recall $hit/$total")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pages.PagesGen
+import graft.pipeline.DedupConfig
+import graft.state.Checkpoints
+
+/** Incremental-state contract (reference persistence layer,
+  * image-deduper src/persistence/db.rs): anti-join resume idempotence,
+  * force_rescan, quarantine routing, per-partition lineage metrics.
+  */
+class StateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tempDir(): String =
+    Files.createTempDirectory("graft-state").toString
+
+  test("resume idempotence: second epoch over same pages appends nothing") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 10L, seed = 1L, tokensPerDoc = 80).toDF()
+    val (n1, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    val (n2, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    assert(n1 == 90L, s"first epoch should fingerprint all 90, got $n1")
+    assert(n2 == 0L, s"second epoch must be a no-op, got $n2")
+  }
+
+  test("incremental: new rows are picked up, old ones untouched") {
+    val dir = tempDir()
+    val p1 = PagesGen.pages(spark, 5L, seed = 2L, tokensPerDoc = 80).toDF()
+    val p2 = PagesGen.pages(spark, 8L, seed = 2L, tokensPerDoc = 80).toDF()
+    Checkpoints.runEpoch(spark, p1, "url", "text", dir)
+    val (n2, _) = Checkpoints.runEpoch(spark, p2, "url", "text", dir)
+    assert(n2 == 27L, s"3 new bases x 9 variants = 27, got $n2")
+    val sigs = spark.read.parquet(Checkpoints.signaturesPath(dir))
+    assert(sigs.count() == 72L)
+    assert(sigs.select("id").distinct().count() == 72L)
+  }
+
+  test("force_rescan reprocesses everything") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 4L, seed = 3L, tokensPerDoc = 80).toDF()
+    Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    val (n2, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir,
+      DedupConfig(forceRescan = true))
+    assert(n2 == 36L)
+  }
+
+  test("empty/null text rows are quarantined, not fingerprinted") {
+    val dir = tempDir()
+    val pages = Seq(
+      ("u1", "real content here"), ("u2", ""), ("u3", null.asInstanceOf[String]))
+      .toDF("url", "text")
+    val (n, q) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    assert(n == 1L && q == 2L)
+    val quarantined = spark.read.parquet(Checkpoints.quarantinePath(dir))
+    assert(quarantined.select("id").as[String].collect().toSet == Set("u2", "u3"))
+    // quarantined rows are skipped on resume (problematic skip-list semantics)
+    val (n2, q2) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    assert(n2 == 0L && q2 == 0L)
+  }
+
+  test("metrics table records per-partition lineage per epoch") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 6L, seed = 4L, tokensPerDoc = 80).toDF()
+    Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    val metrics = spark.read.parquet(Checkpoints.metricsPath(dir))
+    assert(metrics.columns.toSet == Set("part_id", "n_rows", "epoch", "table"))
+    assert(metrics.agg(sum("n_rows")).first().getLong(0) == 54L)
+    val manifest = Files.readAllLines(
+      java.nio.file.Paths.get(Checkpoints.manifestPath(dir)))
+    assert(manifest.size() == 1 && manifest.get(0).contains("\"new_signatures\":54"))
+  }
+}
