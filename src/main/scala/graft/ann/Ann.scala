@@ -25,9 +25,14 @@ object Ann {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — fused expression
+    * (see [[QDotLong]]); same value as the higher-order-function form but
+    * allocation-free at n² pair volume.
+    */
+  def qdot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.shim
+    shim.toColumn(QDotLong(shim.toExpression(a), shim.toExpression(b)))
+  }
 
   /** Quantized L2 norm (double, deterministic: sqrt of an exact long). */
   def qnorm(a: Column): Column = sqrt(qdot(a, a).cast("double"))

@@ -39,15 +39,35 @@ object Clustering {
     * @return (id, cluster_id) — cluster_id = min id of the component
     */
   def unionFind(spark: SparkSession, edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    // materialize the edge list ONCE — every iteration joins against it, and
-    // without this the full upstream DAG (LSH explode + self-join + verify)
-    // would re-execute per iteration
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // Dictionary-encode ids to dense longs before iterating: every
+    // propagation round shuffles and compares join keys, and 8-byte codes
+    // beat ~50-byte url strings several-fold in shuffle volume. The
+    // encoding is ORDER-PRESERVING (global sort, then
+    // monotonically_increasing_id, whose value is monotone in partition
+    // index × in-partition offset), so min(code) ≡ min(id) and the decoded
+    // output is identical to the string-keyed algorithm — and deterministic
+    // across parallelism levels, since codes never escape this function.
+    val ids = edges.select(col("a").as("sid")).union(edges.select(col("b").as("sid")))
+      .distinct().sort("sid")
+      .withColumn("code", monotonically_increasing_id())
+      .localCheckpoint() // materialize ONCE: codes must not be re-derived per use
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    val enc = edges
+      .join(ids.select(col("sid").as("a"), col("code").as("ca")), "a")
+      .join(ids.select(col("sid").as("b"), col("code").as("cb")), "b")
+      .select(col("ca").as("src"), col("cb").as("dst"))
+    // materialize the symmetric edge list ONCE — every iteration joins
+    // against it, and without this the full upstream DAG (LSH explode +
+    // self-join + verify) would re-execute per iteration. LAZY checkpoint:
+    // it is first computed (and stored) inside the labels-init job below,
+    // saving one full blocking job per run.
+    val sym = enc.union(enc.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = false)
+
+    // iteration 0 fused into initialization: label = min(self, neighbors)
+    var labels = sym.groupBy("src")
+      .agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
       .localCheckpoint()
 
     var iter = 0
@@ -63,13 +83,22 @@ object Clustering {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("label") =!= least(col("label"), coalesce(col("nbr_label"), col("label"))))
             .cast("long").as("chg"))
-      val materialized = next.localCheckpoint() // cut lineage per iteration
+      val t0 = System.nanoTime()
+      // lazy checkpoint: the convergence agg below both materializes the
+      // iteration AND cuts its lineage in a single job
+      val materialized = next.localCheckpoint(eager = false)
       changed = materialized.agg(sum("chg")).first().getLong(0)
       labels = materialized.select("id", "label")
       iter += 1
+      System.err.println(
+        f"[union-find] iter $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(changed == 0, s"union-find did not converge within $maxIters iterations")
-    labels.withColumnRenamed("label", "cluster_id")
+
+    labels
+      .join(ids.select(col("code").as("id"), col("sid").as("id_s")), "id")
+      .join(ids.select(col("code").as("label"), col("sid").as("cluster_s")), "label")
+      .select(col("id_s").as("id"), col("cluster_s").as("cluster_id"))
   }
 
   /** Full cluster table over a universe of ids: every id gets exactly one

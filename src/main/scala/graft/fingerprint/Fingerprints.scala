@@ -78,6 +78,13 @@ object Fingerprints {
   def minhashOfHashes(shingles: Column, numPerms: Int = NumPerms): Column =
     shim.toColumn(MinHashSignature(shim.toExpression(shingles), numPerms, HashSeed))
 
+  /** Fused single-pass fingerprint struct (simhash, shingles, minhash) —
+    * byte-compatible with the individual combinators above but one codegen
+    * kernel per row (see [[DocSignature]]). The production signature path.
+    */
+  def docSignature(text: Column, k: Int = 3, numPerms: Int = NumPerms): Column =
+    shim.toColumn(DocSignature(shim.toExpression(text), k, numPerms, HashSeed))
+
   /** 64-bit SimHash column over the token multiset. */
   def simhash(text: Column): Column =
     shim.toColumn(SimHash64(shim.toExpression(tokenHashes(text))))
@@ -115,11 +122,34 @@ object Fingerprints {
 
   /** Containment of the smaller set in the larger (asymmetric near-dup:
     * truncation / quotation cases that symmetric Jaccard misses —
-    * SURVEY.md §7 step 5).
+    * SURVEY.md §7 step 5). Cheap shingle-set approximation used as the GATE
+    * for the authoritative suffix-array pass ([[saContainment]]).
     */
   def containment(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val minSize = least(size(a), size(b)).cast("double")
     when(minSize === 0.0, lit(1.0)).otherwise(inter / minSize)
+  }
+
+  /** Fused (jaccard, containment) struct over two shingle-hash sets in one
+    * pass (see [[ShingleOverlap]]) — the verify-stage hot kernel.
+    */
+  def shingleOverlap(a: Column, b: Column): Column =
+    shim.toColumn(ShingleOverlap(shim.toExpression(a), shim.toExpression(b)))
+
+  /** Longest common substring length of two strings (generalized suffix
+    * array + Kasai LCP — the north_rule's substring pass kernel).
+    */
+  def saLcs(a: Column, b: Column): Column =
+    shim.toColumn(SuffixArrayLCS(shim.toExpression(a), shim.toExpression(b)))
+
+  /** Suffix-array substring containment: LCS / min(length). 1.0 iff the
+    * shorter string occurs verbatim inside the longer. Both empty → 1.0
+    * (exact dups, caught upstream by content hash anyway).
+    */
+  def saContainment(a: Column, b: Column): Column = {
+    val minLen = least(length(a), length(b)).cast("double")
+    when(minLen === 0.0, lit(1.0))
+      .otherwise(saLcs(a, b).cast("double") / minLen)
   }
 }

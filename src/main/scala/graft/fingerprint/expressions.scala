@@ -1,7 +1,7 @@
 package graft.fingerprint
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -179,6 +179,229 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "simhash64"
+}
+
+/** Fused single-pass fingerprint kernel: text → (simhash, shingles, minhash).
+  *
+  * BYTE-COMPATIBLE with the column-combinator path in [[Fingerprints]]
+  * (normalized → tokens → xxhash64 per token/shingle-string) but one fused
+  * eval per row with zero per-shingle string allocation — profiling showed
+  * the combinator plan (per shingle: `slice` + `concat_ws` + `xxhash64`,
+  * each allocating UTF8Strings) dominating the signature stage, exactly the
+  * hot spot SURVEY.md §7.3 predicted. Trick: after whitespace-collapse the
+  * k-token shingle string "w1 w2 w3" IS a contiguous byte span of the
+  * normalized text, so each shingle hash is XXH64 over a span — no copy.
+  *
+  * Reference analog: the fused per-item dual-hash kernel
+  * (image-deduper `src/processing/core.rs:37-154` computes resize + luma +
+  * mean + bitset in one pass per image, not as composed whole-image ops).
+  *
+  * Normalization semantics pinned to the combinator path (and its golden
+  * tests): `lower` = UTF8String.toLowerCase; `\s+` = Java regex ASCII
+  * whitespace [ \t\n\x0B\f\r]; single-space join; trim. Hash = Spark
+  * builtin xxhash64 (XXH64, seed 42) over UTF-8 bytes.
+  */
+case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+
+  @transient private lazy val (as, bs) = HashKernels.coefficients(numPerms, seed)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("simhash", LongType, nullable = false),
+    StructField("shingles", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("minhash", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"doc_signature expects string, got $other")
+    }
+
+  private val XxSeed = 42L // Spark xxhash64 default seed
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    // normalize: collapse ASCII whitespace runs to single 0x20, trim
+    val norm = new Array[Byte](raw.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
+        if (n > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { norm(n) = 0x20; n += 1; pendingSpace = false }
+        norm(n) = b; n += 1
+      }
+      i += 1
+    }
+    // token spans in norm[0, n)
+    var nTokens = 0
+    if (n > 0) { nTokens = 1; i = 0; while (i < n) { if (norm(i) == 0x20) nTokens += 1; i += 1 } }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    if (n > 0) {
+      var t = 0; var s = 0; i = 0
+      while (i < n) {
+        if (norm(i) == 0x20) { starts(t) = s; ends(t) = i; t += 1; s = i + 1 }
+        i += 1
+      }
+      starts(t) = s; ends(t) = n
+    }
+    @inline def hashSpan(from: Int, until: Int): Long =
+      XXH64.hashUTF8String(UTF8String.fromBytes(norm, from, until - from), XxSeed)
+
+    // simhash over token-hash multiset (≡ SimHash64(transform(tokens, xxhash64)))
+    val votes = new Array[Int](64)
+    var ti = 0
+    while (ti < nTokens) {
+      val h = hashSpan(starts(ti), ends(ti))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var simhash = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) simhash |= (1L << b); b += 1 }
+
+    // distinct shingle hashes, first-occurrence order
+    // (≡ array_distinct(shingleHashes) incl. the whole-doc fallback for
+    //  docs shorter than k tokens, Fingerprints.shingleHashes)
+    val nShingles = if (nTokens >= k) nTokens - k + 1 else 1
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val distinct = new Array[Long](nShingles)
+    var nd = 0
+    if (nTokens >= k) {
+      var si = 0
+      while (si < nShingles) {
+        val h = hashSpan(starts(si), ends(si + k - 1))
+        if (seen.add(h)) { distinct(nd) = h; nd += 1 }
+        si += 1
+      }
+    } else {
+      distinct(0) = hashSpan(0, n) // whole doc (empty text → hash of "")
+      nd = 1
+    }
+
+    // minhash over the distinct shingle set (≡ MinHashSignature)
+    val mins = new Array[Long](numPerms)
+    java.util.Arrays.fill(mins, -1L)
+    var j = 0
+    while (j < nd) {
+      val x = distinct(j)
+      var p = 0
+      while (p < numPerms) {
+        val h = as(p) * x + bs(p)
+        if ((h ^ Long.MinValue) < (mins(p) ^ Long.MinValue)) mins(p) = h
+        p += 1
+      }
+      j += 1
+    }
+
+    val shingleArr = if (nd == nShingles) distinct else java.util.Arrays.copyOf(distinct, nd)
+    new GenericInternalRow(Array[Any](
+      simhash, new GenericArrayData(shingleArr), new GenericArrayData(mins)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("docSigExpr", this, classOf[DocSignature].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DocSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "doc_signature"
+}
+
+/** Fused shingle-set overlap: (jaccard, containment) of two array<long>
+  * sets in ONE pass over a primitive open-addressing hash set — replaces
+  * `array_intersect` + `array_union` + `least/size` combinators, which
+  * build boxed hash sets per call (three set constructions per pair; at
+  * millions of candidate pairs the verify stage was shuffle+alloc bound).
+  *
+  * Inputs are the deduplicated shingle arrays from [[DocSignature]], so
+  * |A∪B| = |A| + |B| − |A∩B| and containment = |A∩B| / min(|A|,|B|).
+  * Empty ∪ → jaccard 1.0; empty min-side → containment 1.0 (mirrors the
+  * combinator definitions in [[Fingerprints]]).
+  */
+case class ShingleOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("jaccard", DoubleType, nullable = false),
+    StructField("containment", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_overlap expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, large) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val ns = small.numElements()
+    val nl = large.numElements()
+    // open-addressing set over the smaller side; 0 is the empty slot, the
+    // (vanishingly rare) real 0L key is tracked by a flag
+    var cap = 8
+    while (cap < ns * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var i = 0
+    while (i < ns) {
+      val v = small.getLong(i)
+      if (v == 0L) hasZero = true
+      else {
+        var idx = (HashKernels.avalanche(v) & 0x7fffffffffffffffL).toInt & mask
+        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+        table(idx) = v
+      }
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      val v = large.getLong(i)
+      if (v == 0L) { if (hasZero) inter += 1 }
+      else {
+        var idx = (HashKernels.avalanche(v) & 0x7fffffffffffffffL).toInt & mask
+        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+        if (table(idx) == v) inter += 1
+      }
+      i += 1
+    }
+    val union = ns + nl - inter
+    val jaccard = if (union == 0) 1.0 else inter.toDouble / union
+    val containment = if (ns == 0) 1.0 else inter.toDouble / ns
+    new GenericInternalRow(Array[Any](jaccard, containment))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("overlapExpr", this, classOf[ShingleOverlap].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleOverlap =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "shingle_overlap"
 }
 
 /** Deterministic HTML → text extraction.

@@ -50,17 +50,23 @@ object LSH {
                      maxBucketSize: Int = 100000,
                      carry: Seq[String] = Nil): DataFrame = {
     val bucketKey = Seq("band", "band_hash")
-    val sizes = exploded.groupBy(bucketKey.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+    // only COLLIDING buckets matter (singletons yield no pairs) — filtering
+    // size-1 buckets out before the join keeps this frame small (collisions
+    // only, not O(docs×bands)) so caching it is safe at any scale, and the
+    // inner join below then doubles as the singleton filter on the big side
+    val sizes = exploded.groupBy(bucketKey.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1)
+      .cache()
 
-    val nDropped = sizes.filter(col("bucket_n") > maxBucketSize).count()
-    if (nDropped > 0) {
-      // explicit, logged coverage loss — never silent
-      System.err.println(
-        s"[lsh] dropped $nDropped bucket(s) larger than $maxBucketSize rows: " +
-          "boilerplate mega-buckets; members remain covered by their other bands")
-    }
-
-    val tagged = exploded.join(sizes, bucketKey).filter(col("bucket_n") <= maxBucketSize)
+    // materialize the collision rows ONCE: the cold and hot paths both read
+    // this frame, and without persistence each would re-run the explode +
+    // size-join. Contains only colliding-bucket rows (≤ maxBucketSize), so
+    // it is far smaller than the exploded table; MEMORY_AND_DISK spills
+    // rather than OOMs if a dup-heavy corpus makes it large.
+    val tagged = exploded.join(sizes, bucketKey)
+      .filter(col("bucket_n") <= maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def sides(df: DataFrame, extra: Seq[String]): (DataFrame, DataFrame) = {
       val l = df.select(
@@ -101,6 +107,22 @@ object LSH {
         .select(outCols: _*)
     }
 
-    coldPairs.union(hotPairs).distinct() // same pair may collide in several bands
+    // distinct: the same pair collides in several bands. Eagerly materialize
+    // the (bounded) pair set so the collision-side caches can be released
+    // right away instead of leaking across pipeline runs.
+    val result = coldPairs.union(hotPairs).distinct().localCheckpoint()
+
+    // coverage-loss audit AFTER materialization: sizes is already cached by
+    // the pair job, so this is a cheap cache scan, not an extra full pass
+    val nDropped = sizes.filter(col("bucket_n") > maxBucketSize).count()
+    if (nDropped > 0) {
+      // explicit, logged coverage loss — never silent
+      System.err.println(
+        s"[lsh] dropped $nDropped bucket(s) larger than $maxBucketSize rows: " +
+          "boilerplate mega-buckets; members remain covered by their other bands")
+    }
+    tagged.unpersist()
+    sizes.unpersist()
+    result
   }
 }

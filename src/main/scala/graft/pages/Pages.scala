@@ -53,7 +53,8 @@ object PagesIO {
   *  - ws_noise          → whitespace/case jitter       (≙ small resize)
   *  - edit_5pct/10pct   → token replacement            (≙ rotate monotonicity)
   *  - shuffle_paras     → sentence-block permutation
-  *  - truncate_60       → prefix containment case
+  *  - truncate_60/30    → prefix containment cases (30 is sub-Jaccard:
+  *                        only the suffix-array substring pass links it)
   *  - boilerplate_wrap  → same text, different html chrome
   *  - unrelated         → fresh doc (precision guard, expect_dup = false)
   *
@@ -95,7 +96,8 @@ object PagesGen {
   /** Variant kinds in deterministic order; index 0 is the original. */
   val variantKinds: Seq[String] = Seq(
     "original", "exact_copy", "ws_noise", "edit_5pct", "edit_10pct",
-    "shuffle_paras", "truncate_60", "boilerplate_wrap", "unrelated")
+    "shuffle_paras", "truncate_60", "truncate_30", "boilerplate_wrap",
+    "unrelated")
 
   def expectDup(kind: String): Boolean = kind match {
     case "original" | "unrelated" => false // not pairs themselves
@@ -129,6 +131,10 @@ object PagesGen {
         }
         blocks.flatten
       case "truncate_60" => base.take(math.max(1, (base.length * 60) / 100))
+      // 30% prefix: Jaccard ≈ 0.3 sits BELOW the verify threshold — only the
+      // suffix-array substring pass can link it (the fixture that makes the
+      // north_rule's substring pass load-bearing, not decorative)
+      case "truncate_30" => base.take(math.max(1, (base.length * 30) / 100))
       case "unrelated"   => baseTokens(seed + 555555L, docIdx * 31 + 17, base.length)
       case other => throw new IllegalArgumentException(s"unknown variant $other")
     }
@@ -156,7 +162,7 @@ object PagesGen {
     (text, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Generate `numBase` base docs × 9 variants as a Dataset[Page], plus the
+  /** Generate `numBase` base docs × 10 variants as a Dataset[Page], plus the
     * ground-truth pair table. Fully distributed: rows are produced
     * executor-side from (seed, index).
     */

@@ -126,6 +126,24 @@ class FingerprintSpec extends SparkTestBase {
       37564775489406912L, 326144399867119643L, 34139793277256804L, 111480786120601227L))
   }
 
+  test("fused DocSignature is byte-identical to the combinator path") {
+    // every variant kind + edge cases (empty, blank, shorter-than-k, mixed ws)
+    val texts = (for (kind <- PagesGen.variantKinds; d <- 0L to 2L)
+      yield PagesGen.makePage(5L, d, kind, 150).text) ++
+      Seq("", "   ", "one two", "  A\tB\nC  ", "x")
+    val df = texts.toDF("t").select(
+      FP.simhash($"t").as("s1"),
+      FP.shingleHashes($"t", 3).as("g1"),
+      FP.minhash($"t", 3).as("m1"),
+      FP.docSignature($"t", 3).as("ds"))
+    df.collect().foreach { r =>
+      val ds = r.getStruct(3)
+      assert(r.getLong(0) == ds.getLong(0), "simhash differs")
+      assert(r.getSeq[Long](1) == ds.getSeq[Long](1), "shingles differ")
+      assert(r.getSeq[Long](2) == ds.getSeq[Long](2), "minhash differs")
+    }
+  }
+
   test("fallback hash is deterministic on metadata") {
     val df = Seq(("u1", 10L), ("u1", 10L), ("u2", 10L)).toDF("url", "len")
       .select(FP.fallbackHash($"url", $"len").as("h"))

@@ -23,7 +23,8 @@ class StateSpec extends SparkTestBase {
     val pages = PagesGen.pages(spark, 10L, seed = 1L, tokensPerDoc = 80).toDF()
     val (n1, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
     val (n2, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
-    assert(n1 == 90L, s"first epoch should fingerprint all 90, got $n1")
+    val nk = PagesGen.variantKinds.length
+    assert(n1 == 10L * nk, s"first epoch should fingerprint all ${10 * nk}, got $n1")
     assert(n2 == 0L, s"second epoch must be a no-op, got $n2")
   }
 
@@ -33,10 +34,11 @@ class StateSpec extends SparkTestBase {
     val p2 = PagesGen.pages(spark, 8L, seed = 2L, tokensPerDoc = 80).toDF()
     Checkpoints.runEpoch(spark, p1, "url", "text", dir)
     val (n2, _) = Checkpoints.runEpoch(spark, p2, "url", "text", dir)
-    assert(n2 == 27L, s"3 new bases x 9 variants = 27, got $n2")
+    val nk = PagesGen.variantKinds.length
+    assert(n2 == 3L * nk, s"3 new bases x $nk variants, got $n2")
     val sigs = spark.read.parquet(Checkpoints.signaturesPath(dir))
-    assert(sigs.count() == 72L)
-    assert(sigs.select("id").distinct().count() == 72L)
+    assert(sigs.count() == 8L * nk)
+    assert(sigs.select("id").distinct().count() == 8L * nk)
   }
 
   test("force_rescan reprocesses everything") {
@@ -45,7 +47,7 @@ class StateSpec extends SparkTestBase {
     Checkpoints.runEpoch(spark, pages, "url", "text", dir)
     val (n2, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir,
       DedupConfig(forceRescan = true))
-    assert(n2 == 36L)
+    assert(n2 == 4L * PagesGen.variantKinds.length)
   }
 
   test("empty/null text rows are quarantined, not fingerprinted") {
@@ -68,9 +70,10 @@ class StateSpec extends SparkTestBase {
     Checkpoints.runEpoch(spark, pages, "url", "text", dir)
     val metrics = spark.read.parquet(Checkpoints.metricsPath(dir))
     assert(metrics.columns.toSet == Set("part_id", "n_rows", "epoch", "table"))
-    assert(metrics.agg(sum("n_rows")).first().getLong(0) == 54L)
+    val expected = 6L * PagesGen.variantKinds.length
+    assert(metrics.agg(sum("n_rows")).first().getLong(0) == expected)
     val manifest = Files.readAllLines(
       java.nio.file.Paths.get(Checkpoints.manifestPath(dir)))
-    assert(manifest.size() == 1 && manifest.get(0).contains("\"new_signatures\":54"))
+    assert(manifest.size() == 1 && manifest.get(0).contains(s"\"new_signatures\":$expected"))
   }
 }
