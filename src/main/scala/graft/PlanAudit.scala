@@ -1,0 +1,37 @@
+package graft
+
+/** Physical-plan audit: prints `explain("formatted")` for representative
+  * queries and greps the markers that matter at 100 TB — predicate pushdown
+  * (`PushedFilters`), column pruning (`ReadSchema`), broadcast vs shuffle
+  * join choice, and whole-stage codegen coverage. Output is reviewed into
+  * PLANS.md each round. Not part of the driver contract — a tuning tool.
+  */
+object PlanAudit {
+
+  private val Audited = Seq(
+    "q_filter_project",  // pushdown + pruning must reach the parquet scan
+    "q_anti_join",       // the resume primitive: left anti, broadcastable
+    "q_star_join",       // small dim must broadcast
+    "q1_agg",            // partial (map-side) aggregation must appear
+    "q_exact_dedup",     // hash-agg over sha2, no collect_list
+    "q_window_top1",     // single sort+window, no extra exchange
+    "q_signatures",      // fingerprint stage: projection-only, codegen'd
+    "q_minhash_lsh_pairs") // explode + size-join + self-join shape
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = Bench.sessionFor(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    for (name <- Audited) {
+      println(s"\n===== $name =====")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // queryExecution text (formatted) — stable across runs, no execution
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } catch {
+        case e: Throwable => println(s"[audit] $name failed: $e")
+      }
+    }
+    spark.stop()
+  }
+}

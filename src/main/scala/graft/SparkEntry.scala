@@ -255,6 +255,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF inverted-list ANN (second scale path; rows-only check)
+    "q_ann_ivf" -> ((s, dir) => {
+      Ann.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ── events: windowed/sessionized aggregation ────────────────────────
 
     "q_events_hourly" -> ((s, dir) => {

@@ -116,6 +116,45 @@ object Ann {
       .select("id", "nbr_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path besides [[lshKnn]].
+    *
+    * Coarse quantizer: the `nCells` vectors with the smallest xxhash64(id)
+    * serve as cell centroids — a deterministic hash-based sample (no trained
+    * model to ship, reproducible on any cluster; a k-means refinement drops
+    * in behind the same cell-id column). Every vector joins its nearest
+    * centroid's inverted list; a query probes its `nProbe` nearest cells and
+    * exact cosine runs only within those lists. Centroids are broadcast —
+    * nCells is small by construction — so building lists and probing are
+    * each ONE narrow shuffle on cell id.
+    */
+  def ivfKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nrm", qnorm(col("qv")))
+    val cents = base.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+      .select(col("id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+
+    val cellScores = base.crossJoin(broadcast(cents))
+      .withColumn("csim", pairCos(col("nrm"), col("cnrm"), qdot(col("qv"), col("cqv"))))
+    val byCell = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id").asc)
+    val ranked = cellScores.withColumn("crank", row_number().over(byCell))
+
+    val lists = ranked.filter(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("id").as("nbr_id"),
+        col("qv").as("qw"), col("nrm").as("nr"))
+    val probes = ranked.filter(col("crank") <= nProbe)
+      .select(col("id"), col("qv"), col("nrm").as("nl"), col("cent_id").as("cell"))
+
+    val scored = probes.join(lists, "cell")
+      .filter(col("id") =!= col("nbr_id"))
+      .withColumn("cos", pairCos(col("nl"), col("nr"), qdot(col("qv"), col("qw"))))
+      .select("id", "nbr_id", "cos") // each nbr lives in exactly one list → no dup pairs
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "nbr_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: unordered pairs above a cosine
     * threshold (the embedding leg of the dedup suite).
     */

@@ -39,23 +39,30 @@ object Clustering {
     * @return (id, cluster_id) — cluster_id = min id of the component
     */
   def unionFind(spark: SparkSession, edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    // Dictionary-encode ids to dense longs before iterating: every
-    // propagation round shuffles and compares join keys, and 8-byte codes
-    // beat ~50-byte url strings several-fold in shuffle volume. The
-    // encoding is ORDER-PRESERVING (global sort, then
+    // Fast path: already-numeric ids (the pipeline dictionary-encodes urls
+    // to dense longs at entry) iterate directly. String ids are encoded to
+    // dense longs here first: every propagation round shuffles and compares
+    // join keys, and 8-byte codes beat ~50-byte url strings several-fold in
+    // shuffle volume. The encoding is ORDER-PRESERVING (global sort, then
     // monotonically_increasing_id, whose value is monotone in partition
     // index × in-partition offset), so min(code) ≡ min(id) and the decoded
     // output is identical to the string-keyed algorithm — and deterministic
     // across parallelism levels, since codes never escape this function.
-    val ids = edges.select(col("a").as("sid")).union(edges.select(col("b").as("sid")))
-      .distinct().sort("sid")
-      .withColumn("code", monotonically_increasing_id())
-      .localCheckpoint() // materialize ONCE: codes must not be re-derived per use
+    val alreadyNumeric =
+      edges.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val ids =
+      if (alreadyNumeric) null
+      else edges.select(col("a").as("sid")).union(edges.select(col("b").as("sid")))
+        .distinct().sort("sid")
+        .withColumn("code", monotonically_increasing_id())
+        .localCheckpoint() // materialize ONCE: codes must not be re-derived per use
 
-    val enc = edges
-      .join(ids.select(col("sid").as("a"), col("code").as("ca")), "a")
-      .join(ids.select(col("sid").as("b"), col("code").as("cb")), "b")
-      .select(col("ca").as("src"), col("cb").as("dst"))
+    val enc =
+      if (alreadyNumeric) edges.select(col("a").as("src"), col("b").as("dst"))
+      else edges
+        .join(ids.select(col("sid").as("a"), col("code").as("ca")), "a")
+        .join(ids.select(col("sid").as("b"), col("code").as("cb")), "b")
+        .select(col("ca").as("src"), col("cb").as("dst"))
     // materialize the symmetric edge list ONCE — every iteration joins
     // against it, and without this the full upstream DAG (LSH explode +
     // self-join + verify) would re-execute per iteration. LAZY checkpoint:
@@ -95,7 +102,8 @@ object Clustering {
     }
     require(changed == 0, s"union-find did not converge within $maxIters iterations")
 
-    labels
+    if (alreadyNumeric) labels.withColumnRenamed("label", "cluster_id")
+    else labels
       .join(ids.select(col("code").as("id"), col("sid").as("id_s")), "id")
       .join(ids.select(col("code").as("label"), col("sid").as("cluster_s")), "label")
       .select(col("id_s").as("id"), col("cluster_s").as("cluster_id"))

@@ -143,6 +143,18 @@ object DedupPipeline {
     pages.select(col(idCol).as("id"),
       substring(Fingerprints.normalized(col(textCol)), 1, cfg.saMaxChars).as("norm_text"))
 
+  /** Order-preserving id dictionary: original id → dense long code.
+    * A global sort then monotonically_increasing_id (monotone in partition
+    * index × offset) makes codes order-isomorphic to the original ids, so
+    * every min-id convention downstream (exact-group rep, union-find label,
+    * representative tiebreak) is preserved exactly. Materialized once —
+    * codes must never be re-derived under a different partitioning.
+    */
+  def idDictionary(ids: DataFrame): DataFrame =
+    ids.toDF("sid").distinct().sort("sid")
+      .withColumn("id", monotonically_increasing_id())
+      .localCheckpoint()
+
   /** Full run: returns the clusters table
     * (id, cluster_id, is_representative, kind) — kind ∈ {exact, near, unique}.
     *
@@ -155,12 +167,99 @@ object DedupPipeline {
     * in ALL bands and pair quadratically) by construction; exact-group
     * members reconnect to their rep (= group min id, matching exactEdges'
     * root) through union-find.
+    *
+    * All internal stages run on 8-byte dictionary codes, not url strings:
+    * the pair/verify/union-find shuffles are the byte-volume hot spots at
+    * web scale, and a ~50 B url on every pair row roughly triples them.
+    * Original ids are restored on the final (small) clusters table only.
     */
   def run(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
           cfg: DedupConfig = DedupConfig(),
-          orderCols: DataFrame => Seq[org.apache.spark.sql.Column] = df =>
+          orderCols: Seq[org.apache.spark.sql.Column] =
             Seq(col("order_len").desc, col("id").asc)): DataFrame = {
 
+    val dict = idDictionary(pages.select(col(idCol)))
+    val keyed = pages.select(col(idCol).as("sid"), col(textCol).as("__text"))
+      .join(dict, "sid").select("id", "__text")
+
+    // slim exact-identity pass: nothing wider than the hash is shuffled
+    val slim = keyed.select(
+      col("id"),
+      length(col("__text")).as("order_len"),
+      Fingerprints.contentHash(col("__text")).as("content_hash"))
+      .cache() // reused by: exact edges, reps, hash counts, kind join, universe
+
+    // one representative (min id ≡ exactEdges root) per content_hash enters
+    // the near-dup stage; fingerprints are computed for reps ONLY
+    val reps = slim.groupBy("content_hash").agg(min(col("id")).as("id")).select("id")
+    val nearPages = keyed
+      .join(reps, Seq("id"), "left_semi")
+      .cache() // read twice: fingerprints + SA-pass norm texts
+    val repSigs = signatures(nearPages, "id", "__text", cfg)
+      .cache() // reused by band explode (×2 paths) + verify shingle re-join
+
+    val coded = clusterFromParts(spark, slim, repSigs,
+      texts = Some(normTexts(nearPages, "id", "__text", cfg)), cfg, orderCols)
+    val result = decode(coded, dict)
+    repSigs.unpersist()
+    nearPages.unpersist()
+    slim.unpersist()
+    result
+  }
+
+  /** Restore original string ids on a coded clusters table. */
+  private def decode(coded: DataFrame, dict: DataFrame): DataFrame =
+    coded
+      .join(dict, "id")
+      .join(dict.select(col("id").as("cluster_id"), col("sid").as("cluster_sid")),
+        "cluster_id")
+      .select(col("sid").as("id"), col("cluster_sid").as("cluster_id"),
+        col("is_representative"), col("kind"))
+      // eager-materialize the (small) clusters table so the big intermediate
+      // caches can be released immediately — downstream consumers read the
+      // checkpointed rows instead of re-running the LSH/verify DAG
+      .localCheckpoint()
+
+  /** Cluster a full persisted signatures table (the resume path: fingerprints
+    * come from the state table, never recomputed). `stateSigs` must carry
+    * (id, order_len, content_hash, simhash, minhash, shingles); `texts` is
+    * the optional (id, norm_text) side input enabling the suffix-array pass,
+    * keyed by the ORIGINAL ids (encoding is internal).
+    */
+  def clusterSignatures(spark: SparkSession, stateSigs: DataFrame,
+                        texts: Option[DataFrame], cfg: DedupConfig = DedupConfig(),
+                        orderCols: Seq[org.apache.spark.sql.Column] =
+                          Seq(col("order_len").desc, col("id").asc)): DataFrame = {
+    val dict = idDictionary(stateSigs.select(col("id")))
+    val keyed = stateSigs
+      .select(col("id").as("sid"), col("order_len"), col("content_hash"),
+        col("simhash"), col("minhash"), col("shingles"))
+      .join(dict, "sid")
+    val slim = keyed.select("id", "order_len", "content_hash").cache()
+    val reps = slim.groupBy("content_hash").agg(min(col("id")).as("id")).select("id")
+    val repSigs = keyed
+      .select("id", "simhash", "minhash", "shingles")
+      .join(reps, Seq("id"), "left_semi")
+      .cache()
+    val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
+      .select("id", "norm_text"))
+    val coded = clusterFromParts(spark, slim, repSigs, codedTexts, cfg, orderCols)
+    val result = decode(coded, dict)
+    repSigs.unpersist()
+    slim.unpersist()
+    result
+  }
+
+  /** Shared pipeline tail: exact edges from the slim universe, near edges
+    * from rep signatures, union-find, kind labeling, representative window.
+    *
+    * @param slim    (id, order_len, content_hash) for EVERY row — the
+    *                cluster universe
+    * @param repSigs signatures for one representative per content_hash
+    */
+  private def clusterFromParts(spark: SparkSession, slim: DataFrame, repSigs: DataFrame,
+                               texts: Option[DataFrame], cfg: DedupConfig,
+                               orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     def tick[T](name: String)(f: => T): T =
       if (sys.env.contains("GRAFT_TIMING")) {
         val t0 = System.nanoTime()
@@ -169,39 +268,23 @@ object DedupPipeline {
         r
       } else f
 
-    // slim exact-identity pass: nothing wider than the hash is shuffled
-    val hashes = pages.select(
-      col(idCol).as("id"),
-      length(col(textCol)).as("order_len"),
-      Fingerprints.contentHash(col(textCol)).as("content_hash"))
-      .cache() // reused by: exact edges, hash counts, kind/order join, universe
-
-    val exact = Clustering.exactEdges(hashes, "id", "content_hash")
-
-    // one representative (min id ≡ exactEdges root) per content_hash enters
-    // the near-dup stage; fingerprints are computed for reps ONLY
-    val reps = hashes.groupBy("content_hash").agg(min(col("id")).as("id"))
-      .select("id")
-    val nearPages = pages
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(reps, Seq("id"), "left_semi")
-      .cache() // read twice: fingerprints + SA-pass norm texts
-    val sigs = signatures(nearPages, "id", "__text", cfg)
-      .cache() // reused by band explode (×2 paths) + verify shingle re-join
-    val near = tick("near edges (LSH+verify)") { nearEdges(spark, sigs, cfg,
-      texts = Some(normTexts(nearPages, "id", "__text", cfg))).localCheckpoint(false) }
+    val exact = Clustering.exactEdges(slim, "id", "content_hash")
+    val near = tick("near edges (LSH+verify)") {
+      nearEdges(spark, repSigs, cfg, texts).localCheckpoint(false)
+    }
     val edges = exact.union(near)
 
     val clustered = tick("union-find") {
-      Clustering.clusters(spark, hashes, "id", edges, cfg.maxUnionFindIters) }
+      Clustering.clusters(spark, slim, "id", edges, cfg.maxUnionFindIters)
+    }
 
     // kind: exact if the row shares a content_hash with ≥2 rows; near if in a
     // multi-row cluster otherwise; unique for singletons
-    val hashCounts = hashes.groupBy("content_hash").agg(count(lit(1)).as("hash_n"))
+    val hashCounts = slim.groupBy("content_hash").agg(count(lit(1)).as("hash_n"))
     val clusterSizes = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
 
     val out = clustered
-      .join(hashes, "id")
+      .join(slim, "id")
       .join(hashCounts, "content_hash")
       .join(clusterSizes, "cluster_id")
       .withColumn("kind",
@@ -209,16 +292,9 @@ object DedupPipeline {
           .when(col("cluster_n") > 1, lit("near"))
           .otherwise(lit("unique")))
 
-    val withRep = Clustering.withRepresentatives(out, orderCols(out))
-    val result = tick("kind+representative") {
+    val withRep = Clustering.withRepresentatives(out, orderCols)
+    tick("kind+representative") {
       withRep.select("id", "cluster_id", "is_representative", "kind")
-        // eager-materialize the (small) clusters table so the big intermediate
-        // caches can be released immediately — downstream consumers read the
-        // checkpointed rows instead of re-running the LSH/verify DAG
-        .localCheckpoint() }
-    sigs.unpersist()
-    nearPages.unpersist()
-    hashes.unpersist()
-    result
+    }
   }
 }

@@ -28,6 +28,8 @@ object Checkpoints {
   def signaturesPath(stateDir: String) = s"$stateDir/signatures"
   def quarantinePath(stateDir: String) = s"$stateDir/quarantine"
   def metricsPath(stateDir: String) = s"$stateDir/metrics"
+  def clustersPath(stateDir: String) = s"$stateDir/clusters"
+  def actionsPath(stateDir: String) = s"$stateDir/actions"
   def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
 
   private def exists(spark: SparkSession, path: String): Boolean = {
@@ -69,7 +71,11 @@ object Checkpoints {
         current_timestamp().as("quarantined_at"))
     val good = unseen.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
 
-    val sigs = DedupPipeline.signatures(good, idCol, textCol, cfg)
+    // order_len is persisted with the signature so representative selection
+    // on resume never needs the text again
+    val sigs = DedupPipeline.signatures(
+      good.withColumn("order_len", length(col(textCol))),
+      idCol, textCol, cfg, carry = Seq("order_len"))
       .observe("sig_metrics", count(lit(1)).as("n_rows"))
 
     // per-partition lineage (north_rule): which partition produced how many
@@ -97,9 +103,50 @@ object Checkpoints {
     (nNew, nQuarantined)
   }
 
+  /** Full incremental epoch: fingerprint new pages ([[runEpoch]]), then
+    * re-cluster from the PERSISTED signature state (fingerprints are never
+    * recomputed — clustering alone is re-derived, which is the cheap part)
+    * and overwrite the clusters + actions tables. The suffix-array verify
+    * pass fetches normalized text for its ambiguous slice from `pages`,
+    * the authoritative input table.
+    *
+    * @return (numNewSignatures, numClusters)
+    */
+  def clusterEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
+                   stateDir: String, cfg: DedupConfig = DedupConfig(),
+                   action: String = "symlink"): (Long, Long) = {
+    val (nNew, _) = runEpoch(spark, pages, idCol, textCol, stateDir, cfg)
+
+    val stateSigs = spark.read.parquet(signaturesPath(stateDir))
+    val texts = DedupPipeline.normTexts(pages, idCol, textCol, cfg)
+    val clusters = DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg)
+
+    clusters.write.mode("overwrite").parquet(clustersPath(stateDir))
+    graft.actions.Actions.plan(clusters, action, dryRun = true)
+      .write.mode("overwrite").parquet(actionsPath(stateDir))
+
+    val epoch = nextEpoch(stateDir) - 1 // runEpoch already appended this epoch
+    val persisted = spark.read.parquet(clustersPath(stateDir))
+    val lineage = persisted
+      .withColumn("part_id", spark_partition_id())
+      .groupBy("part_id").agg(count(lit(1)).as("n_rows"))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("table", lit("clusters"))
+    lineage.write.mode("append").parquet(metricsPath(stateDir))
+
+    val nClusters = persisted.select("cluster_id").distinct().count()
+    appendManifest(stateDir, s"""{"epoch":$epoch,"clusters":$nClusters}""")
+    (nNew, nClusters)
+  }
+
   private def nextEpoch(stateDir: String): Long = {
     val p = Paths.get(manifestPath(stateDir))
-    if (Files.exists(p)) Files.readAllLines(p).size().toLong else 0L
+    if (!Files.exists(p)) return 0L
+    // only signature-commit lines advance the epoch counter (clusterEpoch
+    // appends an additional clusters line per epoch)
+    var n = 0L
+    Files.readAllLines(p).forEach(l => if (l.contains("\"new_signatures\"")) n += 1)
+    n
   }
 
   private def appendManifest(stateDir: String, line: String): Unit = {

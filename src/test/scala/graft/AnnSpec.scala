@@ -46,6 +46,24 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("ivf knn recall vs brute force >= 0.9 on clustered data") {
+    val bf = Ann.bruteForceKnn(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfKnn(vecs, "vec_id", "embedding", k = 3, nCells = 6, nProbe = 3)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    info(s"ivf-vs-bf recall = $recall")
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("ivf knn is deterministic across runs") {
+    val a = Ann.ivfKnn(vecs, "vec_id", "embedding", k = 2, nCells = 6, nProbe = 2)
+      .collect().map(_.toString).sorted
+    val b = Ann.ivfKnn(vecs, "vec_id", "embedding", k = 2, nCells = 6, nProbe = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("embedding near-dups: identical vectors score 1.0") {
     val dup = Seq((100L, Seq(1f, 2f, 3f, 4f)), (101L, Seq(1f, 2f, 3f, 4f)),
       (102L, Seq(-1f, 2f, -3f, 4f))).toDF("vec_id", "embedding")

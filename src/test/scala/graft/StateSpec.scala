@@ -64,6 +64,34 @@ class StateSpec extends SparkTestBase {
     assert(n2 == 0L && q2 == 0L)
   }
 
+  test("clusterEpoch: incremental epochs converge to the single-shot clustering") {
+    import graft.pipeline.DedupPipeline
+    val dir = tempDir()
+    val all = PagesGen.pages(spark, 10L, seed = 9L, tokensPerDoc = 120).toDF().cache()
+    // epoch 1 sees an arbitrary half (splits dup groups across epochs),
+    // epoch 2 sees everything — only the delta is fingerprinted
+    val half = all.filter(xxhash64($"url") % 2 === 0)
+    Checkpoints.clusterEpoch(spark, half, "url", "text", dir)
+    val (nNew2, _) = Checkpoints.clusterEpoch(spark, all, "url", "text", dir)
+    assert(nNew2 < all.count(), "second epoch must fingerprint only the delta")
+
+    val incr = spark.read.parquet(Checkpoints.clustersPath(dir))
+      .select("id", "cluster_id").as[(String, String)].collect().toMap
+    val oneShot = DedupPipeline.run(spark, all, "url", "text", DedupConfig())
+      .select("id", "cluster_id").as[(String, String)].collect().toMap
+    assert(incr == oneShot, "resumed clustering must equal single-shot clustering")
+
+    // actions table: every duplicate points at a representative in ITS cluster
+    val actions = spark.read.parquet(Checkpoints.actionsPath(dir))
+    val bad = actions.join(
+        spark.read.parquet(Checkpoints.clustersPath(dir))
+          .select($"id", $"cluster_id".as("c_dup")), "id")
+      .join(spark.read.parquet(Checkpoints.clustersPath(dir))
+          .select($"id".as("original_id"), $"cluster_id".as("c_orig")), "original_id")
+      .filter($"c_dup" =!= $"c_orig").count()
+    assert(bad == 0)
+  }
+
   test("metrics table records per-partition lineage per epoch") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 6L, seed = 4L, tokensPerDoc = 80).toDF()
