@@ -70,6 +70,30 @@ object SparkEntry {
       part.join(li, Seq("p_partkey"), "left_semi").select("p_partkey", "p_brand")
     }),
 
+    // S1/S2 + F1-F7: the composed discovery scan — multi-root fan-out with
+    // the full filter battery (excluded prefixes, lang allowlist, non-empty
+    // text), every predicate scan-pushable
+    "q_discovery" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val roots = Seq(d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0))
+      graft.discovery.Discovery.discover(roots, "source", "text", "lang",
+        excludedPrefixes = Seq("src1"),
+        supportedLangs = Seq("en", "de", "fr"))
+        .select("doc_id", "source", "lang")
+    }),
+
+    // S8/S9: deterministic html → text extraction (tag strip, boilerplate
+    // block drop, whitespace collapse) cross-checked against the expected
+    // normalized text the wrapping was built from
+    "q_extract_text" -> ((s, dir) => {
+      val cleanT = regexp_replace(col("text"), "[<>&]", " ")
+      val html = concat(
+        lit("<html><head><title>t</title></head><body><nav>menu</nav><p>"),
+        cleanT, lit("</p><footer>f</footer></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), FP.extractText(html.cast("binary")).as("extracted"))
+    }),
+
     // §2.7: multi-root union (discovery fan-out)
     "q_union_multiroot" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -319,6 +343,18 @@ object SparkEntry {
       """SELECT p.p_partkey, p.p_brand FROM part p
         |WHERE p.p_size > 30
         |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q_discovery" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE NOT starts_with(source, 'src1')
+        |  AND lang IN ('en', 'de', 'fr')
+        |  AND text IS NOT NULL AND length(text) > 0""".stripMargin,
+
+    "q_extract_text" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
+        |                           '\s+', ' ', 'g')) AS extracted
+        |FROM documents""".stripMargin,
 
     "q_union_multiroot" ->
       """SELECT DISTINCT doc_id, lang FROM (

@@ -48,12 +48,14 @@ object Fingerprints {
     * single whole-document shingle (so short docs still fingerprint).
     * Output: array<long>, deduplicated (MinHash is over the shingle SET).
     */
-  def shingleHashes(text: Column, k: Int): Column = {
+  def shingleHashes(text: Column, k: Int, maxShingles: Int = Int.MaxValue): Column = {
     val toks = tokens(text)
     val n = size(toks)
     val full = array(xxhash64(concat_ws(" ", toks)))
+    // maxShingles: length-tiered cost cap — huge docs fingerprint a prefix
+    // (reference analog: size-tiered downscale, file_processing.rs:134-156)
     val grams = transform(
-      sequence(lit(0), n - lit(k)),
+      sequence(lit(0), least(n - lit(k), lit(maxShingles - 1))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
     array_distinct(when(n >= k, grams).otherwise(full))
   }
@@ -82,8 +84,9 @@ object Fingerprints {
     * byte-compatible with the individual combinators above but one codegen
     * kernel per row (see [[DocSignature]]). The production signature path.
     */
-  def docSignature(text: Column, k: Int = 3, numPerms: Int = NumPerms): Column =
-    shim.toColumn(DocSignature(shim.toExpression(text), k, numPerms, HashSeed))
+  def docSignature(text: Column, k: Int = 3, numPerms: Int = NumPerms,
+                   maxShingles: Int = Int.MaxValue): Column =
+    shim.toColumn(DocSignature(shim.toExpression(text), k, numPerms, HashSeed, maxShingles))
 
   /** 64-bit SimHash column over the token multiset. */
   def simhash(text: Column): Column =

@@ -201,7 +201,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * whitespace [ \t\n\x0B\f\r]; single-space join; trim. Hash = Spark
   * builtin xxhash64 (XXH64, seed 42) over UTF-8 bytes.
   */
-case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long)
+case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long,
+                        maxShingles: Int = Int.MaxValue)
     extends UnaryExpression {
 
   @transient private lazy val (as, bs) = HashKernels.coefficients(numPerms, seed)
@@ -273,8 +274,12 @@ case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long)
 
     // distinct shingle hashes, first-occurrence order
     // (≡ array_distinct(shingleHashes) incl. the whole-doc fallback for
-    //  docs shorter than k tokens, Fingerprints.shingleHashes)
-    val nShingles = if (nTokens >= k) nTokens - k + 1 else 1
+    //  docs shorter than k tokens, Fingerprints.shingleHashes).
+    // maxShingles is the length-tiered cost cap (reference analog:
+    // size-tiered downscale, file_processing.rs:134-156) — huge documents
+    // fingerprint their prefix instead of blowing up the signature stage.
+    val nShingles =
+      if (nTokens >= k) math.min(nTokens - k + 1, maxShingles) else 1
     val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
     val distinct = new Array[Long](nShingles)
     var nd = 0

@@ -18,6 +18,7 @@ case class DedupConfig(
     numPerms: Int = Fingerprints.NumPerms,
     bands: Int = Fingerprints.DefaultBands,
     rowsPerBand: Int = Fingerprints.DefaultRowsPerBand,
+    maxShingles: Int = 8192,
     simhashMaxHamming: Int = 28,
     simhashAcceptHamming: Int = 12,
     jaccardThreshold: Double = 0.5,
@@ -53,7 +54,8 @@ object DedupPipeline {
     pages.select(
       (col(idCol).as("id") +: carry.map(col)) ++ Seq(
         Fingerprints.contentHash(col(textCol)).as("content_hash"),
-        Fingerprints.docSignature(col(textCol), cfg.shingleK, cfg.numPerms).as("ds")): _*)
+        Fingerprints.docSignature(col(textCol), cfg.shingleK, cfg.numPerms,
+          cfg.maxShingles).as("ds")): _*)
       .select(
         (col("id") +: carry.map(col)) ++ Seq(
           col("content_hash"),

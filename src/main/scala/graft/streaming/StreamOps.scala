@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stream-shaped operators over the events table. The reference is pure
   * batch with persistent state (SURVEY.md §2.9), so the batch-incremental
@@ -61,4 +64,39 @@ object StreamOps {
     sessionize(events, gapMinutes)
       .groupBy("user_id")
       .agg(max("session_seq").as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** Streaming sessionization via the built-in gap-based `session_window`
+    * (the idiomatic Structured Streaming form of [[sessionize]]): one
+    * session row per (user, session window), merged incrementally as events
+    * arrive, closed by the watermark.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  case class UserEvent(user_id: Long, ts: Timestamp)
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom streaming state via typed `mapGroupsWithState`: a running
+    * per-user event counter that survives across micro-batches — the
+    * KeyValueGroupedDataset custom-state surface (update-mode output; state
+    * is one long per user, expirable by processing-time timeout in
+    * production).
+    */
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          UserCount(user, total)
+      }
+  }
 }

@@ -53,4 +53,39 @@ class StreamingSpec extends SparkTestBase {
     // user 1: events at 0,10 | 70 → 2 sessions; user 2: 20 | 80 → 2; user 3: 130 → 1
     assert(stats.toSeq == Seq((1L, 2L, 3L), (2L, 2L, 2L), (3L, 1L, 1L)))
   }
+
+  test("streaming session_window sessionization agrees with batch session counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    val q = StreamOps.sessionWindows(stream.toDF(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sessions_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_out")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == Seq((1L, 2L, 3L), (2L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("mapGroupsWithState: running per-user counts accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val counts = StreamOps.runningUserCounts(stream.toDS())
+    val q = counts.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ucounts_out").start()
+
+    stream.addData(StreamOps.UserEvent(1, new Timestamp(1L)), StreamOps.UserEvent(1, new Timestamp(2L)))
+    q.processAllAvailable()
+    stream.addData(StreamOps.UserEvent(1, new Timestamp(3L)), StreamOps.UserEvent(2, new Timestamp(4L)))
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode emits one row per touched key per batch — the LAST row per
+    // user carries the accumulated state
+    val last = spark.table("ucounts_out").groupBy("user_id")
+      .agg(max("n_events").as("n")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(last.toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
 }
