@@ -94,7 +94,9 @@ object Clustering {
       // lazy checkpoint: the convergence agg below both materializes the
       // iteration AND cuts its lineage in a single job
       val materialized = next.localCheckpoint(eager = false)
-      changed = materialized.agg(sum("chg")).first().getLong(0)
+      // coalesce: sum over an EMPTY label set is null (duplicate-free corpus
+      // → no edges) — that must read as converged, not crash
+      changed = materialized.agg(coalesce(sum("chg"), lit(0L))).first().getLong(0)
       labels = materialized.select("id", "label")
       iter += 1
       System.err.println(

@@ -77,6 +77,27 @@ class PipelineSpec extends SparkTestBase {
     assert(uf.select("cluster_id").distinct().count() == 1)
   }
 
+  test("duplicate-free corpus: every doc is its own unique singleton cluster") {
+    val unique = (0 until 8).map(i =>
+      (s"u$i", Seq.tabulate(40)(j => s"tok${i * 1000 + j * 7}").mkString(" ")))
+      .toDF("url", "text")
+    val c = DedupPipeline.run(spark, unique, "url", "text", DedupConfig())
+    assert(c.count() == 8)
+    assert(c.filter($"kind" =!= "unique").count() == 0)
+    assert(c.filter(!$"is_representative").count() == 0)
+    assert(c.filter($"id" =!= $"cluster_id").count() == 0)
+  }
+
+  test("all-identical corpus: one exact cluster, one representative, no LSH blowup") {
+    val same = (0 until 50).map(i => (f"u$i%03d", "exactly the same text content here"))
+      .toDF("url", "text")
+    val c = DedupPipeline.run(spark, same, "url", "text", DedupConfig()).cache()
+    assert(c.count() == 50)
+    assert(c.select("cluster_id").distinct().count() == 1)
+    assert(c.filter($"is_representative").count() == 1)
+    assert(c.select("kind").distinct().as[String].collect().toSeq == Seq("exact"))
+  }
+
   test("truncate_60 containment pairs are caught (suffix/containment pass)") {
     val assign = clusters.select($"id", $"cluster_id")
     val t = truth.filter($"kind" === "truncate_60")
