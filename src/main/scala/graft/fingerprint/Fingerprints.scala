@@ -12,15 +12,24 @@ import org.apache.spark.sql.graftshim.shim
   */
 object Fingerprints {
 
-  /** Default MinHash configuration: 128 permutations banded as 64 bands ×
-    * 2 rows. LSH candidate probability at Jaccard s is 1-(1-s^2)^64:
-    * ≈ 1-1e-8 at s=0.5 (the verify threshold — planted edit_10pct pairs sit
-    * at s≈0.57, so banding recall must be ~1 there for the ≥0.99 target),
-    * ≈ 0.23 at s=0.06 (unrelated-doc regime; survivors are killed by the
-    * exact-Jaccard verify, so precision is unaffected).
+  /** Default MinHash configuration: 128 permutations, banded as 21 bands ×
+    * 2 rows (42 slots) PLUS one prefix-shingle band (see
+    * `LSH.prefixBandHash`). Candidate probability at Jaccard s via the
+    * minhash tier is 1-(1-s²)^21:
+    *   s=0.75 (edit_5pct)  → ~1-3e-8
+    *   s=0.57 (edit_10pct) → 0.9997   (the weakest symmetric planted pair)
+    *   s=0.50 (threshold)  → 0.9976
+    * Prefix truncations collide on the prefix band with P=1 regardless of
+    * Jaccard, so sub-Jaccard containment pairs (truncate_30, s≈0.3) reach
+    * the suffix-array verify without needing a dense band matrix. Dense
+    * banding (64×2) was measured to dominate the pipeline: a near-identical
+    * pair emits one pair-row per colliding band, so b=21+1 cuts the
+    * candidate-distinct shuffle ~2.9× at identical planted recall.
+    * Survivor false positives at tiny s are killed by the verify tiers, so
+    * precision is unaffected by banding choice.
     */
   val NumPerms = 128
-  val DefaultBands = 64
+  val DefaultBands = 21
   val DefaultRowsPerBand = 2
   val HashSeed = 42L
 

@@ -23,6 +23,18 @@ object LSH {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(minhash, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
 
+  /** Prefix-band bucket hash: one 64-bit hash over the document's first
+    * `m` shingle hashes (document order — [[graft.fingerprint.DocSignature]]
+    * preserves first occurrence). A prefix truncation shares the original's
+    * leading shingles verbatim, so truncated near-dups collide here with
+    * P = 1 independent of their Jaccard — the asymmetric-containment
+    * discovery channel that dense minhash banding can only approximate.
+    * Boilerplate-shared prefixes make hot buckets; the salted hot path in
+    * [[candidatePairs]] absorbs them.
+    */
+  def prefixBandHash(shingles: Column, m: Int): Column =
+    xxhash64(slice(shingles, 1, m))
+
   /** Explode a signatures frame into (id, [carry...], band, band_hash).
     * Column pruning matters at scale: callers must pass only the columns the
     * pair stage needs (id + simhash), never text or shingle arrays.

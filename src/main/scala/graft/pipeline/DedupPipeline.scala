@@ -29,9 +29,10 @@ case class DedupConfig(
     saltFactor: Int = 16,
     maxBucketSize: Int = 100000,
     maxUnionFindIters: Int = 25,
+    prefixBandShingles: Int = 8,
     forceRescan: Boolean = false) {
-  require(bands * rowsPerBand == numPerms,
-    s"bands*rowsPerBand must equal numPerms ($bands*$rowsPerBand != $numPerms)")
+  require(bands * rowsPerBand <= numPerms,
+    s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
 }
 
 /** End-to-end near-duplicate detection + clustering over a pages-shaped
@@ -79,8 +80,15 @@ object DedupPipeline {
   def nearEdges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
                 texts: Option[DataFrame] = None): DataFrame = {
     val slim = sigs.select("id", "minhash", "simhash")
-    val exploded = LSH.explodeBands(slim, "id", "minhash",
+    val minhashBands = LSH.explodeBands(slim, "id", "minhash",
       cfg.bands, cfg.rowsPerBand, carry = Seq("simhash"))
+    // extra containment channel: one prefix-shingle band (P=1 for prefix
+    // truncations at any Jaccard) — computed per ROW before the explode, so
+    // the wide shingle array itself never enters the banding shuffle
+    val prefixBand = sigs.select(col("id"), col("simhash"),
+      lit(cfg.bands).as("band"),
+      LSH.prefixBandHash(col("shingles"), cfg.prefixBandShingles).as("band_hash"))
+    val exploded = minhashBands.unionByName(prefixBand)
     val pairs = LSH.candidatePairs(exploded, "id",
       hotThreshold = cfg.hotBucketThreshold,
       saltFactor = cfg.saltFactor,
