@@ -28,14 +28,65 @@ object Clustering {
       .select(col(idCol).as("a"), col("root").as("b"))
   }
 
-  /** Distributed union-find: iterative min-label propagation over an edge
-    * list, join-until-fixpoint with per-iteration `localCheckpoint()` to cut
-    * lineage (north_rule; SURVEY.md §4 custom-work item 3). Converges in
-    * O(component diameter) iterations — near-dup components are dense
-    * star-ish clusters, so a handful in practice; `maxIters` guards the
-    * pathological chain.
+  /** One large-star round: every node connects its strictly-LARGER
+    * neighbors to the minimum of its closed neighborhood. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SOCC'14) — a textbook
+    * public algorithm. Window-min instead of collect_set: a mega-star's
+    * neighbor list never materializes in one buffer, the partition min is
+    * streaming + spillable.
     *
-    * @param edges  (a, b) pairs, any orientation, strings
+    * Input/output edges are undirected; output rows are oriented (u > v).
+    * Each undirected input edge yields exactly one output row (emitted from
+    * its smaller endpoint's group), so the edge set never grows here.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy("u")
+    sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** One small-star round: every node connects its smaller-or-equal
+    * neighbors (and itself) to the minimum of its closed neighborhood.
+    * Expects edges oriented (u > v) — [[largeStar]]'s output shape — and
+    * preserves that orientation. Output is deduplicated: this is the one
+    * distinct per round, bounding edge-set growth at |E| + |V|.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("u")
+    val withM = e.withColumn("m", min(col("v")).over(w))
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** (row count, order-independent checksum) of an oriented edge set — the
+    * fixpoint detector. Equal consecutive stats ⇒ the (distinct) edge set is
+    * unchanged (64-bit hash-sum collision odds are negligible and any
+    * collision only delays convergence by zero rounds, never corrupts
+    * labels: the loop exits on a TRUE fixpoint or hits maxIters).
+    */
+  private def edgeStats(e: DataFrame): (Long, Long) = {
+    // bit_xor, not sum: order-independent AND overflow-free under ANSI mode
+    // (the set is distinct, so XOR self-cancellation cannot occur)
+    val r = e.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Distributed union-find: alternating large-star/small-star contraction
+    * (Kiveris et al. 2014) over an edge list, iterated to fixpoint with
+    * per-round lazy `localCheckpoint()` to cut lineage (north_rule;
+    * SURVEY.md §4 custom-work item 3). Converges in O(log n) rounds on ANY
+    * topology — including the chain-shaped components (successive
+    * truncations/edits) that defeat O(diameter) label propagation — because
+    * each round at least halves the height of every non-star component.
+    * At fixpoint the edge set is a disjoint union of stars rooted at each
+    * component's minimum id.
+    *
+    * @param edges  (a, b) pairs, any orientation, strings or longs
     * @return (id, cluster_id) — cluster_id = min id of the component
     */
   def unionFind(spark: SparkSession, edges: DataFrame, maxIters: Int = 25): DataFrame = {
@@ -63,46 +114,42 @@ object Clustering {
         .join(ids.select(col("sid").as("a"), col("code").as("ca")), "a")
         .join(ids.select(col("sid").as("b"), col("code").as("cb")), "b")
         .select(col("ca").as("src"), col("cb").as("dst"))
-    // materialize the symmetric edge list ONCE — every iteration joins
-    // against it, and without this the full upstream DAG (LSH explode +
-    // self-join + verify) would re-execute per iteration. LAZY checkpoint:
-    // it is first computed (and stored) inside the labels-init job below,
-    // saving one full blocking job per run.
-    val sym = enc.union(enc.select(col("dst").as("src"), col("src").as("dst")))
+    // canonical oriented edge set (u > v), self-loops dropped; the initial
+    // distinct bounds the first round and makes edgeStats a set invariant.
+    // LAZY checkpoint: the stats agg below materializes it (and cuts the
+    // upstream LSH/verify lineage) in a single job.
+    var e = enc.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
       .localCheckpoint(eager = false)
-
-    // iteration 0 fused into initialization: label = min(self, neighbors)
-    var labels = sym.groupBy("src")
-      .agg(min("dst").as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint()
+    var stats = edgeStats(e)
 
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      // min label among neighbors
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("label") =!= least(col("label"), coalesce(col("nbr_label"), col("label"))))
-            .cast("long").as("chg"))
+    var converged = false
+    while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      // lazy checkpoint: the convergence agg below both materializes the
-      // iteration AND cuts its lineage in a single job
-      val materialized = next.localCheckpoint(eager = false)
-      // coalesce: sum over an EMPTY label set is null (duplicate-free corpus
-      // → no edges) — that must read as converged, not crash
-      changed = materialized.agg(coalesce(sum("chg"), lit(0L))).first().getLong(0)
-      labels = materialized.select("id", "label")
+      // lazy checkpoint: the fixpoint agg below both materializes the round
+      // AND cuts its lineage in one job
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val nextStats = edgeStats(next)
+      converged = nextStats == stats
+      stats = nextStats
+      e = next
       iter += 1
       System.err.println(
-        f"[union-find] iter $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        f"[union-find] round $iter edges=${stats._1} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
     }
-    require(changed == 0, s"union-find did not converge within $maxIters iterations")
+    require(converged, s"union-find did not converge within $maxIters rounds")
+
+    // fixpoint edge set is a star forest (child u → component-min root v):
+    // label every node that appeared in the input; roots label themselves
+    val nodes = enc.select(col("src").as("id"))
+      .union(enc.select(col("dst").as("id"))).distinct()
+    val labels = nodes
+      .join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
 
     if (alreadyNumeric) labels.withColumnRenamed("label", "cluster_id")
     else labels

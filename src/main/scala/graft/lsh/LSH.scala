@@ -55,12 +55,20 @@ object LSH {
     * @param saltFactor    salt partitions for hot buckets
     * @param maxBucketSize buckets larger than this are dropped entirely
     *                      (boilerplate black holes); the drop is logged
+    * @param prune         applied to each path's raw pair stream BEFORE the
+    *                      cross-band distinct — the hook for cheap pair
+    *                      filters (e.g. SimHash Hamming) that shrink both
+    *                      the row count and the byte width of the distinct
+    *                      shuffle. Must keep `<id>_a`/`<id>_b` and must only
+    *                      add pair-functional columns (same value for every
+    *                      band copy of a pair), or distinct semantics break.
     */
   def candidatePairs(exploded: DataFrame, idCol: String,
                      hotThreshold: Int = 200,
                      saltFactor: Int = 16,
                      maxBucketSize: Int = 100000,
-                     carry: Seq[String] = Nil): DataFrame = {
+                     carry: Seq[String] = Nil,
+                     prune: DataFrame => DataFrame = identity): DataFrame = {
     val bucketKey = Seq("band", "band_hash")
     // only COLLIDING buckets matter (singletons yield no pairs) — filtering
     // size-1 buckets out before the join keeps this frame small (collisions
@@ -94,10 +102,10 @@ object LSH {
     // cold path: plain within-bucket self-join; AQE handles residual skew
     val coldPairs = {
       val (l, r) = sides(tagged.filter(col("bucket_n") <= hotThreshold), Nil)
-      l.join(r,
+      prune(l.join(r,
           col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
             col(idCol + "_a") < col(idCol + "_b"))
-        .select(outCols: _*)
+        .select(outCols: _*))
     }
 
     // hot path: right side keyed by its own salt g = hash(id) % s; left side
@@ -113,10 +121,10 @@ object LSH {
           bucketKey.map(c => col(c).as(c + "_la")) :+ col("j"): _*)
       val r = hot.select((idCol +: carry).map(c => col(c).as(c + "_b")) ++
         bucketKey.map(c => col(c).as(c + "_rb")) :+ col("salt"): _*)
-      l.join(r,
+      prune(l.join(r,
           col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
             col("j") === col("salt") && col(idCol + "_a") < col(idCol + "_b"))
-        .select(outCols: _*)
+        .select(outCols: _*))
     }
 
     // distinct: the same pair collides in several bands. Eagerly materialize

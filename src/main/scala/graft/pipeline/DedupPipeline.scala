@@ -15,7 +15,12 @@ import graft.lsh.LSH
   */
 case class DedupConfig(
     shingleK: Int = 3,
-    numPerms: Int = Fingerprints.NumPerms,
+    // exactly the slots banding consumes (21 bands x 2 rows): computing more
+    // permutations than the band matrix reads is pure waste in the signature
+    // hot stage (verify uses exact shingles, never the minhash). Raise this
+    // deliberately if persisted signature state must support denser
+    // re-banding later without re-fingerprinting.
+    numPerms: Int = Fingerprints.DefaultBands * Fingerprints.DefaultRowsPerBand,
     bands: Int = Fingerprints.DefaultBands,
     rowsPerBand: Int = Fingerprints.DefaultRowsPerBand,
     maxShingles: Int = 8192,
@@ -89,18 +94,22 @@ object DedupPipeline {
       lit(cfg.bands).as("band"),
       LSH.prefixBandHash(col("shingles"), cfg.prefixBandShingles).as("band_hash"))
     val exploded = minhashBands.unionByName(prefixBand)
-    val pairs = LSH.candidatePairs(exploded, "id",
+    // cheap prefilter pushed INSIDE pair generation: 64-bit SimHash Hamming
+    // (reference PHash::is_similar, processing/types.rs:47-58) runs on each
+    // bucket self-join's output BEFORE the cross-band distinct, so the pair
+    // shuffle carries (id_a, id_b, hamming) = 24 bytes instead of two full
+    // simhashes, and non-dup band collisions never enter the shuffle at all.
+    // hamming is a pure function of the pair, so distinct semantics are
+    // unchanged.
+    val withHamming = LSH.candidatePairs(exploded, "id",
       hotThreshold = cfg.hotBucketThreshold,
       saltFactor = cfg.saltFactor,
       maxBucketSize = cfg.maxBucketSize,
-      carry = Seq("simhash"))
-
-    // cheap prefilter: 64-bit SimHash Hamming (reference PHash::is_similar,
-    // processing/types.rs:47-58) before touching shingle arrays
-    val withHamming = pairs
-      .withColumn("hamming", Fingerprints.hamming(col("simhash_a"), col("simhash_b")))
-      .filter(col("hamming") <= cfg.simhashMaxHamming)
-      .select("id_a", "id_b", "hamming")
+      carry = Seq("simhash"),
+      prune = df => df
+        .withColumn("hamming", Fingerprints.hamming(col("simhash_a"), col("simhash_b")))
+        .filter(col("hamming") <= cfg.simhashMaxHamming)
+        .select("id_a", "id_b", "hamming"))
 
     // verify, tier 1 (cheap, signature-only): a pair is a near-dup edge if —
     //  - exact shingle Jaccard ≥ threshold (the MinHash/enhanced-hash path), or
@@ -126,14 +135,22 @@ object DedupPipeline {
     // never travel through the band explode / self-join / tier-1 verify.
     val ambiguous = scored
       .filter(!cheapAccept && col("containment") >= cfg.containmentGate)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b", "containment")
     val saAccepted = texts match {
       case Some(t) =>
+        // LEFT joins: on the resume path callers may legitimately pass only
+        // a delta of texts (runEpoch's anti-join) while stateSigs span all
+        // epochs. A pair with a missing side must NOT be silently dropped —
+        // it falls back to the shingle-containment decision (the same rule
+        // as the texts=None path), so resumed clustering converges to the
+        // single-shot result instead of silently losing containment edges.
         ambiguous
-          .join(t.select(col("id").as("id_a"), col("norm_text").as("nt_a")), "id_a")
-          .join(t.select(col("id").as("id_b"), col("norm_text").as("nt_b")), "id_b")
-          .withColumn("sa_cont", Fingerprints.saContainment(col("nt_a"), col("nt_b")))
-          .filter(col("sa_cont") >= cfg.containmentThreshold)
+          .join(t.select(col("id").as("id_a"), col("norm_text").as("nt_a")), Seq("id_a"), "left")
+          .join(t.select(col("id").as("id_b"), col("norm_text").as("nt_b")), Seq("id_b"), "left")
+          .withColumn("sa_cont",
+            when(col("nt_a").isNotNull && col("nt_b").isNotNull,
+              Fingerprints.saContainment(col("nt_a"), col("nt_b"))))
+          .filter(coalesce(col("sa_cont"), col("containment")) >= cfg.containmentThreshold)
           .select("id_a", "id_b")
       case None => // signature-only fallback: shingle containment decides
         scored.filter(!cheapAccept && col("containment") >= cfg.containmentThreshold)

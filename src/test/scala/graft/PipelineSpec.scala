@@ -70,11 +70,27 @@ class PipelineSpec extends SparkTestBase {
     assert(Set("x", "y").map(m) == Set("x"))
   }
 
-  test("union-find handles a long path (worst-case diameter) within iteration bound") {
-    val n = 40
+  test("union-find: 100-link chain (worst-case diameter) converges in O(log n) rounds") {
+    // a truncation/edit chain A~B~C~… is realistic web-dedup topology; the
+    // O(diameter) propagation this replaced would need >100 rounds here.
+    // log2(101) ≈ 6.7 — star contraction must finish within ~2x that.
+    val n = 100
     val edges = (0 until n).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("a", "b")
-    val uf = Clustering.unionFind(spark, edges, maxIters = 60)
+    val uf = Clustering.unionFind(spark, edges, maxIters = 14)
+    assert(uf.count() == n + 1)
     assert(uf.select("cluster_id").distinct().count() == 1)
+    assert(uf.filter($"cluster_id" =!= "v000").count() == 0)
+  }
+
+  test("union-find: binary-tree and dense-clique components resolve to their min") {
+    // tree: children 2i+1, 2i+2 of i for i<15 (31 nodes); clique on 5 nodes
+    val tree = (0 until 15).flatMap(i => Seq((i.toLong, 2L * i + 1), (i.toLong, 2L * i + 2)))
+    val clique = for (i <- 100 to 104; j <- (i + 1) to 104) yield (i.toLong, j.toLong)
+    val edges = (tree ++ clique).toDF("a", "b")
+    val uf = Clustering.unionFind(spark, edges)
+    val m = uf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 31L).forall(m(_) == 0L))
+    assert((100L to 104L).forall(m(_) == 100L))
   }
 
   test("duplicate-free corpus: every doc is its own unique singleton cluster") {

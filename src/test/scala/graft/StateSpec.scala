@@ -92,6 +92,27 @@ class StateSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("clusterEpoch with DELTA-ONLY pages still links cross-epoch containment pairs") {
+    // epoch 2 passes only the never-seen rows (what runEpoch's anti-join
+    // invites callers to do): texts for epoch-1 docs are then absent from
+    // the suffix-array side input, and those pairs must fall back to the
+    // shingle-containment decision instead of being silently dropped.
+    import graft.pipeline.DedupPipeline
+    val dir = tempDir()
+    val all = PagesGen.pages(spark, 8L, seed = 11L, tokensPerDoc = 120).toDF().cache()
+    val half = all.filter(xxhash64($"url") % 2 === 0)
+    val delta = all.filter(xxhash64($"url") % 2 =!= 0)
+    Checkpoints.clusterEpoch(spark, half, "url", "text", dir)
+    Checkpoints.clusterEpoch(spark, delta, "url", "text", dir)
+
+    val incr = spark.read.parquet(Checkpoints.clustersPath(dir))
+      .select("id", "cluster_id").as[(String, String)].collect().toMap
+    val oneShot = DedupPipeline.run(spark, all, "url", "text", DedupConfig())
+      .select("id", "cluster_id").as[(String, String)].collect().toMap
+    assert(incr == oneShot,
+      "delta-only resume must converge to single-shot clustering via the containment fallback")
+  }
+
   test("metrics table records per-partition lineage per epoch") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 6L, seed = 4L, tokensPerDoc = 80).toDF()
