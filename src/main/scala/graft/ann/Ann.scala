@@ -87,29 +87,50 @@ object Ann {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** (id, band, band_hash) banding of hyperplane signatures — ids ONLY:
+    * vectors must never ride through a band explode or pair shuffle.
+    */
+  private def bandedSignatures(vecs: DataFrame, idCol: String, vecCol: String,
+                               nPlanes: Int, bands: Int, seed: Long): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    require(nPlanes <= 64, "at most 64 hyperplanes per signature")
+    val rowsPerBand = nPlanes / bands
+    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
+    vecs.select(col(idCol).as("id"),
+        hyperplaneSignature(col(vecCol), nPlanes, seed).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash", expr(s"shiftright(sig, band * $rowsPerBand) & $mask"))
+      .select("id", "band", "band_hash")
+  }
+
+  /** Per-row (id → quantized vector, norm) side table for post-pair scoring. */
+  private def scoringTable(vecs: DataFrame, idCol: String, vecCol: String,
+                           idAs: String, qvAs: String, nAs: String): DataFrame =
+    vecs.select(col(idCol).as(idAs), quantize(col(vecCol)).as(qvAs))
+      .withColumn(nAs, qnorm(col(qvAs)))
+
   /** LSH-bucketed ANN: candidate pairs share a hyperplane-signature band;
-    * exact cosine is computed only within buckets. Same band/bucket shape
-    * as text LSH → reuses graft.lsh.LSH for pair generation at scale.
+    * exact cosine is computed only within buckets.
+    *
+    * Scale shape (the same pruning `DedupPipeline.nearEdges` uses for
+    * shingles): the band explode, self-join and cross-band `distinct` all
+    * run on bare (id, nbr_id) — the quantized vectors re-join ONLY for
+    * scoring the surviving distinct pairs, so no array column ever enters
+    * a pair shuffle.
     */
   def lshKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val rowsPerBand = nPlanes / bands
-    val mask = (1L << rowsPerBand) - 1
-    val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
-      hyperplaneSignature(col(vecCol), nPlanes, seed).as("sig"))
-    val exploded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_hash",
-        expr(s"shiftright(sig, band * $rowsPerBand) & $mask"))
-    val l = exploded.select(col("id"), col("qv"), col("band"), col("band_hash"))
-    val r = exploded.select(col("id").as("nbr_id"), col("qv").as("qw"),
+    val exploded = bandedSignatures(vecs, idCol, vecCol, nPlanes, bands, seed)
+    val r = exploded.select(col("id").as("nbr_id"),
       col("band").as("band_r"), col("band_hash").as("band_hash_r"))
-    val pairs = l.join(r,
+    val pairs = exploded.join(r,
         col("band") === col("band_r") && col("band_hash") === col("band_hash_r") &&
           col("id") =!= col("nbr_id"))
-      .select("id", "nbr_id", "qv", "qw").distinct()
-    val scored = pairs
-      .withColumn("cos", pairCos(qnorm(col("qv")), qnorm(col("qw")), qdot(col("qv"), col("qw"))))
+      .select("id", "nbr_id").distinct()
+    val qa = scoringTable(vecs, idCol, vecCol, "id", "qv", "nl")
+    val qb = scoringTable(vecs, idCol, vecCol, "nbr_id", "qw", "nr")
+    val scored = pairs.join(qa, "id").join(qb, "nbr_id")
+      .withColumn("cos", pairCos(col("nl"), col("nr"), qdot(col("qv"), col("qw"))))
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -126,12 +147,24 @@ object Ann {
     * exact cosine runs only within those lists. Centroids are broadcast —
     * nCells is small by construction — so building lists and probing are
     * each ONE narrow shuffle on cell id.
+    *
+    * Scale knobs: `nCells <= 0` (the default) auto-sizes to ≈√n, which
+    * balances assignment cost (n·√n dot products, shuffle-free) against
+    * probe cost (n·nProbe·(n/√n) comparisons) — a FIXED cell count would
+    * leave inverted lists of n/const and make the probe join Θ(n²) at any
+    * corpus size. Lists are additionally hard-capped at `maxListSize`
+    * members (deterministic hash-ranked); overflow is dropped with an
+    * explicit logged count, mirroring `LSH.candidatePairs.maxBucketSize` —
+    * never a silent quadratic blowup on a skewed cell.
     */
   def ivfKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+             nCells: Int = 0, nProbe: Int = 4, maxListSize: Int = 100000): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", qnorm(col("qv")))
-    val cents = base.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(4, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
+    val cents = base.orderBy(xxhash64(col("id")), col("id")).limit(cells)
       .select(col("id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
 
     val cellScores = base.crossJoin(broadcast(cents))
@@ -139,9 +172,24 @@ object Ann {
     val byCell = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id").asc)
     val ranked = cellScores.withColumn("crank", row_number().over(byCell))
 
-    val lists = ranked.filter(col("crank") === 1)
+    val listsAll = ranked.filter(col("crank") === 1)
       .select(col("cent_id").as("cell"), col("id").as("nbr_id"),
         col("qv").as("qw"), col("nrm").as("nr"))
+    // hard cap per inverted list (deterministic hash order, so the kept
+    // subset is reproducible across partitionings); drops are logged
+    val lw = Window.partitionBy("cell")
+      .orderBy(xxhash64(col("nbr_id")), col("nbr_id"))
+    // lazy checkpoint: the drop-count job below materializes the assignment
+    // once; the probe join then reads the checkpointed lists instead of
+    // re-running the n x cells assignment
+    val listsRanked = listsAll.withColumn("lrank", row_number().over(lw))
+      .localCheckpoint(eager = false)
+    val nDropped = listsRanked.filter(col("lrank") > maxListSize).count()
+    if (nDropped > 0)
+      System.err.println(
+        s"[ivf] dropped $nDropped member(s) beyond $maxListSize per inverted list: " +
+          "skewed cells; recall for those members degrades, never task memory")
+    val lists = listsRanked.filter(col("lrank") <= maxListSize).drop("lrank")
     val probes = ranked.filter(col("crank") <= nProbe)
       .select(col("id"), col("qv"), col("nrm").as("nl"), col("cent_id").as("cell"))
 
@@ -155,8 +203,33 @@ object Ann {
       .select("id", "nbr_id", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: unordered pairs above a cosine
-    * threshold (the embedding leg of the dedup suite).
+  /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets — the
+    * SCALE path for the embedding leg of the dedup suite. Candidate pairs
+    * come from `graft.lsh.LSH.candidatePairs` over banded signatures (ids
+    * only — salting defuses hot buckets, mega-buckets are capped with
+    * logged drops, exactly as for text MinHash); vectors re-join for
+    * scoring the distinct survivors. Recall is the banding collision
+    * probability (1-(1-p^r)^b with p = 1-θ/π), so defaults (32 planes,
+    * 8 bands × 4 bits) target HIGH thresholds (≥0.8 → recall ≥0.98); use
+    * [[embeddingNearDups]] as the exact oracle at test scale.
+    */
+  def embeddingNearDupsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nPlanes: Int = 32, bands: Int = 8,
+                           seed: Long = 42L): DataFrame = {
+    val exploded = bandedSignatures(vecs, idCol, vecCol, nPlanes, bands, seed)
+    val pairs = graft.lsh.LSH.candidatePairs(exploded, "id")
+    val qa = scoringTable(vecs, idCol, vecCol, "id_a", "qv", "na")
+    val qb = scoringTable(vecs, idCol, vecCol, "id_b", "qw", "nb")
+    pairs.join(qa, "id_a").join(qb, "id_b")
+      .withColumn("cos", pairCos(col("na"), col("nb"), qdot(col("qv"), col("qw"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs: unordered pairs
+    * above a cosine threshold. O(n²) BY DESIGN — this is the correctness
+    * baseline/oracle that [[embeddingNearDupsLsh]] is validated against at
+    * test scale; it must never be the production path at corpus scale.
     */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {

@@ -64,6 +64,61 @@ class AnnSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  /** 10x corpus for the scale-path recall gates (VERDICT r1 done-criterion). */
+  private lazy val vecs10x = {
+    val rows = for (i <- 0 until 600) yield {
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 1.0f else 0.05f)
+      val jitter = Array.tabulate(8) { d =>
+        val h = graft.fingerprint.HashKernels.avalanche(i * 131L + d)
+        (java.lang.Long.remainderUnsigned(h, 100).toInt - 50) / 2000.0f
+      }
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b }.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("lsh knn recall vs brute force >= 0.95 at 10x corpus") {
+    val bf = Ann.bruteForceKnn(vecs10x, vecs10x, "vec_id", "embedding", k = 3)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshKnn(vecs10x, "vec_id", "embedding", k = 3)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    info(s"lsh-vs-bf recall @10x = $recall")
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("ivf knn with auto sqrt(n) cells: recall >= 0.95 at 10x corpus") {
+    val bf = Ann.bruteForceKnn(vecs10x, vecs10x, "vec_id", "embedding", k = 3)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfKnn(vecs10x, "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    info(s"ivf-vs-bf recall @10x (auto cells) = $recall")
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("ivf maxListSize cap bounds inverted lists (recall degrades, never blows up)") {
+    val capped = Ann.ivfKnn(vecs10x, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 2, maxListSize = 50)
+    // every surviving list has <= 50 members -> each id sees <= 100 candidates
+    assert(capped.groupBy("id").count().agg(max("count")).first().getLong(0) <= 3)
+    assert(capped.count() > 0)
+  }
+
+  test("bucketed near-dups recall >= 0.95 vs exact at high threshold, 10x corpus") {
+    val exact = Ann.embeddingNearDups(vecs10x, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.embeddingNearDupsLsh(vecs10x, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    val precisionViolations = (lsh diff exact).size
+    info(s"bucketed-neardup recall = $recall over ${exact.size} exact pairs")
+    assert(recall >= 0.95, s"recall $recall")
+    assert(precisionViolations == 0, "bucketed pairs must be exact-cosine verified")
+  }
+
   test("embedding near-dups: identical vectors score 1.0") {
     val dup = Seq((100L, Seq(1f, 2f, 3f, 4f)), (101L, Seq(1f, 2f, 3f, 4f)),
       (102L, Seq(-1f, 2f, -3f, 4f))).toDF("vec_id", "embedding")
