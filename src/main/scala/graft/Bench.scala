@@ -31,7 +31,8 @@ object Bench {
   }
 
   /** numBase docs for the generated-pages pipeline, scaled by the SF dir
-    * name (sf0.001 → 40 base; sf0.1 → 4,000 base = 40k pages).
+    * name (sf0.1 → 4,000 base = 40k pages; the 100-base floor makes
+    * sf0.001 → 100 base = 1,000 pages, the smallest meaningful corpus).
     */
   def numBaseFor(sfDir: String): Long = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
@@ -45,15 +46,41 @@ object Bench {
     dir
   }
 
-  /** The timed job: read the pages table, dedup, count clusters. */
-  def runPipelineOn(spark: SparkSession, path: String): Long =
-    DedupPipeline.run(spark, spark.read.parquet(path), "url", "text", DedupConfig()).count()
+  /** The timed job — the full north-star path: read the pages table,
+    * EXTRACT text from the html bytes (ExtractText, the byte-identical
+    * fidelity contract), dedup, count clusters. Extraction is inside the
+    * timed region: a 100 TB run pays it on every row, so the headline
+    * docs/s must too.
+    */
+  def runPipelineOn(spark: SparkSession, path: String,
+                    cfg: DedupConfig = DedupConfig()): Long = {
+    import org.apache.spark.sql.functions.col
+    val pages = spark.read.parquet(path)
+      .select(col("url"),
+        graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
+    DedupPipeline.run(spark, pages, "url", "text", cfg).count()
+  }
+
+  /** Corpus-wide extraction-fidelity gate (north_star: byte-identical
+    * extracted text per url): counts rows where extract(html) != text.
+    */
+  def extractionMismatches(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(graft.fingerprint.Fingerprints.extractText(col("html")) =!= col("text"))
+      .count()
+  }
 
   /** Drop every persisted/checkpointed RDD left by a pipeline run.
     * localCheckpoint blocks are normally reclaimed asynchronously by the
     * ContextCleaner only after driver GC — in a long-lived session that
     * backlog measurably degrades subsequent runs, so benchmarks flush it
     * deterministically between runs.
+    *
+    * CALLER CONTRACT: every DataFrame returned by a prior pipeline run must
+    * be fully consumed before calling this — locally-checkpointed RDDs have
+    * truncated lineage and CANNOT be recomputed once unpersisted, so a
+    * still-alive result frame becomes unreadable afterwards.
     */
   def dropPipelineState(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -83,6 +110,11 @@ object Bench {
     val tmp = Files.createTempDirectory("graft-bench").toString
     val warmPath = materializePages(spark, math.max(50L, numBase / 20), s"$tmp/warm")
     val fullPath = materializePages(spark, numBase, s"$tmp/full")
+    // extraction-fidelity gate (untimed): the html → text invariant must
+    // hold corpus-wide before the extracted-text pipeline numbers count
+    val nBadExtract = extractionMismatches(spark, fullPath)
+    require(nBadExtract == 0, s"$nBadExtract rows violate extract(html)==text")
+
     runPipelineOn(spark, warmPath) // warmup (JIT + codegen)
     dropPipelineState(spark)
     val t0 = System.nanoTime()
@@ -90,7 +122,15 @@ object Bench {
     val pipeSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nPages / pipeSec
 
-    val all = results :+ ("dedup_pipeline_e2e" -> pipeSec)
+    // the X4 fast path (content_hash + SimHash only) — the speed/quality
+    // dial; reported alongside so the trade is visible per round
+    dropPipelineState(spark)
+    val tf = System.nanoTime()
+    runPipelineOn(spark, fullPath, DedupConfig(fastPath = true))
+    val fastSec = (System.nanoTime() - tf) / 1e9
+
+    val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
+      ("dedup_pipeline_fast" -> fastSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"

@@ -35,9 +35,25 @@ case class DedupConfig(
     maxBucketSize: Int = 100000,
     maxUnionFindIters: Int = 25,
     prefixBandShingles: Int = 8,
-    forceRescan: Boolean = false) {
+    forceRescan: Boolean = false,
+    // the reference's ultra-fast mode (`ultra_fast_phash`,
+    // src/processing/core.rs:158-199): skip shingles/MinHash entirely and
+    // cluster on content_hash + SimHash alone — the cheap speed/quality
+    // dial a 100 TB operator reaches for first. Banding is fastPathBands
+    // equal slices of the 64-bit SimHash; by pigeonhole, any pair within
+    // Hamming fastPathBands-1 is GUARANTEED to collide in some band, so
+    // fastPathMaxHamming = fastPathBands-1 makes the fast tier exact w.r.t.
+    // its own (narrower) similarity predicate. Catches exact copies,
+    // whitespace/case noise and tiny edits; misses paraphrase-level and
+    // containment dups by design.
+    fastPath: Boolean = false,
+    fastPathBands: Int = 4,
+    fastPathMaxHamming: Int = 3) {
   require(bands * rowsPerBand <= numPerms,
     s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
+  require(64 % fastPathBands == 0, "fastPathBands must divide 64")
+  require(fastPathMaxHamming < fastPathBands,
+    "fastPathMaxHamming >= fastPathBands loses the pigeonhole collision guarantee")
 }
 
 /** End-to-end near-duplicate detection + clustering over a pages-shaped
@@ -55,6 +71,17 @@ object DedupPipeline {
     */
   def signatures(pages: DataFrame, idCol: String, textCol: String,
                  cfg: DedupConfig, carry: Seq[String] = Nil): DataFrame = {
+    // fast path: content_hash + token-level SimHash only; the shingle loop
+    // and the minhash permutation matrix never run. Schema stays identical
+    // (empty arrays) so persisted state and the cluster tail are mode-blind.
+    if (cfg.fastPath)
+      return pages.select(
+        (col(idCol).as("id") +: carry.map(col)) ++ Seq(
+          Fingerprints.contentHash(col(textCol)).as("content_hash"),
+          Fingerprints.simhash(col(textCol)).as("simhash"),
+          array().cast("array<long>").as("shingles"),
+          array().cast("array<long>").as("minhash"),
+          lit(0).as("n_shingles")): _*)
     // fused one-pass kernel (DocSignature): byte-compatible with the
     // combinator path but ~10× cheaper — the hot stage at 100 TB
     pages.select(
@@ -161,6 +188,32 @@ object DedupPipeline {
       .select(col("id_a").as("a"), col("id_b").as("b"))
   }
 
+  /** Fast-path candidate pairs → edges: band the 64-bit SimHash into
+    * `fastPathBands` equal slices (pigeonhole: Hamming ≤ bands-1 ⇒ some
+    * band matches exactly), pair within buckets via the same salted/capped
+    * machinery as the full path, accept at `fastPathMaxHamming`. No
+    * shingles, no Jaccard, no suffix array — one banding shuffle + one
+    * pair distinct.
+    */
+  def nearEdgesFast(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val width = 64 / cfg.fastPathBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val exploded = sigs.select(col("id"), col("simhash"))
+      .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
+      .withColumn("band_hash", expr(s"shiftright(simhash, band * $width) & $mask"))
+      .select("id", "simhash", "band", "band_hash")
+    LSH.candidatePairs(exploded, "id",
+      hotThreshold = cfg.hotBucketThreshold,
+      saltFactor = cfg.saltFactor,
+      maxBucketSize = cfg.maxBucketSize,
+      carry = Seq("simhash"),
+      prune = df => df
+        .filter(Fingerprints.hamming(col("simhash_a"), col("simhash_b"))
+          <= cfg.fastPathMaxHamming)
+        .select("id_a", "id_b"))
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+  }
+
   /** Normalized-text side table for the suffix-array verify pass: capped at
     * `saMaxChars` (tiered-cost analog of the reference's size-tiered
     * downscale, `file_processing.rs:134-156`).
@@ -226,7 +279,9 @@ object DedupPipeline {
       .cache() // reused by band explode (×2 paths) + verify shingle re-join
 
     val coded = clusterFromParts(spark, slim, repSigs,
-      texts = Some(normTexts(nearPages, "id", "__text", cfg)), cfg, orderCols)
+      texts = if (cfg.fastPath) None
+              else Some(normTexts(nearPages, "id", "__text", cfg)),
+      cfg, orderCols)
     val result = decode(coded, dict)
     repSigs.unpersist()
     nearPages.unpersist()
@@ -297,7 +352,8 @@ object DedupPipeline {
 
     val exact = Clustering.exactEdges(slim, "id", "content_hash")
     val near = tick("near edges (LSH+verify)") {
-      nearEdges(spark, repSigs, cfg, texts).localCheckpoint(false)
+      (if (cfg.fastPath) nearEdgesFast(spark, repSigs, cfg)
+       else nearEdges(spark, repSigs, cfg, texts)).localCheckpoint(false)
     }
     val edges = exact.union(near)
 

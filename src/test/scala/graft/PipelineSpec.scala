@@ -114,6 +114,28 @@ class PipelineSpec extends SparkTestBase {
     assert(c.select("kind").distinct().as[String].collect().toSeq == Seq("exact"))
   }
 
+  test("fastPath (X4): clusters exact_copy + ws_noise, never merges unrelated") {
+    val fast = DedupPipeline.run(spark, pages, "url", "text",
+      DedupConfig(fastPath = true)).cache()
+    assert(fast.count() == numBase * PagesGen.variantKinds.length)
+    val assign = fast.select($"id", $"cluster_id")
+    def recallOf(kinds: Seq[String]): Double = {
+      val j = truth.filter($"kind".isin(kinds: _*))
+        .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+        .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+      j.filter($"ca" === $"cb").count().toDouble / j.count()
+    }
+    // the fast tier's contract: identity + surface-noise dups are caught
+    assert(recallOf(Seq("exact_copy", "ws_noise")) == 1.0)
+    // precision guard still holds in fast mode
+    val falseMerges = truth.filter(!$"expect_dup")
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+      .filter($"ca" === $"cb").count()
+    assert(falseMerges == 0)
+    fast.unpersist()
+  }
+
   test("truncate_60 containment pairs are caught (suffix/containment pass)") {
     val assign = clusters.select($"id", $"cluster_id")
     val t = truth.filter($"kind" === "truncate_60")
