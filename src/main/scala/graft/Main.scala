@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pages.PagesIO
+import graft.pipeline.DedupConfig
+import graft.state.Checkpoints
+
+/** The user-facing spark-submit entry — the analog of the reference's CLI
+  * (image-deduper `src/cli.rs:18-106`, `image-deduper-cli/src/main.rs:1`):
+  * parse args → merge into a validated [[DedupConfig]] → run one
+  * incremental epoch (discover/fingerprint/cluster/plan) over the given
+  * pages table, optionally execute the planned actions.
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar \
+  *   --pages hdfs:///data/pages --state s3a://bucket/dedup-state \
+  *   --action symlink --execute --backup-dir s3a://bucket/backup
+  * }}}
+  *
+  * `--pages` accepts a path (parquet) or a catalog table name (Iceberg) —
+  * the [[graft.pages.PagesIO]] seam. `--state` is any Hadoop FS URI.
+  */
+object Main {
+
+  case class CliArgs(
+      pages: String = "",
+      state: String = "",
+      idCol: String = "url",
+      textCol: String = "text",
+      action: String = "symlink",
+      execute: Boolean = false,
+      backupDir: Option[String] = None,
+      fastPath: Boolean = false,
+      forceRescan: Boolean = false,
+      jaccardThreshold: Option[Double] = None,
+      maxHamming: Option[Int] = None)
+
+  /** Pure, testable arg parser (reference `cli.rs` parse → validate).
+    * Left(message) on any unknown flag, missing value or missing required.
+    */
+  def parse(args: Seq[String]): Either[String, CliArgs] = {
+    def loop(rest: List[String], acc: CliArgs): Either[String, CliArgs] = rest match {
+      case Nil => Right(acc)
+      case "--pages" :: v :: t       => loop(t, acc.copy(pages = v))
+      case "--state" :: v :: t       => loop(t, acc.copy(state = v))
+      case "--id-col" :: v :: t      => loop(t, acc.copy(idCol = v))
+      case "--text-col" :: v :: t    => loop(t, acc.copy(textCol = v))
+      case "--action" :: v :: t      => loop(t, acc.copy(action = v))
+      case "--backup-dir" :: v :: t  => loop(t, acc.copy(backupDir = Some(v)))
+      case "--jaccard" :: v :: t     =>
+        v.toDoubleOption.toRight(s"--jaccard: not a number: $v")
+          .flatMap(d => loop(t, acc.copy(jaccardThreshold = Some(d))))
+      case "--max-hamming" :: v :: t =>
+        v.toIntOption.toRight(s"--max-hamming: not an int: $v")
+          .flatMap(h => loop(t, acc.copy(maxHamming = Some(h))))
+      case "--execute" :: t          => loop(t, acc.copy(execute = true))
+      case "--fast-path" :: t        => loop(t, acc.copy(fastPath = true))
+      case "--force-rescan" :: t     => loop(t, acc.copy(forceRescan = true))
+      case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
+      case other :: _                => Left(s"unexpected argument: $other")
+    }
+    loop(args.toList, CliArgs()).flatMap(validate)
+  }
+
+  private def validate(a: CliArgs): Either[String, CliArgs] =
+    if (a.pages.isEmpty) Left("--pages <path-or-table> is required")
+    else if (a.state.isEmpty) Left("--state <dir-uri> is required")
+    else if (!graft.actions.Actions.ValidActions.contains(a.action))
+      Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
+    else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
+      Left("--jaccard must be in (0, 1]")
+    else Right(a)
+
+  /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
+  def toConfig(a: CliArgs): DedupConfig = {
+    val base = DedupConfig(fastPath = a.fastPath, forceRescan = a.forceRescan)
+    val withJ = a.jaccardThreshold.fold(base)(j => base.copy(jaccardThreshold = j))
+    a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
+  }
+
+  def main(args: Array[String]): Unit = parse(args.toIndexedSeq) match {
+    case Left(err) =>
+      System.err.println(s"graft: $err")
+      System.err.println(
+        "usage: graft.Main --pages <path-or-table> --state <dir-uri> " +
+          "[--id-col url] [--text-col text] [--action move|delete|symlink] " +
+          "[--execute] [--backup-dir <uri>] [--fast-path] [--force-rescan] " +
+          "[--jaccard <0..1>] [--max-hamming <int>]")
+      sys.exit(2)
+    case Right(a) =>
+      // spark-submit provides the master (spark.master system property);
+      // fall back to local[n] for direct-JVM dev runs
+      val builder = SparkSession.builder()
+        .appName("graft-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+      val spark = (
+        if (sys.props.contains("spark.master")) builder
+        else {
+          val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+          builder.master(s"local[$cores]")
+            .config("spark.sql.shuffle.partitions", cores)
+            .config("spark.ui.enabled", "false")
+        }).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val cfg = toConfig(a)
+      val pages = PagesIO.read(spark, a.pages)
+      val (nNew, nClusters) =
+        Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action)
+      val (nExec, nFail) =
+        if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir)
+        else (0L, 0L)
+      println(
+        s"""{"new_signatures":$nNew,"clusters":$nClusters,""" +
+          s""""executed":$nExec,"failed":$nFail,"state":"${a.state}"}""")
+      spark.stop()
+  }
+}

@@ -154,6 +154,22 @@ object SparkEntry {
         .select("id", "original_id", "action", "dry_run")
     }),
 
+    // stage 7 executor: fill ActionResult success/error against a live-id
+    // universe (validate-exists; reference types.rs:99-114, executor stub
+    // action.rs:1). Universe drops every 7th doc to exercise the error path.
+    "q_actions_execute" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val clusters = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id").as("id"), col("source").as("cluster_id"),
+          (col("rn") === 1).as("is_representative"))
+      val plan = Actions.plan(clusters, "delete", dryRun = false)
+      val universe = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 =!= 3).select(col("doc_id").as("id"))
+      Actions.execute(plan, universe)
+    }),
+
     // suffix-array substring pass kernel (north_rule): prefix-in-document
     // containment decided by generalized-suffix-array LCS, cross-checked
     // against DuckDB's exact substring `contains`
@@ -400,6 +416,24 @@ object SparkEntry {
         |SELECT d.id, r.id AS original_id, 'symlink' AS action, true AS dry_run
         |FROM c d JOIN c r ON d.cluster_id = r.cluster_id AND r.is_rep
         |WHERE NOT d.is_rep""".stripMargin,
+
+    "q_actions_execute" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, source AS cluster_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_rep
+        |  FROM documents),
+        |p AS (SELECT d.id, r.id AS original_id
+        |      FROM c d JOIN c r ON d.cluster_id = r.cluster_id AND r.is_rep
+        |      WHERE NOT d.is_rep),
+        |u AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 <> 3)
+        |SELECT p.id, p.original_id, 'delete' AS action, false AS dry_run,
+        |       (ud.id IS NOT NULL AND uo.id IS NOT NULL) AS success,
+        |       CASE WHEN ud.id IS NULL THEN 'missing_id'
+        |            WHEN uo.id IS NULL THEN 'missing_original'
+        |            ELSE NULL END AS error
+        |FROM p LEFT JOIN u ud ON p.id = ud.id
+        |       LEFT JOIN u uo ON p.original_id = uo.id""".stripMargin,
 
     "q_substring_containment" ->
       """WITH n AS (

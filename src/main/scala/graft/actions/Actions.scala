@@ -2,6 +2,7 @@ package graft.actions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Action planning over a clusters table — the reference's stage 7, which
   * is specified by config/types/CLI but stubbed in code (image-deduper
@@ -48,4 +49,51 @@ object Actions {
         lit(true).as("success"),
         lit(null).cast("string").as("error"))
   }
+
+  /** Execute a planned actions table against a universe of live ids — the
+    * reference's missing stage 7 executor (ActionResult fill,
+    * `types.rs:99-114`; validate-before-act, `safety.rs` intent). Purely
+    * declarative: validates that both the duplicate and its original still
+    * exist (F6 validate-exists), fills `success`/`error`, and flips
+    * `dry_run` off. Row-level side effects (tombstones, backups) are
+    * applied by the state layer from this result table —
+    * `Checkpoints.executeEpoch`.
+    *
+    * Scale shape: two left joins on id against a 1-column universe —
+    * broadcastable when the plan is small, shuffle-partitioned otherwise;
+    * no row amplification.
+    */
+  def execute(plan: DataFrame, universe: DataFrame): DataFrame = {
+    val u = universe.select(col("id")).distinct()
+    val dupOk = u.withColumn("__dup_ok", lit(true))
+    val origOk = u.select(col("id").as("original_id")).withColumn("__orig_ok", lit(true))
+    plan
+      .select("id", "original_id", "action")
+      .join(dupOk, Seq("id"), "left")
+      .join(origOk, Seq("original_id"), "left")
+      .select(
+        col("id"),
+        col("original_id"),
+        col("action"),
+        lit(false).as("dry_run"),
+        (col("__dup_ok").isNotNull && col("__orig_ok").isNotNull).as("success"),
+        when(col("__dup_ok").isNull, lit("missing_id"))
+          .when(col("__orig_ok").isNull, lit("missing_original"))
+          .otherwise(lit(null).cast("string")).as("error"))
+  }
+
+  /** Rows removed from the live set by successful executed actions: delete
+    * and move vacate the original location; symlink keeps the row (it now
+    * points at its original via the actions table itself).
+    */
+  def tombstones(executed: DataFrame): DataFrame =
+    executed.filter(col("success") && col("action").isin("delete", "move"))
+      .select("id", "original_id", "action")
+
+  /** Apply executed actions to a pages-shaped table: anti-join out the
+    * tombstoned rows. One shuffle (or broadcast) on the id column.
+    */
+  def applyActions(pages: DataFrame, idCol: Column, executed: DataFrame): DataFrame =
+    pages.join(tombstones(executed).select(col("id").as("__rm")),
+      idCol === col("__rm"), "left_anti")
 }

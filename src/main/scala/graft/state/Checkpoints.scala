@@ -1,7 +1,8 @@
 package graft.state
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets.UTF_8
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,11 +31,23 @@ object Checkpoints {
   def metricsPath(stateDir: String) = s"$stateDir/metrics"
   def clustersPath(stateDir: String) = s"$stateDir/clusters"
   def actionsPath(stateDir: String) = s"$stateDir/actions"
+  def executedPath(stateDir: String) = s"$stateDir/executed"
+  def tombstonesPath(stateDir: String) = s"$stateDir/tombstones"
   def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
 
+  /** All state IO goes through the Hadoop FileSystem API so `stateDir` may
+    * be any supported URI (file://, hdfs://, s3a://, …) — java.nio would
+    * silently bind the manifest to the DRIVER'S local disk on a real
+    * cluster while the parquet tables land on the distributed store.
+    */
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p)
   }
 
   def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
@@ -46,7 +59,7 @@ object Checkpoints {
     */
   def runEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
                stateDir: String, cfg: DedupConfig = DedupConfig()): (Long, Long) = {
-    Files.createDirectories(Paths.get(stateDir))
+    { val (fs, p) = fsFor(spark, stateDir); fs.mkdirs(p) }
     val sigPath = signaturesPath(stateDir)
     val qPath = quarantinePath(stateDir)
 
@@ -81,7 +94,7 @@ object Checkpoints {
     // per-partition lineage (north_rule): which partition produced how many
     // signature rows in which epoch — epoch is stamped on every row, so the
     // state table itself carries its commit history (≙ Iceberg snapshot id)
-    val epoch = nextEpoch(stateDir)
+    val epoch = nextEpoch(spark, stateDir)
     val withPart = sigs
       .withColumn("part_id", spark_partition_id())
       .withColumn("epoch", lit(epoch))
@@ -98,7 +111,7 @@ object Checkpoints {
     lineage.write.mode("append").parquet(metricsPath(stateDir))
 
     val nNew = thisEpoch.count()
-    appendManifest(stateDir,
+    appendManifest(spark, stateDir,
       s"""{"epoch":$epoch,"new_signatures":$nNew,"quarantined":$nQuarantined}""")
     (nNew, nQuarantined)
   }
@@ -125,7 +138,7 @@ object Checkpoints {
     graft.actions.Actions.plan(clusters, action, dryRun = true)
       .write.mode("overwrite").parquet(actionsPath(stateDir))
 
-    val epoch = nextEpoch(stateDir) - 1 // runEpoch already appended this epoch
+    val epoch = nextEpoch(spark, stateDir) - 1 // runEpoch already appended this epoch
     val persisted = spark.read.parquet(clustersPath(stateDir))
     val lineage = persisted
       .withColumn("part_id", spark_partition_id())
@@ -135,23 +148,93 @@ object Checkpoints {
     lineage.write.mode("append").parquet(metricsPath(stateDir))
 
     val nClusters = persisted.select("cluster_id").distinct().count()
-    appendManifest(stateDir, s"""{"epoch":$epoch,"clusters":$nClusters}""")
+    appendManifest(spark, stateDir, s"""{"epoch":$epoch,"clusters":$nClusters}""")
     (nNew, nClusters)
   }
 
-  private def nextEpoch(stateDir: String): Long = {
-    val p = Paths.get(manifestPath(stateDir))
-    if (!Files.exists(p)) return 0L
-    // only signature-commit lines advance the epoch counter (clusterEpoch
-    // appends an additional clusters line per epoch)
-    var n = 0L
-    Files.readAllLines(p).forEach(l => if (l.contains("\"new_signatures\"")) n += 1)
-    n
+  /** Execute the planned actions table against the live signature state —
+    * the reference's final pipeline stage, which it specifies but stubs
+    * (`action.rs:1`, CLI contract `cli.rs:27-37`, README.md:26-42):
+    *
+    *  - idempotent: already-executed plan rows (anti-join on the persisted
+    *    `executed` table) are skipped, so re-running after a crash never
+    *    double-acts;
+    *  - validate-exists: both sides of every action must still be live
+    *    signature ids, else success=false with an error reason;
+    *  - backup-before-remove (`config.rs:57` backup_dir): the signature
+    *    rows a successful delete/move will vacate are appended to
+    *    `backupDir` BEFORE the tombstones commit;
+    *  - tombstones: successful delete/move ids append to the `tombstones`
+    *    table; `liveSignatures` is the state view with tombstones applied.
+    *
+    * @return (nExecuted, nFailed) for this run (0, 0) when nothing pending
+    */
+  def executeEpoch(spark: SparkSession, stateDir: String,
+                   backupDir: Option[String] = None): (Long, Long) = {
+    val plan = spark.read.parquet(actionsPath(stateDir))
+    val pending = readIfExists(spark, executedPath(stateDir)) match {
+      case Some(prior) =>
+        plan.join(prior.filter(col("success")).select("id"), Seq("id"), "left_anti")
+      case None => plan
+    }
+    val universe = spark.read.parquet(signaturesPath(stateDir)).select("id")
+    // small table (one row per planned duplicate): materialize once, every
+    // consumer below (backup, tombstones, counts) reads the checkpoint
+    val executed = graft.actions.Actions.execute(pending, universe).localCheckpoint()
+
+    backupDir.foreach { bd =>
+      spark.read.parquet(signaturesPath(stateDir))
+        .join(graft.actions.Actions.tombstones(executed).select("id"), Seq("id"), "left_semi")
+        .write.mode("append").parquet(bd)
+    }
+    val nExecuted = executed.filter(col("success")).count()
+    val nFailed = executed.count() - nExecuted
+    if (nExecuted + nFailed > 0) {
+      executed.write.mode("append").parquet(executedPath(stateDir))
+      graft.actions.Actions.tombstones(executed)
+        .write.mode("append").parquet(tombstonesPath(stateDir))
+    }
+    appendManifest(spark, stateDir,
+      s"""{"executed":$nExecuted,"failed":$nFailed}""")
+    (nExecuted, nFailed)
   }
 
-  private def appendManifest(stateDir: String, line: String): Unit = {
-    val p = Paths.get(manifestPath(stateDir))
-    Files.writeString(p, line + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  /** The live signature state: persisted signatures minus tombstoned rows. */
+  def liveSignatures(spark: SparkSession, stateDir: String): DataFrame = {
+    val sigs = spark.read.parquet(signaturesPath(stateDir))
+    readIfExists(spark, tombstonesPath(stateDir)) match {
+      case Some(t) => sigs.join(t.select("id"), Seq("id"), "left_anti")
+      case None    => sigs
+    }
+  }
+
+  /** Manifest lines, oldest first; empty if no manifest yet. */
+  def readManifest(spark: SparkSession, stateDir: String): Seq[String] = {
+    val (fs, p) = fsFor(spark, manifestPath(stateDir))
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  private def nextEpoch(spark: SparkSession, stateDir: String): Long =
+    // only signature-commit lines advance the epoch counter (clusterEpoch
+    // appends an additional clusters line per epoch)
+    readManifest(spark, stateDir).count(_.contains("\"new_signatures\"")).toLong
+
+  /** Append one manifest line via read + tmp-write + rename — works on
+    * stores with no append support (S3, local checksum FS alike); the
+    * manifest is tiny (one line per commit), so the rewrite is O(commits).
+    */
+  private def appendManifest(spark: SparkSession, stateDir: String, line: String): Unit = {
+    val lines = readManifest(spark, stateDir) :+ line
+    val (fs, p) = fsFor(spark, manifestPath(stateDir))
+    val tmp = new Path(manifestPath(stateDir) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest commit failed: rename $tmp -> $p")
   }
 }

@@ -23,4 +23,34 @@ class EntrySpec extends SparkTestBase {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("CLI arg parsing: full flag set round-trips into a DedupConfig") {
+    val parsed = Main.parse(Seq(
+      "--pages", "/data/pages", "--state", "s3a://b/state",
+      "--action", "delete", "--execute", "--backup-dir", "s3a://b/bak",
+      "--fast-path", "--force-rescan", "--jaccard", "0.7", "--max-hamming", "8",
+      "--id-col", "page_url", "--text-col", "body"))
+    val a = parsed.toOption.get
+    assert(a.pages == "/data/pages" && a.state == "s3a://b/state")
+    assert(a.action == "delete" && a.execute && a.backupDir.contains("s3a://b/bak"))
+    assert(a.fastPath && a.forceRescan)
+    assert(a.idCol == "page_url" && a.textCol == "body")
+    val cfg = Main.toConfig(a)
+    assert(cfg.fastPath && cfg.forceRescan)
+    assert(cfg.jaccardThreshold == 0.7 && cfg.simhashAcceptHamming == 8)
+  }
+
+  test("CLI arg parsing: rejections") {
+    assert(Main.parse(Seq("--state", "/s")).isLeft)                       // missing --pages
+    assert(Main.parse(Seq("--pages", "/p")).isLeft)                       // missing --state
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--action", "shred")).isLeft)                                       // bad action
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--jaccard", "1.5")).isLeft)                                        // out of range
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--max-hamming", "x")).isLeft)                                      // not an int
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--bogus")).isLeft)                                                 // unknown flag
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s")).isRight)
+  }
 }

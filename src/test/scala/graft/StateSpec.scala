@@ -113,6 +113,68 @@ class StateSpec extends SparkTestBase {
       "delta-only resume must converge to single-shot clustering via the containment fallback")
   }
 
+  test("state layer speaks Hadoop FileSystem URIs (file://), not driver-local paths") {
+    val dir = "file://" + tempDir()
+    val nk = PagesGen.variantKinds.length
+    val pages = PagesGen.pages(spark, 3L, seed = 5L, tokensPerDoc = 80).toDF()
+    val (n1, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    val (n2, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    assert(n1 == 3L * nk && n2 == 0L)
+    // the manifest lives at the URI and reads back through Hadoop FS
+    val manifest = Checkpoints.readManifest(spark, dir)
+    assert(manifest.size == 2 && manifest.head.contains(s""""new_signatures":$n1"""))
+  }
+
+  test("executeEpoch: idempotent executor with validate-exists, tombstones and backup") {
+    val dir = tempDir()
+    val backup = tempDir() + "/backup"
+    val pages = PagesGen.pages(spark, 6L, seed = 7L, tokensPerDoc = 100).toDF()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, action = "delete")
+
+    val nPlanned = spark.read.parquet(Checkpoints.actionsPath(dir)).count()
+    val (nExec, nFail) = Checkpoints.executeEpoch(spark, dir, Some(backup))
+    assert(nExec == nPlanned && nFail == 0, s"all $nPlanned planned should execute")
+
+    // idempotence: a second run finds nothing pending
+    val (nExec2, nFail2) = Checkpoints.executeEpoch(spark, dir, Some(backup))
+    assert(nExec2 == 0 && nFail2 == 0)
+
+    // tombstones: exactly the executed delete ids; live view excludes them
+    val tombs = spark.read.parquet(Checkpoints.tombstonesPath(dir))
+    assert(tombs.count() == nExec)
+    val live = Checkpoints.liveSignatures(spark, dir)
+    assert(live.count() ==
+      spark.read.parquet(Checkpoints.signaturesPath(dir)).count() - nExec)
+    assert(live.join(tombs.select("id"), Seq("id"), "left_semi").count() == 0)
+
+    // backup-before-remove: every vacated signature row was backed up once
+    val backedUp = spark.read.parquet(backup)
+    assert(backedUp.count() == nExec)
+
+    // every representative survives (an executor must never delete originals)
+    val reps = spark.read.parquet(Checkpoints.clustersPath(dir))
+      .filter($"is_representative").select("id")
+    assert(reps.join(tombs.select("id"), Seq("id"), "left_semi").count() == 0)
+  }
+
+  test("executeEpoch: vanished ids fail with an error, others still execute") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 4L, seed = 8L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, action = "move")
+    // simulate state loss: rewrite signatures without one planned duplicate
+    val victim = spark.read.parquet(Checkpoints.actionsPath(dir))
+      .select("id").orderBy("id").limit(1).as[String].collect().head
+    val pruned = spark.read.parquet(Checkpoints.signaturesPath(dir))
+      .filter($"id" =!= victim).cache()
+    pruned.count()
+    pruned.write.mode("overwrite").parquet(Checkpoints.signaturesPath(dir))
+    val (nExec, nFail) = Checkpoints.executeEpoch(spark, dir, None)
+    assert(nFail == 1 && nExec > 0)
+    val failed = spark.read.parquet(Checkpoints.executedPath(dir)).filter(!$"success")
+    assert(failed.select("id").as[String].collect().toSeq == Seq(victim))
+    assert(failed.select("error").as[String].collect().head == "missing_id")
+  }
+
   test("metrics table records per-partition lineage per epoch") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 6L, seed = 4L, tokensPerDoc = 80).toDF()
