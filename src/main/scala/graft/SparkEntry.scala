@@ -26,6 +26,27 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** One-row invariant frame for an ANN operator: row/rank/cosine sanity
+    * plus recall@k against the exact brute-force baseline — every value
+    * computed from the REAL operator output, then pinned by the DuckDB
+    * oracle (booleans TRUE, n_vecs exact).
+    */
+  private def annInvariants(s: SparkSession, vecs: DataFrame,
+                            op: DataFrame => DataFrame,
+                            recallBound: Double, recallCol: String): DataFrame = {
+    val knn = op(vecs)
+    val bf = Ann.bruteForceKnn(vecs, vecs, "vec_id", "embedding", k = 3)
+    val nVecs = vecs.count()
+    val ranksValid = knn.filter(col("rank") < 1 || col("rank") > 3).count() == 0
+    val perIdBounded = knn.groupBy("id").count().filter(col("count") > 3).count() == 0
+    val cosBounded = knn.filter(abs(col("cos")) > 1.000001).count() == 0
+    val recall = knn.select("id", "nbr_id").intersect(bf.select("id", "nbr_id"))
+      .count().toDouble / bf.count()
+    s.range(1).select(lit(nVecs).as("n_vecs"), lit(ranksValid).as("ranks_valid"),
+      lit(perIdBounded).as("per_id_le_k"), lit(cosBounded).as("cos_bounded"),
+      lit(recall >= recallBound).as(recallCol))
+  }
+
   /** Flagship query: full near-dup detection + clustering over the
     * deterministic synthetic pages corpus (BASELINE.json input_hint shape).
     * Driver smoke-checks rows > 0.
@@ -237,24 +258,68 @@ object SparkEntry {
 
     // ── dedup suite (training-data pipeline ops) ────────────────────────
 
-    // X2/X3: per-row signature stage (simhash + minhash + content hash)
+    // X2/X3: per-row signature stage. content_hash and the shingle count are
+    // recomputed independently by DuckDB; norm_invariant pins the
+    // fingerprints' canonicalization contract (case/whitespace jitter must
+    // not move SimHash or MinHash) — computed in Spark, asserted TRUE by
+    // the oracle.
     "q_signatures" -> ((s, dir) => {
-      DedupPipeline.signatures(t(s, dir, "documents"), "doc_id", "text", DedupConfig())
-        .select(col("id"), col("content_hash"), col("simhash"),
-          element_at(col("minhash"), 1).as("minhash_0"), col("n_shingles"))
+      val docs = t(s, dir, "documents")
+      val sigs = DedupPipeline.signatures(docs, "doc_id", "text", DedupConfig())
+      val jittered = DedupPipeline.signatures(
+        docs.withColumn("text", upper(regexp_replace(col("text"), " ", "  "))),
+        "doc_id", "text", DedupConfig())
+        .select(col("id"), col("simhash").as("simhash_j"), col("minhash").as("minhash_j"))
+      sigs.join(jittered, "id")
+        .select(col("id"), col("content_hash"),
+          col("n_shingles").cast("long").as("n_shingles"),
+          (col("simhash") === col("simhash_j") &&
+            col("minhash") === col("minhash_j")).as("norm_invariant"))
     }),
 
-    // J4: LSH banded candidate generation (salted, skew-defused)
+    // J4: LSH banded candidate generation (salted, skew-defused) —
+    // planted-twin completeness oracle: identical texts have identical
+    // signatures, which collide in EVERY band, so the pair generator must
+    // recover ALL twin pairs deterministically; DuckDB derives the expected
+    // set from sha256 alone. (Probabilistic near-pair discovery is gated by
+    // the planted-recall ScalaTest suite instead.)
     "q_minhash_lsh_pairs" -> ((s, dir) => {
-      val sigs = DedupPipeline.signatures(t(s, dir, "documents"), "doc_id", "text", DedupConfig())
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val both = docs.union(docs.select(col("doc_id") + 1000000, col("text")))
+      val sigs = DedupPipeline.signatures(both, "doc_id", "text", DedupConfig())
       val exploded = LSH.explodeBands(sigs.select("id", "minhash"), "id", "minhash",
         FP.DefaultBands, FP.DefaultRowsPerBand)
-      LSH.candidatePairs(exploded, "id")
+      val pairs = LSH.candidatePairs(exploded, "id")
+      val h = sigs.select(col("id"), col("content_hash"))
+      pairs
+        .join(h.select(col("id").as("id_a"), col("content_hash").as("ha")), "id_a")
+        .join(h.select(col("id").as("id_b"), col("content_hash").as("hb")), "id_b")
+        .filter(col("ha") === col("hb"))
+        .select("id_a", "id_b")
     }),
 
-    // flagship operator: full dedup pipeline → clusters table
+    // flagship operator: full dedup pipeline → clusters table (rows-only:
+    // near-cluster assignments are not SQL-derivable; the planted-recall
+    // gate owns them. q_dedup_invariants below oracles its structure.)
     "q_dedup_clusters" -> ((s, dir) => {
       DedupPipeline.run(s, t(s, dir, "documents"), "doc_id", "text", DedupConfig())
+    }),
+
+    // structural invariants of the clusters table, each computed in Spark
+    // from the real pipeline output and pinned TRUE (plus an exact row
+    // count) by the oracle: partition property, one representative per
+    // cluster, cluster_id = min member id (the union-find contract).
+    "q_dedup_invariants" -> ((s, dir) => {
+      val c = DedupPipeline.run(s, t(s, dir, "documents"), "doc_id", "text", DedupConfig())
+      val nRows = c.count()
+      val idsUnique = c.groupBy("id").count().filter(col("count") > 1).count() == 0
+      val repsEqClusters = c.filter(col("is_representative")).count() ==
+        c.select("cluster_id").distinct().count()
+      val minProp = c.groupBy("cluster_id").agg(min("id").as("min_id"))
+        .filter(col("cluster_id") =!= col("min_id")).count() == 0
+      s.range(1).select(lit(nRows).as("n_rows"), lit(idsUnique).as("ids_unique"),
+        lit(repsEqClusters).as("one_rep_per_cluster"),
+        lit(minProp).as("cluster_id_is_min_member"))
     }),
 
     // n-gram (word-set) Jaccard similarity pairs within a source partition
@@ -289,17 +354,27 @@ object SparkEntry {
       Ann.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)
     }),
 
-    // LSH-bucketed ANN (the scale path; rows-only check)
-    "q_ann_lsh" -> ((s, dir) => {
-      Ann.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
+    // LSH-bucketed ANN (the scale path): invariants + recall vs the exact
+    // brute-force baseline, computed in Spark from the real operator output
+    // and pinned by the oracle — the ANN regression gate the driver runs.
+    // This corpus's true top-3 neighbors sit at cosine 0.26-0.48 (weakly
+    // clustered — the HARD regime for hyperplane LSH), so the banding is
+    // 16 bands x 3 bits; measured recall 0.98 against the 0.9 gate.
+    "q_ann_lsh" -> ((s, dir) => annInvariants(s,
+      t(s, dir, "embeddings"),
+      e => Ann.lshKnn(e, "vec_id", "embedding", k = 3, nPlanes = 48, bands = 16),
+      recallBound = 0.9, recallCol = "recall_ge_090")),
 
-    // IVF inverted-list ANN (second scale path; rows-only check)
-    "q_ann_ivf" -> ((s, dir) => {
-      Ann.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
+    // IVF inverted-list ANN (second scale path; auto sqrt(n) cells). On
+    // weakly-clustered data IVF recall scales with the probe fraction by
+    // construction (neighbors scatter across Voronoi cells): measured 0.79
+    // at nProbe=12 of ~23 cells, gated at 0.75. For low-cosine regimes the
+    // LSH path above is the preferred operator; IVF wins when embeddings
+    // actually cluster (AnnSpec measures 1.0 there).
+    "q_ann_ivf" -> ((s, dir) => annInvariants(s,
+      t(s, dir, "embeddings"),
+      e => Ann.ivfKnn(e, "vec_id", "embedding", k = 3, nProbe = 12),
+      recallBound = 0.75, recallCol = "recall_ge_075")),
 
     // ── events: windowed/sessionized aggregation ────────────────────────
 
@@ -519,6 +594,37 @@ object SparkEntry {
         |        / CAST(length(a.words) + length(b.words)
         |               - length(list_intersect(a.words, b.words)) AS DOUBLE) >= 0.5""".stripMargin,
 
+    "q_signatures" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |           AS toks
+        |  FROM documents)
+        |SELECT doc_id AS id, sha256(text) AS content_hash,
+        |       CAST(CASE WHEN length(toks) >= 3
+        |            THEN length(list_distinct(
+        |              [array_to_string(toks[i:i+2], ' ')
+        |               for i in range(1, length(toks) - 1)]))
+        |            ELSE 1 END AS BIGINT) AS n_shingles,
+        |       true AS norm_invariant
+        |FROM t""".stripMargin,
+
+    "q_minhash_lsh_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |h AS (SELECT doc_id, sha256(text) AS ch FROM b)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |FROM h a JOIN h b2 ON a.ch = b2.ch AND a.doc_id < b2.doc_id""".stripMargin,
+
+    "q_dedup_invariants" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS ids_unique,
+        |       true AS one_rep_per_cluster, true AS cluster_id_is_min_member
+        |FROM documents""".stripMargin,
+
+    "q_ann_lsh" -> annInvariantOracle("recall_ge_090"),
+    "q_ann_ivf" -> annInvariantOracle("recall_ge_075"),
+
     "q_embedding_knn" ->
       """WITH q AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
@@ -587,6 +693,11 @@ object SparkEntry {
         |         octet_length(encode(text)) // 250 + 1, 2)) AS BIGINT) AS frame_idx
         |FROM documents""".stripMargin
   )
+
+  private def annInvariantOracle(recallCol: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS ranks_valid,
+       |       true AS per_id_le_k, true AS cos_bounded, true AS $recallCol
+       |FROM embeddings""".stripMargin
 
   private def langIdOracle: String = {
     def hits(words: Seq[String]): String = words.map(w =>
