@@ -392,13 +392,22 @@ object SparkEntry {
 
     // ── multimodal plumbing (binary columns; decode stubbed) ────────────
 
+    // REAL image decode: synthesize a valid PNG signature + IHDR per doc
+    // (dimensions derived from doc_id), parse it back with the pure-JVM
+    // header decoder; DuckDB recomputes the expected dimensions directly.
     "q_multimodal_meta" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      Multimodal.withMeta(d, "doc_id", "blob")
-        .select(col("doc_id"), col("byte_len"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.n_frames").as("n_frames"))
+      val pngPrefix = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R')
+      val pngTail = Array[Byte](8, 6, 0, 0, 0) // depth, color, compr, filter, interlace
+      def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+      val w = (col("doc_id") % 640 + 16).cast("int")
+      val h = ((col("doc_id") * 7) % 480 + 16).cast("int")
+      val blob = concat(lit(pngPrefix), be32(w), be32(h), lit(pngTail))
+      Multimodal.withMeta(
+          t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+          "doc_id", "blob")
+        .select(col("doc_id"), col("byte_len"), col("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
     }),
 
     "q_frame_sample" -> ((s, dir) => {
@@ -438,6 +447,7 @@ object SparkEntry {
     "q_discovery" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE NOT starts_with(source, 'src1')
+        |  AND NOT starts_with(regexp_extract(source, '[^/]*$'), '.')
         |  AND lang IN ('en', 'de', 'fr')
         |  AND text IS NOT NULL AND length(text) > 0""".stripMargin,
 
@@ -682,10 +692,10 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |       CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height,
-        |       CAST(octet_length(encode(text)) // 250 + 1 AS BIGINT) AS n_frames
+        |       CAST(29 AS BIGINT) AS byte_len,
+        |       'png' AS format,
+        |       CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+        |       CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS height
         |FROM documents""".stripMargin,
 
     "q_frame_sample" ->

@@ -6,16 +6,26 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * The decode step is STUBBED (this container ships no image/audio codecs):
-  * `fakeDecodeMeta` derives deterministic metadata purely from the byte
-  * stream (length + first-byte), clearly marked as a stand-in. Everything
-  * around it — schema, batch shape, partitioning, column pruning — is the
-  * real Spark-side plumbing a production decode UDF would slot into, and is
-  * tested. Analog: the reference's per-format decoders + magic-byte
-  * sniffing (image-deduper `src/formats/heic.rs:84-110`,
-  * `src/fixsuffix.rs:19-62`).
+  * Image DIMENSION decode is REAL: [[ImageHeader]] parses PNG/GIF/JPEG/BMP
+  * container headers in pure JVM bytes (dimensions never need a codec).
+  * Pixel-level decode and video frame EXTRACTION remain stubbed (this
+  * container ships no codecs): `fakeDecodeMeta` derives deterministic
+  * stand-in metadata from the byte stream, clearly marked, and the
+  * frame-sampling plan runs on it. Everything around the stub — schema,
+  * batch shape, partitioning, column pruning — is the real Spark-side
+  * plumbing a production codec UDF slots into. Analog: the reference's
+  * per-format decoders + magic-byte sniffing (image-deduper
+  * `src/formats/heic.rs:84-110`, `src/fixsuffix.rs:19-62`).
   */
 object Multimodal {
+
+  /** Real header decode: binary → struct(format, width, height) or null
+    * for unrecognized/corrupt bytes (never throws — S9 recovery contract).
+    */
+  def imageMeta(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.shim
+    shim.toColumn(ImageMeta(shim.toExpression(blob)))
+  }
 
   /** Magic-byte content sniffing as pure column expressions — the real
     * thing, not a stub (reference `is_heic_format` / fixsuffix magics).
@@ -60,12 +70,23 @@ object Multimodal {
   }
 
   /** Full metadata projection for a binary column: real sniffing + byte
-    * stats + stubbed decode metadata.
+    * stats + REAL header dimensions where the format carries them (PNG/
+    * GIF/JPEG/BMP), falling back to the stand-in metadata for opaque
+    * payloads; n_frames is always the stand-in (video decode is the
+    * declared stub).
     */
-  def withMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+  def withMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val decoded = imageMeta(col(blobCol))
+    val fake = fakeDecodeMeta(col(blobCol))
     df.select(
       col(idCol),
       octet_length(col(blobCol)).cast("long").as("byte_len"),
-      sniffFormat(col(blobCol)).as("format"),
-      fakeDecodeMeta(col(blobCol)).as("meta"))
+      coalesce(decoded.getField("format"), sniffFormat(col(blobCol))).as("format"),
+      struct(
+        coalesce(decoded.getField("width").cast("long"),
+          fake.getField("width")).as("width"),
+        coalesce(decoded.getField("height").cast("long"),
+          fake.getField("height")).as("height"),
+        fake.getField("n_frames").as("n_frames")).as("meta"))
+  }
 }

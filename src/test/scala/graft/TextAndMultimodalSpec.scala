@@ -60,6 +60,50 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(r == Seq("png", "jpeg", "html", "bin"))
   }
 
+  test("ImageHeader: real PNG/GIF/JPEG/BMP dimension decode; corrupt -> null") {
+    import graft.multimodal.ImageHeader
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++ be32(640) ++ be32(481) ++ Array[Byte](8, 6, 0, 0, 0)
+    assert(ImageHeader.parse(png) == ImageHeader.Meta("png", 640, 481))
+
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+    assert(ImageHeader.parse(gif) == ImageHeader.Meta("gif", 320, 200))
+
+    // JPEG: SOI, APP0 (skipped), then SOF0 with height 480 / width 640
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(6) ++ "JFIF".getBytes ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(480) ++ be16(640) ++ Array[Byte](3, 0, 0, 0)
+    assert(ImageHeader.parse(jpeg) == ImageHeader.Meta("jpeg", 640, 480))
+
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(101) ++ le32(-55) ++
+      Array.fill[Byte](4)(0)
+    assert(ImageHeader.parse(bmp) == ImageHeader.Meta("bmp", 101, 55)) // top-down abs
+
+    // corrupt inputs: never throw, always null
+    assert(ImageHeader.parse(null) == null)
+    assert(ImageHeader.parse(Array[Byte]()) == null)
+    assert(ImageHeader.parse(png.take(17)) == null)                    // truncated IHDR
+    assert(ImageHeader.parse(Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x00)) == null)
+    assert(ImageHeader.parse("plain text bytes".getBytes) == null)
+  }
+
+  test("withMeta prefers real decoded dimensions over the stand-in") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++ be32(777) ++ be32(333) ++ Array[Byte](8, 6, 0, 0, 0)
+    val df = Seq((1L, png)).toDF("id", "blob")
+    val row = Multimodal.withMeta(df, "id", "blob").first()
+    assert(row.getString(2) == "png")
+    val m = row.getStruct(3)
+    assert(m.getLong(0) == 777L && m.getLong(1) == 333L)
+  }
+
   test("fake decode meta + frame sampling plumbing") {
     val df = Seq((1L, ("x" * 600).getBytes)).toDF("id", "blob")
     val meta = Multimodal.withMeta(df, "id", "blob").first()
