@@ -23,6 +23,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // split parquet scans fine enough that the heaviest MAP stage
+      // (scan → extract → fused fingerprint) fans out to every core: the
+      // bench corpus is a few hundred MB, and the 128m default would bin it
+      // into fewer input splits than cores — scan-stage parallelism, not
+      // shuffle width, was the scaling limiter. On a real cluster the same
+      // rule applies per executor (size splits so tasks ≥ total cores).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -31,8 +38,8 @@ object Bench {
   }
 
   /** numBase docs for the generated-pages pipeline, scaled by the SF dir
-    * name (sf0.1 → 4,000 base = 40k pages; the 100-base floor makes
-    * sf0.001 → 100 base = 1,000 pages, the smallest meaningful corpus).
+    * name (sf0.1 → 4,000 base × |variantKinds| pages; the 100-base floor
+    * makes sf0.001 the smallest meaningful corpus).
     */
   def numBaseFor(sfDir: String): Long = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)

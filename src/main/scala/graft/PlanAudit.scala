@@ -21,17 +21,22 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = Bench.sessionFor(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-    for (name <- Audited) {
+    def show(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       println(s"\n===== $name =====")
-      try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        // queryExecution text (formatted) — stable across runs, no execution
-        println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      } catch {
-        case e: Throwable => println(s"[audit] $name failed: $e")
-      }
+      try println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      catch { case e: Throwable => println(s"[audit] $name failed: $e") }
     }
+    for (name <- Audited) show(name, SparkEntry.queries(name)(spark, sfDir))
+    // raw ANN operator plans (their driver queries wrap them in one-row
+    // invariant aggregates, which would hide the pair-shuffle shape).
+    // Scale check: NO array<...> column may appear in any Exchange feeding
+    // a pair join — vectors re-join after the distinct.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    show("ann_lsh_knn (raw operator)",
+      graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", 3))
+    show("ann_neardup_lsh (raw operator)",
+      graft.ann.Ann.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.9))
     spark.stop()
   }
 }

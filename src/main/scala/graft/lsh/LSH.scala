@@ -23,6 +23,29 @@ object LSH {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(minhash, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
 
+  /** Anchor-band bucket hashes (winnowing/MOSS-style document
+    * fingerprints): select the shingles whose hash ≡ 0 (mod `modulus`) —
+    * selection is CONTENT-DEFINED, so two documents sharing any
+    * sufficiently long contiguous region select the same shingles inside
+    * it at the same relative positions, independent of where the region
+    * sits in either document. The bucket key is the hash of each ADJACENT
+    * selected pair (a single shared 3-gram would be far too weak a
+    * bucket), giving collision probability ≈ P(≥2 selections land in the
+    * shared region) — the offset-invariant discovery channel for
+    * middle-of-document quotes that prefix banding cannot see and dense
+    * MinHash banding only reaches at its induced (low) Jaccard.
+    * Output: array<long>, one element per adjacent selected pair; empty
+    * when fewer than 2 shingles are selected. Pure built-ins → codegen.
+    */
+  def anchorBandHashes(shingles: Column, modulus: Int): Column = {
+    val sel = filter(shingles, h => pmod(h, lit(modulus)) === 0)
+    // zip the selection with its own tail; slice off the (last, null) pair
+    slice(
+      zip_with(sel, slice(sel, lit(2), greatest(size(sel) - 1, lit(0))),
+        (a, b) => xxhash64(a, b)),
+      lit(1), greatest(size(sel) - 1, lit(0)))
+  }
+
   /** Prefix-band bucket hash: one 64-bit hash over the document's first
     * `m` shingle hashes (document order — [[graft.fingerprint.DocSignature]]
     * preserves first occurrence). A prefix truncation shares the original's
@@ -59,16 +82,21 @@ object LSH {
     *                      cross-band distinct — the hook for cheap pair
     *                      filters (e.g. SimHash Hamming) that shrink both
     *                      the row count and the byte width of the distinct
-    *                      shuffle. Must keep `<id>_a`/`<id>_b` and must only
-    *                      add pair-functional columns (same value for every
-    *                      band copy of a pair), or distinct semantics break.
+    *                      shuffle. The input additionally carries the
+    *                      colliding `band` index so a filter can exempt
+    *                      designated band families (containment channels
+    *                      must not be gated on global similarity). Must
+    *                      keep `<id>_a`/`<id>_b`, must DROP `band`, and
+    *                      must only add pair-functional columns (same value
+    *                      for every band copy of a pair), or distinct
+    *                      semantics break.
     */
   def candidatePairs(exploded: DataFrame, idCol: String,
                      hotThreshold: Int = 200,
                      saltFactor: Int = 16,
                      maxBucketSize: Int = 100000,
                      carry: Seq[String] = Nil,
-                     prune: DataFrame => DataFrame = identity): DataFrame = {
+                     prune: DataFrame => DataFrame = _.drop("band")): DataFrame = {
     val bucketKey = Seq("band", "band_hash")
     // only COLLIDING buckets matter (singletons yield no pairs) — filtering
     // size-1 buckets out before the join keeps this frame small (collisions
@@ -97,7 +125,8 @@ object LSH {
           bucketKey.map(c => col(c).as(c + "_rb")) ++ extra.map(col): _*)
       (l, r)
     }
-    val outCols = (idCol +: carry).flatMap(c => Seq(col(c + "_a"), col(c + "_b")))
+    val outCols = (idCol +: carry).flatMap(c => Seq(col(c + "_a"), col(c + "_b"))) :+
+      col("band_la").as("band")
 
     // cold path: plain within-bucket self-join; AQE handles residual skew
     val coldPairs = {

@@ -55,6 +55,10 @@ object PagesIO {
   *  - shuffle_paras     → sentence-block permutation
   *  - truncate_60/30    → prefix containment cases (30 is sub-Jaccard:
   *                        only the suffix-array substring pass links it)
+  *  - mid_quote         → a 25% contiguous slice from the MIDDLE (offset
+  *                        37%): sub-Jaccard AND not a prefix — only the
+  *                        offset-invariant anchor bands discover it
+  *                        reliably (minhash tier P ≈ 0.74 at s ≈ 0.25)
   *  - boilerplate_wrap  → same text, different html chrome
   *  - unrelated         → fresh doc (precision guard, expect_dup = false)
   *
@@ -96,8 +100,8 @@ object PagesGen {
   /** Variant kinds in deterministic order; index 0 is the original. */
   val variantKinds: Seq[String] = Seq(
     "original", "exact_copy", "ws_noise", "edit_5pct", "edit_10pct",
-    "shuffle_paras", "truncate_60", "truncate_30", "boilerplate_wrap",
-    "unrelated")
+    "shuffle_paras", "truncate_60", "truncate_30", "mid_quote",
+    "boilerplate_wrap", "unrelated")
 
   def expectDup(kind: String): Boolean = kind match {
     case "original" | "unrelated" => false // not pairs themselves
@@ -135,6 +139,13 @@ object PagesGen {
       // suffix-array substring pass can link it (the fixture that makes the
       // north_rule's substring pass load-bearing, not decorative)
       case "truncate_30" => base.take(math.max(1, (base.length * 30) / 100))
+      // verbatim middle slice: normalized(text) of the variant is a
+      // substring of the original's — the suffix-array pass verifies it;
+      // DISCOVERY must come from the offset-invariant anchor bands
+      case "mid_quote" =>
+        val start = (base.length * 37) / 100
+        val len = math.max(1, (base.length * 25) / 100)
+        base.slice(start, start + len)
       case "unrelated"   => baseTokens(seed + 555555L, docIdx * 31 + 17, base.length)
       case other => throw new IllegalArgumentException(s"unknown variant $other")
     }

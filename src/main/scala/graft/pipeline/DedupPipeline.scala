@@ -35,6 +35,12 @@ case class DedupConfig(
     maxBucketSize: Int = 100000,
     maxUnionFindIters: Int = 25,
     prefixBandShingles: Int = 8,
+    // winnowed anchor bands (LSH.anchorBandHashes): selects ~1/modulus of
+    // each doc's shingles content-defined and buckets adjacent selected
+    // pairs — the offset-invariant discovery channel for MIDDLE-of-document
+    // quotes (prefix banding sees only truncations; minhash banding reaches
+    // a 25% quote only at its induced Jaccard ≈ 0.25, P ≈ 0.74). 0 disables.
+    anchorModulus: Int = 6,
     forceRescan: Boolean = false,
     // the reference's ultra-fast mode (`ultra_fast_phash`,
     // src/processing/core.rs:158-199): skip shingles/MinHash entirely and
@@ -120,7 +126,18 @@ object DedupPipeline {
     val prefixBand = sigs.select(col("id"), col("simhash"),
       lit(cfg.bands).as("band"),
       LSH.prefixBandHash(col("shingles"), cfg.prefixBandShingles).as("band_hash"))
-    val exploded = minhashBands.unionByName(prefixBand)
+    // second containment channel: winnowed anchor-pair bands — offset-
+    // invariant, so middle-of-document quotes collide too. Hashes are
+    // computed per ROW pre-explode; the shingle array never enters the
+    // banding shuffle.
+    val anchorBands =
+      if (cfg.anchorModulus <= 0) None
+      else Some(sigs.select(col("id"), col("simhash"),
+        lit(cfg.bands + 1).as("band"),
+        explode(LSH.anchorBandHashes(col("shingles"), cfg.anchorModulus))
+          .as("band_hash")))
+    val exploded = anchorBands
+      .foldLeft(minhashBands.unionByName(prefixBand))(_ unionByName _)
     // cheap prefilter pushed INSIDE pair generation: 64-bit SimHash Hamming
     // (reference PHash::is_similar, processing/types.rs:47-58) runs on each
     // bucket self-join's output BEFORE the cross-band distinct, so the pair
@@ -133,9 +150,13 @@ object DedupPipeline {
       saltFactor = cfg.saltFactor,
       maxBucketSize = cfg.maxBucketSize,
       carry = Seq("simhash"),
+      // containment-channel pairs (prefix/anchor bands, index >= bands) are
+      // EXEMPT from the Hamming prefilter: a small quote inside a large doc
+      // has low global similarity by construction — gating it on SimHash
+      // distance would defeat the asymmetric channel's purpose.
       prune = df => df
         .withColumn("hamming", Fingerprints.hamming(col("simhash_a"), col("simhash_b")))
-        .filter(col("hamming") <= cfg.simhashMaxHamming)
+        .filter(col("band") >= cfg.bands || col("hamming") <= cfg.simhashMaxHamming)
         .select("id_a", "id_b", "hamming"))
 
     // verify, tier 1 (cheap, signature-only): a pair is a near-dup edge if —

@@ -59,7 +59,9 @@ object Checkpoints {
     */
   def runEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
                stateDir: String, cfg: DedupConfig = DedupConfig()): (Long, Long) = {
-    { val (fs, p) = fsFor(spark, stateDir); fs.mkdirs(p) }
+    val epochT0 = System.nanoTime()
+    val (stateFs, stateRoot) = fsFor(spark, stateDir)
+    stateFs.mkdirs(stateRoot)
     val sigPath = signaturesPath(stateDir)
     val qPath = quarantinePath(stateDir)
 
@@ -110,9 +112,15 @@ object Checkpoints {
       .withColumn("table", lit("signatures"))
     lineage.write.mode("append").parquet(metricsPath(stateDir))
 
+    // X13 rate metrics (reference progress.rs ETA math): each commit line
+    // records its own throughput, so an operator can project the remaining
+    // corpus (eta = remaining / docs_per_sec) from the manifest alone
     val nNew = thisEpoch.count()
+    val elapsed = (System.nanoTime() - epochT0) / 1e9
+    val rate = if (elapsed > 0) nNew / elapsed else 0.0
     appendManifest(spark, stateDir,
-      s"""{"epoch":$epoch,"new_signatures":$nNew,"quarantined":$nQuarantined}""")
+      f"""{"epoch":$epoch,"new_signatures":$nNew,"quarantined":$nQuarantined,""" +
+        f""""elapsed_sec":$elapsed%.2f,"docs_per_sec":$rate%.1f}""")
     (nNew, nQuarantined)
   }
 

@@ -42,6 +42,26 @@ class LshSpec extends SparkTestBase {
     assert(pairs.isEmpty, "all buckets exceed the cap, so no pairs should emerge")
   }
 
+  test("anchor bands are offset-invariant: shared middle region collides") {
+    // shingle-hash arrays crafted so the shared region selects 6,12,18,24
+    // (≡ 0 mod 6); the region sits at offset 2 in A and offset 0 in B —
+    // the adjacent-pair bucket hashes must still intersect
+    val region = Seq(6L, 13L, 12L, 7L, 18L, 25L, 24L)
+    val a = Seq(1L, 2L) ++ region ++ Seq(3L, 4L)
+    val b = region
+    val df = Seq((a, b)).toDF("sa", "sb").select(
+      LSH.anchorBandHashes(col("sa"), 6).as("ha"),
+      LSH.anchorBandHashes(col("sb"), 6).as("hb"))
+    val r = df.select(size(array_intersect(col("ha"), col("hb"))).as("shared"),
+      size(col("ha")).as("na")).first()
+    assert(r.getInt(0) == 3, "all three adjacent selected pairs must be shared")
+    assert(r.getInt(1) == 3)
+    // a doc with < 2 selected shingles emits no anchor rows
+    val empty = Seq(Seq(1L, 7L, 13L)).toDF("s")
+      .select(size(LSH.anchorBandHashes(col("s"), 6))).first().getInt(0)
+    assert(empty == 0)
+  }
+
   test("unrelated docs share no band buckets") {
     val sigs = sigsFor(Seq(
       ("a", "alpha beta gamma delta epsilon zeta"),

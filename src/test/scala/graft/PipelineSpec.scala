@@ -136,6 +136,20 @@ class PipelineSpec extends SparkTestBase {
     fast.unpersist()
   }
 
+  test("mid_quote (middle-of-document containment) pairs are caught via anchor bands") {
+    // sub-Jaccard (s ≈ 0.25) AND not a prefix: neither the minhash tier
+    // (P ≈ 0.74) nor the prefix band can reliably find these — the
+    // offset-invariant winnowed anchor bands are load-bearing here.
+    val assign = clusters.select($"id", $"cluster_id")
+    val t = truth.filter($"kind" === "mid_quote")
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+    val total = t.count()
+    val hit = t.filter($"ca" === $"cb").count()
+    assert(total == numBase)
+    assert(hit.toDouble / total >= 0.95, s"mid-quote recall $hit/$total")
+  }
+
   test("truncate_60 containment pairs are caught (suffix/containment pass)") {
     val assign = clusters.select($"id", $"cluster_id")
     val t = truth.filter($"kind" === "truncate_60")

@@ -82,7 +82,8 @@ class SuffixArraySpec extends SparkTestBase {
 
     // contribution control: the SA tier must strictly ADD edges over the
     // cheap tier (Jaccard/SimHash) alone, and every added edge must be a
-    // genuine containment pair (a truncate variant on at least one side)
+    // genuine containment pair (a truncate or mid-quote variant on at
+    // least one side)
     val sigs = DedupPipeline.signatures(pages, "url", "text", DedupConfig()).cache()
     val cheapOnly = DedupPipeline.nearEdges(spark, sigs,
       DedupConfig(containmentThreshold = 1.01), texts = None).cache()
@@ -90,10 +91,12 @@ class SuffixArraySpec extends SparkTestBase {
       texts = Some(DedupPipeline.normTexts(pages, "url", "text", DedupConfig()))).cache()
     val added = withSa.exceptAll(cheapOnly).cache()
     assert(added.count() > 0, "SA pass added no edges — not load-bearing")
+    val isContainmentKind = (c: org.apache.spark.sql.Column) =>
+      c.contains("/truncate_") || c.contains("/mid_quote")
     val nonContainment = added.filter(
-      !$"a".contains("/truncate_") && !$"b".contains("/truncate_")).count()
+      !isContainmentKind($"a") && !isContainmentKind($"b")).count()
     assert(nonContainment == 0,
-      s"$nonContainment SA-added edges are not truncation pairs (precision)")
+      s"$nonContainment SA-added edges are not containment pairs (precision)")
   }
 
   // ── stage-7 action planning ───────────────────────────────────────────
