@@ -2,25 +2,44 @@ package graft
 
 import java.nio.file.Files
 
-/** One-shot pipeline run in a fresh JVM/session — timing bisect tool. */
+/** One-shot pipeline run in a fresh JVM/session — timing bisect tool.
+  * SPARK_GRAFT_STAGE=map runs ONLY the shuffle-free map prefix (scan →
+  * extract → fused fingerprint → agg), isolating the embarrassingly-
+  * parallel stage's scaling from the pair/cluster shuffles.
+  */
 object RunOnce {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val numBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "20000").toLong
     val warm = sys.env.contains("SPARK_GRAFT_WARMUP")
+    val mapOnly = sys.env.get("SPARK_GRAFT_STAGE").contains("map")
     val spark = Bench.sessionFor(cpus)
     val tmp = Files.createTempDirectory("graft-once").toString
     Bench.materializePages(spark, numBase, s"$tmp/full")
+
+    def job(path: String): Long =
+      if (mapOnly) {
+        import org.apache.spark.sql.functions._
+        val pages = spark.read.parquet(path).select(col("url"),
+          graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
+        // collect the checksum row (count() would let Catalyst elide the
+        // aggregate inputs entirely and skip the map work)
+        graft.pipeline.DedupPipeline
+          .signatures(pages, "url", "text", graft.pipeline.DedupConfig())
+          .agg(expr("bit_xor(simhash)").as("x"), sum("n_shingles").as("s"))
+          .collect()(0).getLong(1)
+      } else Bench.runPipelineOn(spark, path)
+
     if (warm) {
       Bench.materializePages(spark, math.max(50L, numBase / 20), s"$tmp/warm")
-      Bench.runPipelineOn(spark, s"$tmp/warm")
+      job(s"$tmp/warm")
       Bench.dropPipelineState(spark)
       System.err.println("[once] warmup done")
     }
     val t0 = System.nanoTime()
-    val n = Bench.runPipelineOn(spark, s"$tmp/full")
+    val n = job(s"$tmp/full")
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"cpus":$cpus,"rows":$n,"sec":$sec%.2f}""")
+    println(f"""{"cpus":$cpus,"stage":"${if (mapOnly) "map" else "full"}","rows":$n,"sec":$sec%.2f}""")
     spark.stop()
   }
 }

@@ -51,26 +51,29 @@ object ScalingBench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
 
-    // median of N runs per level: the sandbox VM's throughput varies
-    // minute-to-minute (shared tenancy), so single-shot times are unusable
-    def measure(cpus: String): Double = {
+    // one timed run in a fresh session (fresh JIT state is equalized by a
+    // 1/20-size warmup run first)
+    def timeOne(cpus: String, i: Int): Double = {
       val spark = Bench.sessionFor(cpus)
-      Bench.runPipelineOn(spark, warmPath) // warmup JIT/codegen
+      Bench.runPipelineOn(spark, warmPath)
       Bench.dropPipelineState(spark)
-      val secs = (1 to reps).map { i =>
-        val t0 = System.nanoTime()
-        Bench.runPipelineOn(spark, fullPath)
-        val sec = (System.nanoTime() - t0) / 1e9
-        Bench.dropPipelineState(spark)
-        System.err.println(f"[scaling] local[$cpus] run $i: $sec%.2f s")
-        sec
-      }.sorted
+      val t0 = System.nanoTime()
+      Bench.runPipelineOn(spark, fullPath)
+      val sec = (System.nanoTime() - t0) / 1e9
       spark.stop()
-      secs(secs.length / 2)
+      System.err.println(f"[scaling] local[$cpus] run $i: $sec%.2f s")
+      sec
     }
 
-    val s8 = measure("8")
-    val s32 = measure("32")
+    // INTERLEAVED medians: the sandbox VM's throughput drifts minute-to-
+    // minute (shared tenancy), so running all 8-thread reps then all
+    // 32-thread reps would let the drift masquerade as a scaling effect.
+    // Alternating 8/32 pairs puts both levels in the same minutes; medians
+    // of N then cancel symmetric noise.
+    val runs = (1 to reps).map(i => (timeOne("8", i), timeOne("32", i)))
+    def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val s8 = medianOf(runs.map(_._1))
+    val s32 = medianOf(runs.map(_._2))
     val tp8 = nPages / s8
     val tp32 = nPages / s32
     val eff = tp32 / (4.0 * tp8)
@@ -80,7 +83,10 @@ object ScalingBench {
     val ceiling = c8 / (4.0 * c32) // throughput ratio of the perfect job
     val normalized = eff / ceiling
 
+    val r8 = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+    val r32 = runs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
     println(f"""{"pages":$nPages,"sec_local8":$s8%.2f,"sec_local32":$s32%.2f,""" +
+      f""""runs_local8":$r8,"runs_local32":$r32,""" +
       f""""docs_per_sec_local8":$tp8%.1f,"docs_per_sec_local32":$tp32%.1f,""" +
       f""""scaling_efficiency_8_to_32":$eff%.3f,""" +
       f""""cpu_ceiling_sec8":$c8%.2f,"cpu_ceiling_sec32":$c32%.2f,""" +

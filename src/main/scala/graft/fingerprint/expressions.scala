@@ -429,16 +429,25 @@ case class ShingleOverlap(left: Expression, right: Expression)
 object TextExtraction {
   private val dropBlocks = Seq("script", "style", "nav", "header", "footer", "head")
 
+  // precompiled once per JVM: String.replaceAll would recompile every
+  // pattern on every row — at web scale that is millions of Pattern
+  // compilations in the hottest map stage for zero semantic difference
+  private val commentRe = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val dropRes = dropBlocks.map(tag =>
+    java.util.regex.Pattern.compile(s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>")).toArray
+  private val tagRe = java.util.regex.Pattern.compile("(?s)<[^>]*>")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null) return ""
     var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     // comments first so commented-out tags don't confuse block dropping
-    s = s.replaceAll("(?s)<!--.*?-->", " ")
-    for (tag <- dropBlocks)
-      s = s.replaceAll(s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>", " ")
-    s = s.replaceAll("(?s)<[^>]*>", " ")
+    s = commentRe.matcher(s).replaceAll(" ")
+    var i = 0
+    while (i < dropRes.length) { s = dropRes(i).matcher(s).replaceAll(" "); i += 1 }
+    s = tagRe.matcher(s).replaceAll(" ")
     s = decodeEntities(s)
-    s = s.replaceAll("\\s+", " ").trim
+    s = wsRe.matcher(s).replaceAll(" ").trim
     s
   }
 

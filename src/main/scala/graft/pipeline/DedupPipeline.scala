@@ -160,21 +160,31 @@ object DedupPipeline {
         .select("id_a", "id_b", "hamming"))
 
     // verify, tier 1 (cheap, signature-only): a pair is a near-dup edge if —
-    //  - exact shingle Jaccard ≥ threshold (the MinHash/enhanced-hash path), or
     //  - SimHash Hamming ≤ accept threshold (the reference's PRIMARY
     //    predicate, phash_threshold ≙ config.rs:51,105 — unrelated docs sit
-    //    at hamming ≈ 32 ± 4, so ≤12 is a ~5σ acceptance).
+    //    at hamming ≈ 32 ± 4, so ≤12 is a ~5σ acceptance), or
+    //  - exact shingle Jaccard ≥ threshold (the MinHash/enhanced-hash path).
+    //
+    // Hamming-accepted pairs are split out BEFORE the shingle fetch: their
+    // Jaccard is never consulted, and the shingle arrays (~2 KB/row, the
+    // widest thing in the verify stage) are by far the dominant shuffle
+    // bytes — on a dup-heavy corpus most true pairs accept at this tier,
+    // so the wide re-join only serves the genuinely ambiguous slice.
+    val acceptedByHamming = withHamming
+      .filter(col("hamming") <= cfg.simhashAcceptHamming)
+      .select("id_a", "id_b")
+    val needShingles = withHamming.filter(col("hamming") > cfg.simhashAcceptHamming)
+
     val shinglesDf = sigs.select(col("id"), col("shingles"))
-    val scored = withHamming
+    val scored = needShingles
       .join(shinglesDf.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shinglesDf.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("ov", Fingerprints.shingleOverlap(col("sh_a"), col("sh_b")))
-      .select(col("id_a"), col("id_b"), col("hamming"),
+      .select(col("id_a"), col("id_b"),
         col("ov.jaccard").as("jaccard"), col("ov.containment").as("containment"))
-    val cheapAccept =
-      col("jaccard") >= cfg.jaccardThreshold ||
-        col("hamming") <= cfg.simhashAcceptHamming
-    val accepted = scored.filter(cheapAccept).select("id_a", "id_b")
+    val cheapAccept = col("jaccard") >= cfg.jaccardThreshold
+    val accepted = acceptedByHamming
+      .union(scored.filter(cheapAccept).select("id_a", "id_b"))
 
     // verify, tier 2 (asymmetric near-dups: truncation / quotation):
     // shingle-set containment GATES the candidate; the authoritative check
