@@ -18,7 +18,16 @@ object RunOnce {
     Bench.materializePages(spark, numBase, s"$tmp/full")
 
     def job(path: String): Long =
-      if (mapOnly) {
+      if (sys.env.get("SPARK_GRAFT_STAGE").contains("shuffle")) {
+        // pure shuffle ceiling: synthetic wide groupBy (no engine code) —
+        // measures what ANY shuffle-bound Spark job can scale to on this
+        // box, the shuffle-stage analog of the chained-sha2 CPU ceiling
+        import org.apache.spark.sql.functions._
+        spark.range(numBase * 600)
+          .select(pmod(xxhash64(col("id")), lit(numBase * 60)).as("k"))
+          .groupBy("k").count()
+          .agg(sum("count")).collect()(0).getLong(0)
+      } else if (mapOnly) {
         import org.apache.spark.sql.functions._
         val pages = spark.read.parquet(path).select(col("url"),
           graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
@@ -39,7 +48,8 @@ object RunOnce {
     val t0 = System.nanoTime()
     val n = job(s"$tmp/full")
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"cpus":$cpus,"stage":"${if (mapOnly) "map" else "full"}","rows":$n,"sec":$sec%.2f}""")
+    val stage = sys.env.getOrElse("SPARK_GRAFT_STAGE", "full")
+    println(f"""{"cpus":$cpus,"stage":"$stage","rows":$n,"sec":$sec%.2f}""")
     spark.stop()
   }
 }
