@@ -34,7 +34,10 @@ object Main {
       fastPath: Boolean = false,
       forceRescan: Boolean = false,
       jaccardThreshold: Option[Double] = None,
-      maxHamming: Option[Int] = None)
+      maxHamming: Option[Int] = None,
+      extractFrom: Option[String] = None,
+      extractor: String = "html",
+      diagnose: Boolean = false)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -54,9 +57,12 @@ object Main {
       case "--max-hamming" :: v :: t =>
         v.toIntOption.toRight(s"--max-hamming: not an int: $v")
           .flatMap(h => loop(t, acc.copy(maxHamming = Some(h))))
+      case "--extract-from" :: v :: t => loop(t, acc.copy(extractFrom = Some(v)))
+      case "--extractor" :: v :: t   => loop(t, acc.copy(extractor = v))
       case "--execute" :: t          => loop(t, acc.copy(execute = true))
       case "--fast-path" :: t        => loop(t, acc.copy(fastPath = true))
       case "--force-rescan" :: t     => loop(t, acc.copy(forceRescan = true))
+      case "--diagnose" :: t         => loop(t, acc.copy(diagnose = true))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -64,12 +70,14 @@ object Main {
   }
 
   private def validate(a: CliArgs): Either[String, CliArgs] =
-    if (a.pages.isEmpty) Left("--pages <path-or-table> is required")
-    else if (a.state.isEmpty) Left("--state <dir-uri> is required")
+    if (a.state.isEmpty) Left("--state <dir-uri> is required")
+    else if (a.pages.isEmpty && !a.diagnose) Left("--pages <path-or-table> is required")
     else if (!graft.actions.Actions.ValidActions.contains(a.action))
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
     else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
       Left("--jaccard must be in (0, 1]")
+    else if (!Set("html", "plaintext").contains(a.extractor))
+      Left("--extractor must be html or plaintext")
     else Right(a)
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
@@ -86,7 +94,9 @@ object Main {
         "usage: graft.Main --pages <path-or-table> --state <dir-uri> " +
           "[--id-col url] [--text-col text] [--action move|delete|symlink] " +
           "[--execute] [--backup-dir <uri>] [--fast-path] [--force-rescan] " +
-          "[--jaccard <0..1>] [--max-hamming <int>]")
+          "[--jaccard <0..1>] [--max-hamming <int>] " +
+          "[--extract-from <binary-col>] [--extractor html|plaintext] | " +
+          "--state <dir-uri> --diagnose")
       sys.exit(2)
     case Right(a) =>
       // spark-submit provides the master (spark.master system property);
@@ -103,8 +113,24 @@ object Main {
             .config("spark.ui.enabled", "false")
         }).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      if (a.diagnose) {
+        // inspection mode (reference `diagnose_database` user command):
+        // report state consistency and exit without processing anything
+        Checkpoints.diagnose(spark, a.state).collect().foreach(r =>
+          println(s"""{"category":"${r.getString(0)}","n":${r.getLong(1)}}"""))
+        spark.stop()
+        return
+      }
       val cfg = toConfig(a)
-      val pages = PagesIO.read(spark, a.pages)
+      // S12 seam: derive the text column from a binary payload column with
+      // the selected extractor strategy before the pipeline sees it
+      val raw = PagesIO.read(spark, a.pages)
+      val pages = a.extractFrom match {
+        case Some(src) => raw.withColumn(a.textCol,
+          graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
+            org.apache.spark.sql.functions.col(src)))
+        case None => raw
+      }
       val (nNew, nClusters) =
         Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action)
       val (nExec, nFail) =

@@ -365,16 +365,17 @@ object SparkEntry {
       e => Ann.lshKnn(e, "vec_id", "embedding", k = 3, nPlanes = 48, bands = 16),
       recallBound = 0.9, recallCol = "recall_ge_090")),
 
-    // IVF inverted-list ANN (second scale path; auto sqrt(n) cells). On
-    // weakly-clustered data IVF recall scales with the probe fraction by
-    // construction (neighbors scatter across Voronoi cells): measured 0.79
-    // at nProbe=12 of ~23 cells, gated at 0.75. For low-cosine regimes the
-    // LSH path above is the preferred operator; IVF wins when embeddings
-    // actually cluster (AnnSpec measures 1.0 there).
+    // IVF inverted-list ANN (second scale path; auto sqrt(n) cells refined
+    // by 2 distributed k-means rounds). On weakly-clustered data IVF recall
+    // scales with the probe fraction by construction (neighbors scatter
+    // across Voronoi cells): measured 0.86 at nProbe=12 of ~23 cells
+    // (0.79 unrefined), gated at 0.80. For low-cosine regimes the LSH path
+    // above is the preferred operator; IVF wins when embeddings actually
+    // cluster (AnnSpec measures 0.99-1.0 there).
     "q_ann_ivf" -> ((s, dir) => annInvariants(s,
       t(s, dir, "embeddings"),
       e => Ann.ivfKnn(e, "vec_id", "embedding", k = 3, nProbe = 12),
-      recallBound = 0.75, recallCol = "recall_ge_075")),
+      recallBound = 0.80, recallCol = "recall_ge_080")),
 
     // ── events: windowed/sessionized aggregation ────────────────────────
 
@@ -633,7 +634,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_ann_lsh" -> annInvariantOracle("recall_ge_090"),
-    "q_ann_ivf" -> annInvariantOracle("recall_ge_075"),
+    "q_ann_ivf" -> annInvariantOracle("recall_ge_080"),
 
     "q_embedding_knn" ->
       """WITH q AS (

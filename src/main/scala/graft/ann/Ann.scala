@@ -156,24 +156,58 @@ object Ann {
     * members (deterministic hash-ranked); overflow is dropped with an
     * explicit logged count, mirroring `LSH.candidatePairs.maxBucketSize` —
     * never a silent quadratic blowup on a skewed cell.
+    *
+    * Coarse quantizer quality: the hash-sampled seeds are refined by
+    * `kmeansIters` distributed Lloyd rounds (assign → per-cell mean).
+    * Each round is one broadcast assignment plus ONE partial+final
+    * aggregation on cell id; centroid sums run over integer-valued
+    * doubles (quantized coordinates), which float addition represents
+    * EXACTLY below 2^53 — so the means are reduction-order-independent
+    * and the whole index stays bit-deterministic across partitionings.
     */
   def ivfKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-             nCells: Int = 0, nProbe: Int = 4, maxListSize: Int = 100000): DataFrame = {
+             nCells: Int = 0, nProbe: Int = 4, maxListSize: Int = 100000,
+             kmeansIters: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
     val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", qnorm(col("qv")))
     val cells =
       if (nCells > 0) nCells
       else math.max(4, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
-    val cents = base.orderBy(xxhash64(col("id")), col("id")).limit(cells)
-      .select(col("id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
 
-    val cellScores = base.crossJoin(broadcast(cents))
-      .withColumn("csim", pairCos(col("nrm"), col("cnrm"), qdot(col("qv"), col("cqv"))))
-    val byCell = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id").asc)
-    val ranked = cellScores.withColumn("crank", row_number().over(byCell))
+    // seeds: deterministic hash-based sample, numbered 0..cells-1 (the
+    // window runs on ≤ cells rows — a tiny frame)
+    val seedW = Window.orderBy(xxhash64(col("id")), col("id"))
+    var cents = base.orderBy(xxhash64(col("id")), col("id")).limit(cells)
+      .withColumn("cell", row_number().over(seedW).cast("long") - 1)
+      .select(col("cell"), col("qv").as("cqv"))
 
+    // nearest-centroid assignment: broadcast the (small) centroid table,
+    // rank cells per vector by exact quantized cosine
+    def assign(cs: DataFrame): DataFrame = {
+      val scored = base.crossJoin(broadcast(
+          cs.withColumn("cnrm", qnorm(col("cqv")))))
+        .withColumn("csim", pairCos(col("nrm"), col("cnrm"), qdot(col("qv"), col("cqv"))))
+      val byVec = Window.partitionBy("id").orderBy(col("csim").desc, col("cell").asc)
+      scored.withColumn("crank", row_number().over(byVec))
+    }
+
+    for (_ <- 1 to math.max(0, kmeansIters)) {
+      cents = assign(cents).filter(col("crank") === 1)
+        .select(col("cell"), col("qv").cast("array<double>").as("qvd"))
+        .groupBy("cell")
+        .agg(Summarizer.sum(array_to_vector(col("qvd"))).as("sv"),
+          count(lit(1)).as("cn"))
+        .select(col("cell"),
+          transform(vector_to_array(col("sv")),
+            x => round(x / col("cn")).cast("long")).as("cqv"))
+        .localCheckpoint() // cut lineage: later rounds must not replay earlier ones
+    }
+
+    val ranked = assign(cents)
     val listsAll = ranked.filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("id").as("nbr_id"),
+      .select(col("cell"), col("id").as("nbr_id"),
         col("qv").as("qw"), col("nrm").as("nr"))
     // hard cap per inverted list (deterministic hash order, so the kept
     // subset is reproducible across partitionings); drops are logged
@@ -191,7 +225,7 @@ object Ann {
           "skewed cells; recall for those members degrades, never task memory")
     val lists = listsRanked.filter(col("lrank") <= maxListSize).drop("lrank")
     val probes = ranked.filter(col("crank") <= nProbe)
-      .select(col("id"), col("qv"), col("nrm").as("nl"), col("cent_id").as("cell"))
+      .select(col("id"), col("qv"), col("nrm").as("nl"), col("cell"))
 
     val scored = probes.join(lists, "cell")
       .filter(col("id") =!= col("nbr_id"))

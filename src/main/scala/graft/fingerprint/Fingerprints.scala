@@ -115,6 +115,24 @@ object Fingerprints {
   def extractText(html: Column): Column =
     shim.toColumn(ExtractText(shim.toExpression(html)))
 
+  /** Pluggable extractor strategies — the seam the reference fills with a
+    * platform-specific external-process decoder (S12, macOS
+    * `sips`/`qlmanage` shell-outs, `src/platform/macos.rs:53-322`). Here
+    * both strategies are in-JVM Column functions; a future strategy (e.g.
+    * a codec UDF) registers under a new name without touching callers.
+    *
+    *  - "html":      full boilerplate-dropping extraction ([[ExtractText]])
+    *  - "plaintext": UTF-8 decode + whitespace collapse only (for corpora
+    *                 whose payloads are already text)
+    */
+  def extractorByName(name: String): Column => Column = name match {
+    case "html"      => extractText
+    case "plaintext" => (c: Column) =>
+      trim(regexp_replace(decode(c, "UTF-8"), "\\s+", " "))
+    case other => throw new IllegalArgumentException(
+      s"unknown extractor '$other' (expected html|plaintext)")
+  }
+
   /** Estimated Jaccard from two MinHash signatures: fraction of equal
     * slots. zip_with + aggregate — stays in codegen.
     */

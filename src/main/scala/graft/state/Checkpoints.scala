@@ -216,6 +216,37 @@ object Checkpoints {
     }
   }
 
+  /** State consistency diagnosis — the runnable analog of the reference's
+    * `diagnose_database` user command (`src/persistence/db.rs:213-278`,
+    * which counts crypto-only / perceptual-only half-rows). The one-row
+    * twin-column design makes half-rows impossible, so the checks that
+    * remain meaningful here are CROSS-TABLE: every signature row should be
+    * clustered, every cluster row should have a signature, tombstoned rows
+    * should be gone from neither. Output: (category, n) — all-zero except
+    * the totals on a healthy store.
+    */
+  def diagnose(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = readIfExists(spark, signaturesPath(stateDir))
+      .map(_.select("id")).getOrElse(spark.emptyDataset[String].toDF("id"))
+    val clusters = readIfExists(spark, clustersPath(stateDir))
+      .map(_.select("id")).getOrElse(spark.emptyDataset[String].toDF("id"))
+    val quarantined = readIfExists(spark, quarantinePath(stateDir))
+      .map(_.count()).getOrElse(0L)
+    val tombstoned = readIfExists(spark, tombstonesPath(stateDir))
+      .map(_.count()).getOrElse(0L)
+    val unclustered = sigs.join(clusters, Seq("id"), "left_anti").count()
+    val dangling = clusters.join(sigs, Seq("id"), "left_anti").count()
+    Seq(
+      ("signatures", sigs.count()),
+      ("clusters", clusters.count()),
+      ("quarantined", quarantined),
+      ("tombstoned", tombstoned),
+      ("signature_without_cluster", unclustered),
+      ("cluster_without_signature", dangling)
+    ).toDF("category", "n")
+  }
+
   /** Manifest lines, oldest first; empty if no manifest yet. */
   def readManifest(spark: SparkSession, stateDir: String): Seq[String] = {
     val (fs, p) = fsFor(spark, manifestPath(stateDir))

@@ -52,5 +52,16 @@ class EntrySpec extends SparkTestBase {
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--bogus")).isLeft)                                                 // unknown flag
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s")).isRight)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--extractor", "exotic")).isLeft)                                   // unknown strategy
+  }
+
+  test("CLI arg parsing: extractor seam + diagnose mode") {
+    val a = Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--extract-from", "html", "--extractor", "plaintext")).toOption.get
+    assert(a.extractFrom.contains("html") && a.extractor == "plaintext")
+    // diagnose needs only --state
+    assert(Main.parse(Seq("--state", "/s", "--diagnose")).toOption.exists(_.diagnose))
+    assert(Main.parse(Seq("--diagnose")).isLeft)
   }
 }

@@ -175,6 +175,20 @@ class StateSpec extends SparkTestBase {
     assert(failed.select("error").as[String].collect().head == "missing_id")
   }
 
+  test("diagnose reports consistent totals and zero cross-table drift") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 4L, seed = 13L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, action = "delete")
+    Checkpoints.executeEpoch(spark, dir, None)
+    val d = Checkpoints.diagnose(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val nk = PagesGen.variantKinds.length
+    assert(d("signatures") == 4L * nk && d("clusters") == 4L * nk)
+    assert(d("signature_without_cluster") == 0L)
+    assert(d("cluster_without_signature") == 0L)
+    assert(d("tombstoned") > 0L && d("quarantined") == 0L)
+  }
+
   test("metrics table records per-partition lineage per epoch") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 6L, seed = 4L, tokensPerDoc = 80).toDF()

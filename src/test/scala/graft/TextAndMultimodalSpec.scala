@@ -104,6 +104,22 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(m.getLong(0) == 777L && m.getLong(1) == 333L)
   }
 
+  test("extractor strategies: html drops chrome, plaintext only normalizes") {
+    import graft.fingerprint.{Fingerprints => FP}
+    val html = "<html><body><nav>menu</nav><p>Hello   world</p></body></html>"
+      .getBytes("UTF-8")
+    val plain = "Hello   world\n\tagain".getBytes("UTF-8")
+    val df = Seq((html, plain)).toDF("h", "p").select(
+      FP.extractorByName("html")($"h").as("eh"),
+      FP.extractorByName("plaintext")($"p").as("ep"),
+      FP.extractorByName("plaintext")($"h").as("eph"))
+    val r = df.first()
+    assert(r.getString(0) == "Hello world")          // nav chrome dropped
+    assert(r.getString(1) == "Hello world again")    // ws collapsed only
+    assert(r.getString(2).contains("<nav>"))         // plaintext keeps tags
+    intercept[IllegalArgumentException](FP.extractorByName("exotic"))
+  }
+
   test("fake decode meta + frame sampling plumbing") {
     val df = Seq((1L, ("x" * 600).getBytes)).toDF("id", "blob")
     val meta = Multimodal.withMeta(df, "id", "blob").first()
