@@ -79,6 +79,73 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  // ── streaming dedup (the engine's own domain, stream-shaped) ──────────
+
+  /** Streaming EXACT dedup: first-seen page per content hash within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keys state by the
+    * hash alone and expires it with the watermark — bounded state, the
+    * stream analog of the exact-first batch pass. Works on both readStream
+    * and read (batch ignores the watermark).
+    */
+  def streamingExactDedup(pages: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("content_hash", graft.fingerprint.Fingerprints.contentHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  case class BandedSig(band: Int, band_hash: Long, id: String, simhash: Long)
+  case class StreamPair(id_a: String, id_b: String, hamming: Int)
+
+  /** Band a pages frame into the fast-path SimHash buckets (4 × 16-bit
+    * slices — the same pigeonhole banding as `DedupPipeline.nearEdgesFast`)
+    * as a typed stream. Pure projection + explode: stream-safe.
+    */
+  def bandedSimhash(pages: DataFrame, idCol: String, textCol: String,
+                    bands: Int = 4): Dataset[BandedSig] = {
+    import pages.sparkSession.implicits._
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    pages.select(col(idCol).cast("string").as("id"),
+        graft.fingerprint.Fingerprints.simhash(col(textCol)).as("simhash"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash", expr(s"shiftright(simhash, band * $width) & $mask"))
+      .select("band", "band_hash", "id", "simhash").as[BandedSig]
+  }
+
+  /** Streaming NEAR-dup detection: incremental fast-path LSH via
+    * `flatMapGroupsWithState` keyed by (band, band_hash). Per-bucket state
+    * holds the (id, simhash) members seen so far (hard-capped, mirroring
+    * `maxBucketSize` — a boilerplate mega-bucket saturates its cap instead
+    * of growing without bound); each arriving doc is Hamming-verified
+    * against its bucket's state and emits a pair per match. The same pair
+    * can surface from several bands — downstream consumers dedupe, exactly
+    * like the batch pair-distinct.
+    */
+  def streamingNearDupPairs(sigs: Dataset[BandedSig], maxHamming: Int = 3,
+                            maxBucket: Int = 64): Dataset[StreamPair] = {
+    import sigs.sparkSession.implicits._
+    sigs
+      .groupByKey(s => (s.band, s.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedSig], state: GroupState[List[(String, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[StreamPair]
+          rows.foreach { r =>
+            seen.foreach { case (oid, osim) =>
+              val h = java.lang.Long.bitCount(r.simhash ^ osim)
+              if (h <= maxHamming && oid != r.id) {
+                val (a, b) = if (r.id < oid) (r.id, oid) else (oid, r.id)
+                out += StreamPair(a, b, h)
+              }
+            }
+            if (seen.size < maxBucket) seen = (r.id, r.simhash) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: Timestamp)
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -69,6 +69,47 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq == Seq((1L, 2L, 3L), (2L, 2L, 2L), (3L, 1L, 1L)))
   }
 
+  test("streaming exact dedup keeps the first-seen page per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Pg(url: String, ts: Timestamp, text: String)
+    val stream = MemoryStream[(String, Timestamp, String)]
+    val df = stream.toDF().toDF("url", "ts", "text")
+    val q = StreamOps.streamingExactDedup(df, "url", "text", "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("exact_out").start()
+    val t = new Timestamp(1700000000000L)
+    stream.addData(("u1", t, "same text"), ("u2", t, "same text"), ("u3", t, "other"))
+    q.processAllAvailable()
+    stream.addData(("u4", t, "same text"), ("u5", t, "third"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("exact_out").select("url").as[String].collect().toSet
+    // one survivor per distinct text; u2/u4 are duplicates of u1's hash
+    assert(kept.intersect(Set("u2", "u4")).isEmpty)
+    assert(kept.contains("u3") && kept.contains("u5"))
+    assert(kept.count(Set("u1", "u2", "u4")) == 1)
+  }
+
+  test("streaming near-dup pairs: cross-micro-batch fast-path LSH with capped state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val sigs = StreamOps.bandedSimhash(stream.toDF().toDF("url", "text"), "url", "text")
+    val q = StreamOps.streamingNearDupPairs(sigs)
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_out").start()
+    val base = (1 to 40).map(i => s"token$i word$i").mkString(" ")
+    stream.addData(("a", base), ("x", "completely different content entirely unrelated"))
+    q.processAllAvailable()
+    // batch 2: an exact copy (hamming 0) and an unrelated doc
+    stream.addData(("b", base), ("y", (100 to 140).map(i => s"zz$i qq$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_out")
+      .select("id_a", "id_b").distinct().as[(String, String)].collect().toSet
+    assert(pairs.contains(("a", "b")), s"cross-batch twin not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == "x" || p._2 == "x" || p._1 == "y" || p._2 == "y"))
+  }
+
   test("mapGroupsWithState: running per-user counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamOps.UserEvent]
