@@ -113,32 +113,36 @@ object Main {
             .config("spark.ui.enabled", "false")
         }).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      if (a.diagnose) {
-        // inspection mode (reference `diagnose_database` user command):
-        // report state consistency and exit without processing anything
-        Checkpoints.diagnose(spark, a.state).collect().foreach(r =>
-          println(s"""{"category":"${r.getString(0)}","n":${r.getLong(1)}}"""))
-        spark.stop()
-        return
-      }
-      val cfg = toConfig(a)
-      // S12 seam: derive the text column from a binary payload column with
-      // the selected extractor strategy before the pipeline sees it
-      val raw = PagesIO.read(spark, a.pages)
-      val pages = a.extractFrom match {
-        case Some(src) => raw.withColumn(a.textCol,
-          graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
-            org.apache.spark.sql.functions.col(src)))
-        case None => raw
-      }
-      val (nNew, nClusters) =
-        Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action)
-      val (nExec, nFail) =
-        if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir)
-        else (0L, 0L)
-      println(
-        s"""{"new_signatures":$nNew,"clusters":$nClusters,""" +
-          s""""executed":$nExec,"failed":$nFail,"state":"${a.state}"}""")
+      run(spark, a).foreach(println)
       spark.stop()
+  }
+
+  /** The whole job given a live session — separated from [[main]] so tests
+    * drive the full CLI path without the session lifecycle. Returns the
+    * emitted JSON lines.
+    */
+  def run(spark: SparkSession, a: CliArgs): Seq[String] = {
+    if (a.diagnose)
+      // inspection mode (reference `diagnose_database` user command):
+      // report state consistency and exit without processing anything
+      return Checkpoints.diagnose(spark, a.state).collect().toSeq.map(r =>
+        s"""{"category":"${r.getString(0)}","n":${r.getLong(1)}}""")
+    val cfg = toConfig(a)
+    // S12 seam: derive the text column from a binary payload column with
+    // the selected extractor strategy before the pipeline sees it
+    val raw = PagesIO.read(spark, a.pages)
+    val pages = a.extractFrom match {
+      case Some(src) => raw.withColumn(a.textCol,
+        graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
+          org.apache.spark.sql.functions.col(src)))
+      case None => raw
+    }
+    val (nNew, nClusters) =
+      Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action)
+    val (nExec, nFail) =
+      if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir)
+      else (0L, 0L)
+    Seq(s"""{"new_signatures":$nNew,"clusters":$nClusters,""" +
+      s""""executed":$nExec,"failed":$nFail,"state":"${a.state}"}""")
   }
 }

@@ -56,6 +56,27 @@ class EntrySpec extends SparkTestBase {
       "--extractor", "exotic")).isLeft)                                   // unknown strategy
   }
 
+  test("CLI end-to-end: extract-from html, cluster, execute, diagnose") {
+    import graft.pages.PagesGen
+    import graft.state.Checkpoints
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    // pages parquet WITHOUT a usable text column: the CLI must derive it
+    PagesGen.pages(spark, 4L, seed = 21L, tokensPerDoc = 100).toDF()
+      .drop("text")
+      .write.parquet(s"$tmp/pages")
+    val a = Main.parse(Seq(
+      "--pages", s"$tmp/pages", "--state", s"$tmp/state",
+      "--extract-from", "html", "--action", "delete", "--execute")).toOption.get
+    val out = Main.run(spark, a)
+    assert(out.exists(_.contains("\"new_signatures\":" + 4 * PagesGen.variantKinds.length)))
+    assert(out.exists(_.contains("\"failed\":0")))
+    // derived-text clustering found real duplicates and executed them
+    assert(spark.read.parquet(Checkpoints.tombstonesPath(s"$tmp/state")).count() > 0)
+    val diag = Main.run(spark, Main.parse(Seq(
+      "--state", s"$tmp/state", "--diagnose")).toOption.get)
+    assert(diag.exists(_.contains("\"category\":\"signature_without_cluster\",\"n\":0")))
+  }
+
   test("CLI arg parsing: extractor seam + diagnose mode") {
     val a = Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--extract-from", "html", "--extractor", "plaintext")).toOption.get

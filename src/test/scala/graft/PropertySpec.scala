@@ -60,6 +60,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("union-find equals a reference sequential DSU on random graphs") {
+    // in-memory path-compressed DSU as the trusted reference
+    def dsuComponents(n: Int, es: Seq[(Int, Int)]): Map[Int, Int] = {
+      val p = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+      }
+      // full compression, then remap every root to its component MIN member
+      val root = (0 until n).map(find)
+      val minOf = (0 until n).groupBy(root).map { case (r, m) => r -> m.min }
+      (0 until n).map(i => i -> minOf(root(i))).toMap
+    }
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 23), Gen.choose(0, 23)).suchThat { case (a, b) => a != b })
+    for (es <- samples(edgeGen, 5, 4000L) if es.nonEmpty) {
+      val expected = dsuComponents(24, es)
+      val edges = es.map { case (a, b) => (a.toLong, b.toLong) }.toDF("a", "b")
+      val got = Clustering.unionFind(spark, edges).collect()
+        .map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+      got.foreach { case (id, label) =>
+        assert(label == expected(id),
+          s"node $id: spark label $label != reference ${expected(id)} (edges $es)")
+      }
+    }
+  }
+
   test("minhash permutation coefficients are odd, distinct and deterministic") {
     val (a1, b1) = HashKernels.coefficients(128, 42L)
     val (a2, b2) = HashKernels.coefficients(128, 42L)
