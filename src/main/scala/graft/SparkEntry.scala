@@ -193,7 +193,10 @@ object SparkEntry {
 
     // suffix-array substring pass kernel (north_rule): prefix-in-document
     // containment decided by generalized-suffix-array LCS, cross-checked
-    // against DuckDB's exact substring `contains`
+    // against DuckDB's exact substring `contains`. ORACLE DEMO: the
+    // within-source all-pairs join exists to exercise the SA kernel against
+    // an exact oracle; in the pipeline the kernel runs only on the
+    // containment-gated ambiguous slice of LSH candidates.
     "q_substring_containment" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
         FP.normalized(col("text")).as("nt"))
@@ -322,7 +325,11 @@ object SparkEntry {
         lit(minProp).as("cluster_id_is_min_member"))
     }),
 
-    // n-gram (word-set) Jaccard similarity pairs within a source partition
+    // n-gram (word-set) Jaccard similarity pairs within a source partition.
+    // ORACLE DEMO: all-pairs within `source` is exact and DuckDB-checkable,
+    // which is its whole job — the scale path for pair discovery is the
+    // banded LSH pipeline (q_dedup_clusters); group sizes here are bounded
+    // by the fixture's per-source fan-out.
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),

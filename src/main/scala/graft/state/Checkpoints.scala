@@ -102,20 +102,28 @@ object Checkpoints {
       .withColumn("epoch", lit(epoch))
     withPart.write.mode(if (cfg.forceRescan) "overwrite" else "append").parquet(sigPath)
 
-    val nQuarantined = bad.count()
-    if (nQuarantined > 0) bad.write.mode("append").parquet(qPath)
+    // quarantine computed ONCE: cache spans the count and the write
+    val badC = bad.cache()
+    val nQuarantined = badC.count()
+    if (nQuarantined > 0) badC.write.mode("append").parquet(qPath)
+    badC.unpersist()
 
-    val thisEpoch = spark.read.parquet(sigPath).filter(col("epoch") === epoch)
-    val lineage = thisEpoch.groupBy("part_id")
+    // one read-back pass over the committed epoch serves BOTH the lineage
+    // table and the row count (sum of per-partition counts) — the tiny
+    // lineage aggregate is cached instead of re-scanning the parquet
+    val lineage = spark.read.parquet(sigPath).filter(col("epoch") === epoch)
+      .groupBy("part_id")
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("epoch", lit(epoch))
       .withColumn("table", lit("signatures"))
+      .cache()
     lineage.write.mode("append").parquet(metricsPath(stateDir))
 
     // X13 rate metrics (reference progress.rs ETA math): each commit line
     // records its own throughput, so an operator can project the remaining
     // corpus (eta = remaining / docs_per_sec) from the manifest alone
-    val nNew = thisEpoch.count()
+    val nNew = lineage.agg(coalesce(sum("n_rows"), lit(0L))).first().getLong(0)
+    lineage.unpersist()
     val elapsed = (System.nanoTime() - epochT0) / 1e9
     val rate = if (elapsed > 0) nNew / elapsed else 0.0
     appendManifest(spark, stateDir,
