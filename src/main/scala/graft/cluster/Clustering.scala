@@ -31,9 +31,14 @@ object Clustering {
   /** One large-star round: every node connects its strictly-LARGER
     * neighbors to the minimum of its closed neighborhood. Kiveris et al.,
     * "Connected Components in MapReduce and Beyond" (SOCC'14) — a textbook
-    * public algorithm. Window-min instead of collect_set: a mega-star's
-    * neighbor list never materializes in one buffer, the partition min is
-    * streaming + spillable.
+    * public algorithm.
+    *
+    * The per-node minimum is a partial-aggregating groupBy re-joined to the
+    * edge list — deliberately NOT a window: a window pins ALL rows of one
+    * node to one task, so a mega-star (boilerplate component at web scale)
+    * would serialize into a straggler every round. Hash aggregation
+    * combines map-side, and AQE splits the skewed enrichment-join
+    * partitions.
     *
     * Input/output edges are undirected; output rows are oriented (u > v).
     * Each undirected input edge yields exactly one output row (emitted from
@@ -41,8 +46,9 @@ object Clustering {
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val w = Window.partitionBy("u")
-    sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
   }
@@ -50,15 +56,16 @@ object Clustering {
   /** One small-star round: every node connects its smaller-or-equal
     * neighbors (and itself) to the minimum of its closed neighborhood.
     * Expects edges oriented (u > v) — [[largeStar]]'s output shape — and
-    * preserves that orientation. Output is deduplicated: this is the one
-    * distinct per round, bounding edge-set growth at |E| + |V|.
+    * preserves that orientation. Same skew-safe groupBy+join shape as
+    * [[largeStar]]. Output is deduplicated: this is the one distinct per
+    * round, bounding edge-set growth at |E| + |V|.
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val w = Window.partitionBy("u")
-    val withM = e.withColumn("m", min(col("v")).over(w))
-    withM.filter(col("v") =!= col("m"))
+    val mins = e.groupBy("u").agg(min(col("v")).as("m")) // every v < u here
+    e.join(mins, "u")
+      .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .union(withM.select(col("u"), col("m").as("v")))
+      .union(mins.select(col("u"), col("m").as("v")))
       .distinct()
   }
 
