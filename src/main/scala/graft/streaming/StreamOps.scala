@@ -84,15 +84,25 @@ object StreamOps {
   /** Streaming EXACT dedup: first-seen page per content hash within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keys state by the
     * hash alone and expires it with the watermark — bounded state, the
-    * stream analog of the exact-first batch pass. Works on both readStream
-    * and read (batch ignores the watermark).
+    * stream analog of the exact-first batch pass. On a BATCH frame (where
+    * Spark rejects the streaming dedup operator, and "first seen" is
+    * meaningless anyway) the same call keeps the deterministic min-id row
+    * per hash instead.
     */
   def streamingExactDedup(pages: DataFrame, idCol: String, textCol: String,
-                          tsCol: String, watermark: String = "1 hour"): DataFrame =
-    pages
-      .withColumn("content_hash", graft.fingerprint.Fingerprints.contentHash(col(textCol)))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("content_hash")
+                          tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    val hashed = pages.withColumn("content_hash",
+      graft.fingerprint.Fingerprints.contentHash(col(textCol)))
+    if (hashed.isStreaming)
+      hashed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+      hashed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
 
   case class BandedSig(band: Int, band_hash: Long, id: String, simhash: Long)
   case class StreamPair(id_a: String, id_b: String, hamming: Int)

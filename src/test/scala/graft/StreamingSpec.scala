@@ -90,6 +90,15 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.count(Set("u1", "u2", "u4")) == 1)
   }
 
+  test("streamingExactDedup transform also runs on a plain batch frame") {
+    val t = new Timestamp(1700000000000L)
+    val df = Seq(("u1", t, "same"), ("u2", t, "same"), ("u3", t, "other"))
+      .toDF("url", "ts", "text")
+    val kept = StreamOps.streamingExactDedup(df, "url", "text", "ts")
+      .select("url").as[String].collect().toSet
+    assert(kept == Set("u1", "u3")) // batch twin: deterministic min-id survivor
+  }
+
   test("streaming near-dup pairs: cross-micro-batch fast-path LSH with capped state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String)]
