@@ -34,8 +34,12 @@ object SparkEntry {
   private def annInvariants(s: SparkSession, vecs: DataFrame,
                             op: DataFrame => DataFrame,
                             recallBound: Double, recallCol: String): DataFrame = {
-    val knn = op(vecs)
+    // each invariant below is its own action: materialize both operator
+    // outputs ONCE instead of re-running the ANN (and the O(n²) baseline)
+    // per aggregate
+    val knn = op(vecs).localCheckpoint()
     val bf = Ann.bruteForceKnn(vecs, vecs, "vec_id", "embedding", k = 3)
+      .localCheckpoint()
     val nVecs = vecs.count()
     val ranksValid = knn.filter(col("rank") < 1 || col("rank") > 3).count() == 0
     val perIdBounded = knn.groupBy("id").count().filter(col("count") > 3).count() == 0
@@ -313,6 +317,8 @@ object SparkEntry {
     // count) by the oracle: partition property, one representative per
     // cluster, cluster_id = min member id (the union-find contract).
     "q_dedup_invariants" -> ((s, dir) => {
+      // run() already returns an eagerly checkpointed frame, so the four
+      // invariant actions below read materialized rows, not the full DAG
       val c = DedupPipeline.run(s, t(s, dir, "documents"), "doc_id", "text", DedupConfig())
       val nRows = c.count()
       val idsUnique = c.groupBy("id").count().filter(col("count") > 1).count() == 0

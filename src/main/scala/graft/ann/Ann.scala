@@ -94,12 +94,11 @@ object Ann {
                                nPlanes: Int, bands: Int, seed: Long): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     require(nPlanes <= 64, "at most 64 hyperplanes per signature")
-    val rowsPerBand = nPlanes / bands
-    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
     vecs.select(col(idCol).as("id"),
         hyperplaneSignature(col(vecCol), nPlanes, seed).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_hash", expr(s"shiftright(sig, band * $rowsPerBand) & $mask"))
+      .withColumn("band_hash",
+        graft.lsh.LSH.slicedBandHash("sig", "band", nPlanes / bands))
       .select("id", "band", "band_hash")
   }
 
@@ -205,7 +204,11 @@ object Ann {
         .localCheckpoint() // cut lineage: later rounds must not replay earlier ones
     }
 
-    val ranked = assign(cents)
+    // lazy checkpoint the FINAL assignment: both the inverted lists and the
+    // probe side derive from it, and without this the n x cells broadcast
+    // assignment would re-run for each (the drop-count job below
+    // materializes it once)
+    val ranked = assign(cents).localCheckpoint(eager = false)
     val listsAll = ranked.filter(col("crank") === 1)
       .select(col("cell"), col("id").as("nbr_id"),
         col("qv").as("qw"), col("nrm").as("nr"))
@@ -213,11 +216,7 @@ object Ann {
     // subset is reproducible across partitionings); drops are logged
     val lw = Window.partitionBy("cell")
       .orderBy(xxhash64(col("nbr_id")), col("nbr_id"))
-    // lazy checkpoint: the drop-count job below materializes the assignment
-    // once; the probe join then reads the checkpointed lists instead of
-    // re-running the n x cells assignment
     val listsRanked = listsAll.withColumn("lrank", row_number().over(lw))
-      .localCheckpoint(eager = false)
     val nDropped = listsRanked.filter(col("lrank") > maxListSize).count()
     if (nDropped > 0)
       System.err.println(

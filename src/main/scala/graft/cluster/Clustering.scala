@@ -70,10 +70,11 @@ object Clustering {
   }
 
   /** (row count, order-independent checksum) of an oriented edge set — the
-    * fixpoint detector. Equal consecutive stats ⇒ the (distinct) edge set is
-    * unchanged (64-bit hash-sum collision odds are negligible and any
-    * collision only delays convergence by zero rounds, never corrupts
-    * labels: the loop exits on a TRUE fixpoint or hits maxIters).
+    * fixpoint detector. Equal consecutive stats ⇒ the (distinct) edge set
+    * is unchanged. A count+checksum collision between two DIFFERENT
+    * consecutive edge sets would exit early with non-star labels — odds
+    * are ~2⁻⁶⁴ per round; if the checksum is ever narrowed, replace this
+    * with an exact set-difference check.
     */
   private def edgeStats(e: DataFrame): (Long, Long) = {
     // bit_xor, not sum: order-independent AND overflow-free under ANSI mode

@@ -23,6 +23,17 @@ object LSH {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(minhash, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
 
+  /** Bucket value for slice `bandCol` of a 64-bit fingerprint column cut
+    * into `width`-bit slices — the ONE implementation shared by the batch
+    * fast path, the streaming fast path and the ANN hyperplane banding, so
+    * the three stay bit-identical by construction.
+    */
+  def slicedBandHash(sigCol: String, bandCol: String, width: Int): Column = {
+    require(width >= 1 && width <= 64, s"slice width $width out of range")
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    expr(s"shiftright($sigCol, $bandCol * $width) & $mask")
+  }
+
   /** Anchor-band bucket hashes (winnowing/MOSS-style document
     * fingerprints): select the shingles whose hash ≡ 0 (mod `modulus`) —
     * selection is CONTENT-DEFINED, so two documents sharing any

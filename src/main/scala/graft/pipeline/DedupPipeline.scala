@@ -79,7 +79,11 @@ object DedupPipeline {
                  cfg: DedupConfig, carry: Seq[String] = Nil): DataFrame = {
     // fast path: content_hash + token-level SimHash only; the shingle loop
     // and the minhash permutation matrix never run. Schema stays identical
-    // (empty arrays) so persisted state and the cluster tail are mode-blind.
+    // (empty arrays) so the state tables and the cluster tail are shared;
+    // a later FULL-path epoch over mixed state covers the shingle-less rows
+    // at exact+simhash precision (nearEdges excludes them from minhash
+    // banding; clusterFromParts adds a simhash-tier pass when any exist —
+    // it never re-fingerprints, by the resume contract).
     if (cfg.fastPath)
       return pages.select(
         (col(idCol).as("id") +: carry.map(col)) ++ Seq(
@@ -117,13 +121,21 @@ object DedupPipeline {
     */
   def nearEdges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
                 texts: Option[DataFrame] = None): DataFrame = {
-    val slim = sigs.select("id", "minhash", "simhash")
+    // Rows without shingles cannot be banded or verified: they are
+    // fast-path-persisted state (fastPath stores empty arrays). Empty
+    // arrays must NEVER enter banding — they'd share constant band keys
+    // and ShingleOverlap on two empty sets reads as jaccard 1.0, mass-
+    // merging every fast-path row. Genuine empty TEXT never reaches here
+    // (quarantined upstream; and even "" yields one whole-doc shingle);
+    // clusterFromParts routes the excluded rows through the simhash tier.
+    val banded = sigs.filter(size(col("shingles")) > 0)
+    val slim = banded.select("id", "minhash", "simhash")
     val minhashBands = LSH.explodeBands(slim, "id", "minhash",
       cfg.bands, cfg.rowsPerBand, carry = Seq("simhash"))
     // extra containment channel: one prefix-shingle band (P=1 for prefix
     // truncations at any Jaccard) — computed per ROW before the explode, so
     // the wide shingle array itself never enters the banding shuffle
-    val prefixBand = sigs.select(col("id"), col("simhash"),
+    val prefixBand = banded.select(col("id"), col("simhash"),
       lit(cfg.bands).as("band"),
       LSH.prefixBandHash(col("shingles"), cfg.prefixBandShingles).as("band_hash"))
     // second containment channel: winnowed anchor-pair bands — offset-
@@ -132,7 +144,7 @@ object DedupPipeline {
     // banding shuffle.
     val anchorBands =
       if (cfg.anchorModulus <= 0) None
-      else Some(sigs.select(col("id"), col("simhash"),
+      else Some(banded.select(col("id"), col("simhash"),
         lit(cfg.bands + 1).as("band"),
         explode(LSH.anchorBandHashes(col("shingles"), cfg.anchorModulus))
           .as("band_hash")))
@@ -175,7 +187,7 @@ object DedupPipeline {
       .select("id_a", "id_b")
     val needShingles = withHamming.filter(col("hamming") > cfg.simhashAcceptHamming)
 
-    val shinglesDf = sigs.select(col("id"), col("shingles"))
+    val shinglesDf = banded.select(col("id"), col("shingles"))
     val scored = needShingles
       .join(shinglesDf.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shinglesDf.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -227,11 +239,10 @@ object DedupPipeline {
     * pair distinct.
     */
   def nearEdgesFast(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val width = 64 / cfg.fastPathBands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val exploded = sigs.select(col("id"), col("simhash"))
       .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
-      .withColumn("band_hash", expr(s"shiftright(simhash, band * $width) & $mask"))
+      .withColumn("band_hash",
+        LSH.slicedBandHash("simhash", "band", 64 / cfg.fastPathBands))
       .select("id", "simhash", "band", "band_hash")
     LSH.candidatePairs(exploded, "id",
       hotThreshold = cfg.hotBucketThreshold,
@@ -383,8 +394,21 @@ object DedupPipeline {
 
     val exact = Clustering.exactEdges(slim, "id", "content_hash")
     val near = tick("near edges (LSH+verify)") {
-      (if (cfg.fastPath) nearEdgesFast(spark, repSigs, cfg)
-       else nearEdges(spark, repSigs, cfg, texts)).localCheckpoint(false)
+      val edges =
+        if (cfg.fastPath) nearEdgesFast(spark, repSigs, cfg)
+        else {
+          val full = nearEdges(spark, repSigs, cfg, texts)
+          // MIXED state: rows persisted by a fast-path epoch carry no
+          // shingles and are excluded from minhash banding (see nearEdges);
+          // when any exist, ALL rows additionally go through the simhash
+          // pigeonhole tier so old fast rows still pair (with each other
+          // AND with new full rows) at fast-path precision.
+          val hasFastRows =
+            repSigs.filter(size(col("shingles")) === 0).limit(1).count() > 0
+          if (hasFastRows) full.union(nearEdgesFast(spark, repSigs, cfg))
+          else full
+        }
+      edges.localCheckpoint(false)
     }
     val edges = exact.union(near)
 

@@ -146,7 +146,10 @@ object Checkpoints {
                    action: String = "symlink"): (Long, Long) = {
     val (nNew, _) = runEpoch(spark, pages, idCol, textCol, stateDir, cfg)
 
-    val stateSigs = spark.read.parquet(signaturesPath(stateDir))
+    // cluster the LIVE state: rows vacated by executed delete/move actions
+    // must not re-enter clusters (or worse, win representative selection
+    // and direct new duplicates at originals that no longer exist)
+    val stateSigs = liveSignatures(spark, stateDir)
     val texts = DedupPipeline.normTexts(pages, idCol, textCol, cfg)
     val clusters = DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg)
 
@@ -193,7 +196,9 @@ object Checkpoints {
         plan.join(prior.filter(col("success")).select("id"), Seq("id"), "left_anti")
       case None => plan
     }
-    val universe = spark.read.parquet(signaturesPath(stateDir)).select("id")
+    // validate against the LIVE view: a signature row vacated by an earlier
+    // executed delete/move must not validate as an existing original/dup
+    val universe = liveSignatures(spark, stateDir).select("id")
     // small table (one row per planned duplicate): materialize once, every
     // consumer below (backup, tombstones, counts) reads the checkpoint
     val executed = graft.actions.Actions.execute(pending, universe).localCheckpoint()
@@ -255,11 +260,20 @@ object Checkpoints {
     ).toDF("category", "n")
   }
 
-  /** Manifest lines, oldest first; empty if no manifest yet. */
+  /** Manifest lines, oldest first; empty if no manifest yet. Falls back to
+    * the `.bak` copy if a crash interrupted a commit between its two
+    * renames (see [[appendManifest]]) — at most the crashed commit's own
+    * line is lost, never the history.
+    */
   def readManifest(spark: SparkSession, stateDir: String): Seq[String] = {
     val (fs, p) = fsFor(spark, manifestPath(stateDir))
-    if (!fs.exists(p)) return Nil
-    val in = fs.open(p)
+    val src =
+      if (fs.exists(p)) p
+      else {
+        val bak = new Path(manifestPath(stateDir) + ".bak")
+        if (fs.exists(bak)) bak else return Nil
+      }
+    val in = fs.open(src)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
   }
@@ -269,18 +283,29 @@ object Checkpoints {
     // appends an additional clusters line per epoch)
     readManifest(spark, stateDir).count(_.contains("\"new_signatures\"")).toLong
 
-  /** Append one manifest line via read + tmp-write + rename — works on
-    * stores with no append support (S3, local checksum FS alike); the
+  /** Append one manifest line via read + tmp-write + double rename — works
+    * on stores with no append support (S3, local checksum FS alike); the
     * manifest is tiny (one line per commit), so the rewrite is O(commits).
+    *
+    * Crash safety: the previous manifest is RENAMED to `.bak` (not
+    * deleted) before the new file renames into place, and [[readManifest]]
+    * falls back to `.bak` — a crash in the window between the two renames
+    * loses at most the line being appended, never the commit history (a
+    * delete-then-rename scheme would reset the epoch counter to 0).
     */
   private def appendManifest(spark: SparkSession, stateDir: String, line: String): Unit = {
     val lines = readManifest(spark, stateDir) :+ line
     val (fs, p) = fsFor(spark, manifestPath(stateDir))
     val tmp = new Path(manifestPath(stateDir) + ".tmp")
+    val bak = new Path(manifestPath(stateDir) + ".bak")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
+    if (fs.exists(p)) {
+      if (fs.exists(bak)) fs.delete(bak, false)
+      if (!fs.rename(p, bak))
+        throw new java.io.IOException(s"manifest commit failed: rename $p -> $bak")
+    }
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"manifest commit failed: rename $tmp -> $p")
   }

@@ -114,12 +114,11 @@ object StreamOps {
   def bandedSimhash(pages: DataFrame, idCol: String, textCol: String,
                     bands: Int = 4): Dataset[BandedSig] = {
     import pages.sparkSession.implicits._
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     pages.select(col(idCol).cast("string").as("id"),
         graft.fingerprint.Fingerprints.simhash(col(textCol)).as("simhash"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_hash", expr(s"shiftright(simhash, band * $width) & $mask"))
+      .withColumn("band_hash",
+        graft.lsh.LSH.slicedBandHash("simhash", "band", 64 / bands))
       .select("band", "band_hash", "id", "simhash").as[BandedSig]
   }
 
@@ -142,14 +141,19 @@ object StreamOps {
           var seen = state.getOption.getOrElse(Nil)
           val out = List.newBuilder[StreamPair]
           rows.foreach { r =>
-            seen.foreach { case (oid, osim) =>
-              val h = java.lang.Long.bitCount(r.simhash ^ osim)
-              if (h <= maxHamming && oid != r.id) {
-                val (a, b) = if (r.id < oid) (r.id, oid) else (oid, r.id)
-                out += StreamPair(a, b, h)
+            // at-least-once sources redeliver: an id already in state must
+            // neither re-emit its pairs nor consume another capacity slot
+            // (64 redeliveries would otherwise fill the cap with copies)
+            if (!seen.exists(_._1 == r.id)) {
+              seen.foreach { case (oid, osim) =>
+                val h = java.lang.Long.bitCount(r.simhash ^ osim)
+                if (h <= maxHamming) {
+                  val (a, b) = if (r.id < oid) (r.id, oid) else (oid, r.id)
+                  out += StreamPair(a, b, h)
+                }
               }
+              if (seen.size < maxBucket) seen = (r.id, r.simhash) :: seen
             }
-            if (seen.size < maxBucket) seen = (r.id, r.simhash) :: seen
           }
           state.update(seen)
           out.result().iterator

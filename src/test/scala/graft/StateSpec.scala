@@ -175,6 +175,33 @@ class StateSpec extends SparkTestBase {
     assert(failed.select("error").as[String].collect().head == "missing_id")
   }
 
+  test("mixed fast/full epochs: no empty-shingle mass-merge; simhash tier covers fast rows") {
+    import graft.pipeline.DedupConfig
+    val dir = tempDir()
+    val all = PagesGen.pages(spark, 6L, seed = 17L, tokensPerDoc = 100).toDF().cache()
+    val half = all.filter(xxhash64($"url") % 2 === 0)
+    val rest = all.filter(xxhash64($"url") % 2 =!= 0)
+    // epoch 1 persists shingle-less fast-path signatures; epoch 2 runs the
+    // FULL path over the mixed state (it must not re-fingerprint, must not
+    // band empty arrays, and must still link fast rows via simhash)
+    Checkpoints.clusterEpoch(spark, half, "url", "text", dir, DedupConfig(fastPath = true))
+    Checkpoints.clusterEpoch(spark, rest, "url", "text", dir)
+    val assign = spark.read.parquet(Checkpoints.clustersPath(dir))
+      .select($"id", $"cluster_id").cache()
+    val truth = PagesGen.truthPairs(spark, 6L, seed = 17L).toDF()
+    def joined(t: org.apache.spark.sql.DataFrame) = t
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+    // the empty-array mass-merge would collapse everything into one cluster
+    val falseMerges = joined(truth.filter(!$"expect_dup")).filter($"ca" === $"cb").count()
+    assert(falseMerges == 0, s"$falseMerges unrelated pairs merged in mixed-mode state")
+    assert(assign.select("cluster_id").distinct().count() > 6)
+    // identity + surface-noise dups still link even when the two sides were
+    // fingerprinted by different modes
+    val t = joined(truth.filter($"kind".isin("exact_copy", "ws_noise")))
+    assert(t.filter($"ca" === $"cb").count() == t.count())
+  }
+
   test("diagnose reports consistent totals and zero cross-table drift") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 4L, seed = 13L, tokensPerDoc = 80).toDF()

@@ -112,11 +112,19 @@ class StreamingSpec extends SparkTestBase {
     // batch 2: an exact copy (hamming 0) and an unrelated doc
     stream.addData(("b", base), ("y", (100 to 140).map(i => s"zz$i qq$i").mkString(" ")))
     q.processAllAvailable()
+    // batch 3: at-least-once redelivery of an already-seen doc — must not
+    // re-emit pairs or burn a state-capacity slot
+    stream.addData(("a", base))
+    q.processAllAvailable()
     q.stop()
     val pairs = spark.table("neardup_out")
       .select("id_a", "id_b").distinct().as[(String, String)].collect().toSet
     assert(pairs.contains(("a", "b")), s"cross-batch twin not detected: $pairs")
     assert(!pairs.exists(p => p._1 == "x" || p._2 == "x" || p._1 == "y" || p._2 == "y"))
+    val abEmissions = spark.table("neardup_out")
+      .filter($"id_a" === "a" && $"id_b" === "b").count()
+    assert(abEmissions <= 4, // at most once per colliding band, never re-emitted
+      s"redelivery re-emitted pairs: $abEmissions rows for (a,b)")
   }
 
   test("mapGroupsWithState: running per-user counts accumulate across micro-batches") {
