@@ -45,11 +45,23 @@ object RunOnce {
       Bench.dropPipelineState(spark)
       System.err.println("[once] warmup done")
     }
+    // count Spark jobs issued by the timed run: every job is a blocking
+    // driver round-trip (plan + schedule + barrier), the fixed-overhead
+    // component of the scaling story
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val n = job(s"$tmp/full")
     val sec = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
     val stage = sys.env.getOrElse("SPARK_GRAFT_STAGE", "full")
-    println(f"""{"cpus":$cpus,"stage":"$stage","rows":$n,"sec":$sec%.2f}""")
+    println(f"""{"cpus":$cpus,"stage":"$stage","rows":$n,"sec":$sec%.2f,""" +
+      f""""spark_jobs":${jobs.get()}}""")
     spark.stop()
   }
 }
