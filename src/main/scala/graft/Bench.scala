@@ -19,10 +19,15 @@ import graft.pipeline.{DedupConfig, DedupPipeline}
 object Bench {
 
   def sessionFor(cpus: String): SparkSession = {
+    // AQE default ON (runtime skew-join splitting + partition coalescing —
+    // the 100 TB posture). SPARK_GRAFT_AQE=false measures the trade: AQE
+    // materializes every exchange as its own job (~91 jobs/run vs ~15), a
+    // pure serial driver cost at bench scale.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       // split parquet scans fine enough that the heaviest MAP stage
       // (scan → extract → fused fingerprint) fans out to every core: the
       // bench corpus is a few hundred MB, and the 128m default would bin it
