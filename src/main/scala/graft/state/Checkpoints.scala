@@ -32,8 +32,8 @@ object Checkpoints {
   def clustersPath(stateDir: String) = s"$stateDir/clusters"
   def actionsPath(stateDir: String) = s"$stateDir/actions"
   def executedPath(stateDir: String) = s"$stateDir/executed"
-  def tombstonesPath(stateDir: String) = s"$stateDir/tombstones"
   def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
+  def lockPath(stateDir: String) = s"$stateDir/_lock"
 
   /** All state IO goes through the Hadoop FileSystem API so `stateDir` may
     * be any supported URI (file://, hdfs://, s3a://, …) — java.nio would
@@ -53,12 +53,57 @@ object Checkpoints {
   def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     if (exists(spark, path)) Some(spark.read.parquet(path)) else None
 
+  /** Single-writer lease over a state dir. The reference's single-process
+    * RocksDB handle made concurrent writers impossible (`db.rs` opens the
+    * store exclusively); on a cluster two drivers pointed at one stateDir
+    * would interleave the manifest's double-rename and parquet appends, so
+    * every mutating epoch runs inside this lease.
+    *
+    * `FileSystem.create(path, overwrite = false)` is atomic on HDFS-like
+    * stores (and good enough on local FS for tests); the loser gets a clean
+    * IllegalStateException instead of a corrupted store. A lease older than
+    * `staleMs` is treated as abandoned by a crashed holder and broken —
+    * epochs are minutes-long, so the default 30 min bound never fences out
+    * a live writer. (On S3, creation is not atomic; front a real lock
+    * service or DynamoDB-style conditional put there.)
+    */
+  def withStateLock[T](spark: SparkSession, stateDir: String,
+                       staleMs: Long = 30L * 60 * 1000)(f: => T): T = {
+    val (fs, root) = fsFor(spark, stateDir)
+    fs.mkdirs(root)
+    val lp = new Path(lockPath(stateDir))
+    if (fs.exists(lp) &&
+        System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleMs)
+      fs.delete(lp, false) // abandoned lease from a crashed writer
+    val out =
+      try fs.create(lp, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"state dir is locked by another writer (${lockPath(stateDir)}); " +
+              "concurrent epochs over one state dir are not supported", e)
+      }
+    try out.write(
+      (s"""{"holder":"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}",""" +
+        s""""acquired_ms":${System.currentTimeMillis()}}""").getBytes(UTF_8))
+    finally out.close()
+    try f
+    finally fs.delete(lp, false)
+  }
+
   /** One incremental epoch: fingerprint only never-seen urls and append.
     *
     * @return (numNewSignatures, numQuarantined)
     */
   def runEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
-               stateDir: String, cfg: DedupConfig = DedupConfig()): (Long, Long) = {
+               stateDir: String, cfg: DedupConfig = DedupConfig()): (Long, Long) =
+    withStateLock(spark, stateDir) {
+      runEpochUnlocked(spark, pages, idCol, textCol, stateDir, cfg)
+    }
+
+  private def runEpochUnlocked(spark: SparkSession, pages: DataFrame, idCol: String,
+                               textCol: String, stateDir: String,
+                               cfg: DedupConfig): (Long, Long) = {
     val epochT0 = System.nanoTime()
     val (stateFs, stateRoot) = fsFor(spark, stateDir)
     stateFs.mkdirs(stateRoot)
@@ -143,8 +188,9 @@ object Checkpoints {
     */
   def clusterEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
                    stateDir: String, cfg: DedupConfig = DedupConfig(),
-                   action: String = "symlink"): (Long, Long) = {
-    val (nNew, _) = runEpoch(spark, pages, idCol, textCol, stateDir, cfg)
+                   action: String = "symlink"): (Long, Long) =
+      withStateLock(spark, stateDir) {
+    val (nNew, _) = runEpochUnlocked(spark, pages, idCol, textCol, stateDir, cfg)
 
     // cluster the LIVE state: rows vacated by executed delete/move actions
     // must not re-enter clusters (or worse, win representative selection
@@ -175,32 +221,42 @@ object Checkpoints {
     * the reference's final pipeline stage, which it specifies but stubs
     * (`action.rs:1`, CLI contract `cli.rs:27-37`, README.md:26-42):
     *
-    *  - idempotent: already-executed plan rows (anti-join on the persisted
-    *    `executed` table) are skipped, so re-running after a crash never
-    *    double-acts;
+    *  - idempotent with bounded retries: a plan row is attempted at most
+    *    once per PLAN IDENTITY (id, original_id, action) — the anti-join on
+    *    the persisted `executed` table skips rows already recorded, success
+    *    OR failure, so a crash-retry never double-acts and a permanently
+    *    missing id never accumulates one duplicate failure row per run.
+    *    Re-clustering that assigns a failed duplicate a NEW original emits a
+    *    new plan identity, which runs — retry-on-replan, not retry-forever;
     *  - validate-exists: both sides of every action must still be live
     *    signature ids, else success=false with an error reason;
     *  - backup-before-remove (`config.rs:57` backup_dir): the signature
     *    rows a successful delete/move will vacate are appended to
-    *    `backupDir` BEFORE the tombstones commit;
-    *  - tombstones: successful delete/move ids append to the `tombstones`
-    *    table; `liveSignatures` is the state view with tombstones applied.
+    *    `backupDir` BEFORE the commit (a crash in between re-appends the
+    *    backup on retry — duplicate safety copies, never missing ones);
+    *  - ATOMIC commit: the `executed` append is the SINGLE commit point.
+    *    Tombstones are DERIVED from it on read ([[tombstones]] /
+    *    [[liveSignatures]]), so there is no second table whose partial
+    *    write could desynchronize the store (the reference analog is one
+    *    RocksDB write batch, `db.rs:64-92`).
     *
     * @return (nExecuted, nFailed) for this run (0, 0) when nothing pending
     */
   def executeEpoch(spark: SparkSession, stateDir: String,
-                   backupDir: Option[String] = None): (Long, Long) = {
+                   backupDir: Option[String] = None): (Long, Long) =
+      withStateLock(spark, stateDir) {
     val plan = spark.read.parquet(actionsPath(stateDir))
     val pending = readIfExists(spark, executedPath(stateDir)) match {
       case Some(prior) =>
-        plan.join(prior.filter(col("success")).select("id"), Seq("id"), "left_anti")
+        plan.join(prior.select("id", "original_id", "action"),
+          Seq("id", "original_id", "action"), "left_anti")
       case None => plan
     }
     // validate against the LIVE view: a signature row vacated by an earlier
     // executed delete/move must not validate as an existing original/dup
     val universe = liveSignatures(spark, stateDir).select("id")
     // small table (one row per planned duplicate): materialize once, every
-    // consumer below (backup, tombstones, counts) reads the checkpoint
+    // consumer below (backup, commit, counts) reads the checkpoint
     val executed = graft.actions.Actions.execute(pending, universe).localCheckpoint()
 
     backupDir.foreach { bd =>
@@ -210,22 +266,31 @@ object Checkpoints {
     }
     val nExecuted = executed.filter(col("success")).count()
     val nFailed = executed.count() - nExecuted
-    if (nExecuted + nFailed > 0) {
+    if (nExecuted + nFailed > 0)
       executed.write.mode("append").parquet(executedPath(stateDir))
-      graft.actions.Actions.tombstones(executed)
-        .write.mode("append").parquet(tombstonesPath(stateDir))
-    }
     appendManifest(spark, stateDir,
       s"""{"executed":$nExecuted,"failed":$nFailed}""")
     (nExecuted, nFailed)
   }
 
+  /** Tombstoned rows, derived on read from the executed table (successful
+    * delete/move actions vacate their row). Derivation — not a second
+    * persisted table — is what makes [[executeEpoch]]'s commit atomic.
+    */
+  def tombstones(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    readIfExists(spark, executedPath(stateDir))
+      .map(graft.actions.Actions.tombstones)
+      .getOrElse(Seq.empty[(String, String, String)].toDF("id", "original_id", "action"))
+  }
+
   /** The live signature state: persisted signatures minus tombstoned rows. */
   def liveSignatures(spark: SparkSession, stateDir: String): DataFrame = {
     val sigs = spark.read.parquet(signaturesPath(stateDir))
-    readIfExists(spark, tombstonesPath(stateDir)) match {
-      case Some(t) => sigs.join(t.select("id"), Seq("id"), "left_anti")
-      case None    => sigs
+    readIfExists(spark, executedPath(stateDir)) match {
+      case Some(ex) =>
+        sigs.join(graft.actions.Actions.tombstones(ex).select("id"), Seq("id"), "left_anti")
+      case None => sigs
     }
   }
 
@@ -233,25 +298,33 @@ object Checkpoints {
     * `diagnose_database` user command (`src/persistence/db.rs:213-278`,
     * which counts crypto-only / perceptual-only half-rows). The one-row
     * twin-column design makes half-rows impossible, so the checks that
-    * remain meaningful here are CROSS-TABLE: every signature row should be
-    * clustered, every cluster row should have a signature, tombstoned rows
-    * should be gone from neither. Output: (category, n) — all-zero except
-    * the totals on a healthy store.
+    * remain meaningful here are CROSS-TABLE, and they must respect epoch
+    * staleness: clusterEpoch clusters the LIVE view, so a signature row is
+    * "unclustered" drift only if it is LIVE and absent from clusters (a
+    * tombstoned row legitimately drops out of the next clusters table);
+    * conversely a cluster id is "dangling" only if it never had a signature
+    * AT ALL (tombstoned ids still exist in the raw table). Output:
+    * (category, n) — both drift categories are zero on a healthy store at
+    * any point in the runEpoch/clusterEpoch/executeEpoch cycle.
     */
   def diagnose(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val sigs = readIfExists(spark, signaturesPath(stateDir))
       .map(_.select("id")).getOrElse(spark.emptyDataset[String].toDF("id"))
+    val live =
+      if (exists(spark, signaturesPath(stateDir)))
+        liveSignatures(spark, stateDir).select("id")
+      else spark.emptyDataset[String].toDF("id")
     val clusters = readIfExists(spark, clustersPath(stateDir))
       .map(_.select("id")).getOrElse(spark.emptyDataset[String].toDF("id"))
     val quarantined = readIfExists(spark, quarantinePath(stateDir))
       .map(_.count()).getOrElse(0L)
-    val tombstoned = readIfExists(spark, tombstonesPath(stateDir))
-      .map(_.count()).getOrElse(0L)
-    val unclustered = sigs.join(clusters, Seq("id"), "left_anti").count()
+    val tombstoned = tombstones(spark, stateDir).count()
+    val unclustered = live.join(clusters, Seq("id"), "left_anti").count()
     val dangling = clusters.join(sigs, Seq("id"), "left_anti").count()
     Seq(
       ("signatures", sigs.count()),
+      ("live_signatures", live.count()),
       ("clusters", clusters.count()),
       ("quarantined", quarantined),
       ("tombstoned", tombstoned),

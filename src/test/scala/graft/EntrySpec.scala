@@ -71,7 +71,7 @@ class EntrySpec extends SparkTestBase {
     assert(out.exists(_.contains("\"new_signatures\":" + 4 * PagesGen.variantKinds.length)))
     assert(out.exists(_.contains("\"failed\":0")))
     // derived-text clustering found real duplicates and executed them
-    assert(spark.read.parquet(Checkpoints.tombstonesPath(s"$tmp/state")).count() > 0)
+    assert(Checkpoints.tombstones(spark, s"$tmp/state").count() > 0)
     val diag = Main.run(spark, Main.parse(Seq(
       "--state", s"$tmp/state", "--diagnose")).toOption.get)
     assert(diag.exists(_.contains("\"category\":\"signature_without_cluster\",\"n\":0")))

@@ -139,8 +139,9 @@ class StateSpec extends SparkTestBase {
     val (nExec2, nFail2) = Checkpoints.executeEpoch(spark, dir, Some(backup))
     assert(nExec2 == 0 && nFail2 == 0)
 
-    // tombstones: exactly the executed delete ids; live view excludes them
-    val tombs = spark.read.parquet(Checkpoints.tombstonesPath(dir))
+    // tombstones (derived from the executed table — the single commit
+    // point): exactly the executed delete ids; live view excludes them
+    val tombs = Checkpoints.tombstones(spark, dir)
     assert(tombs.count() == nExec)
     val live = Checkpoints.liveSignatures(spark, dir)
     assert(live.count() ==
@@ -173,6 +174,52 @@ class StateSpec extends SparkTestBase {
     val failed = spark.read.parquet(Checkpoints.executedPath(dir)).filter(!$"success")
     assert(failed.select("id").as[String].collect().toSeq == Seq(victim))
     assert(failed.select("error").as[String].collect().head == "missing_id")
+
+    // bounded retries: re-running must NOT re-attempt (and re-append) the
+    // permanently-failed row — the pending anti-join keys on plan identity,
+    // success or failure alike, so the executed table stays one row per row
+    val (nExec2, nFail2) = Checkpoints.executeEpoch(spark, dir, None)
+    assert(nExec2 == 0 && nFail2 == 0, "unchanged plan must not retry failures")
+    val executed = spark.read.parquet(Checkpoints.executedPath(dir))
+    assert(executed.groupBy("id").count().filter($"count" > 1).count() == 0,
+      "executed table accumulated duplicate rows across retries")
+  }
+
+  test("state lock: a second writer fails cleanly; stale leases are broken") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 2L, seed = 23L, tokensPerDoc = 60).toDF()
+    // simulate a racing writer holding the lease
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(Checkpoints.lockPath(dir))
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(fs.exists(lock), "loser must not delete the winner's lease")
+    // a crashed holder's stale lease (old mtime) is broken and the epoch runs
+    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    val (n, _) = Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    assert(n == 2L * PagesGen.variantKinds.length)
+    assert(!fs.exists(lock), "lease must be released after a successful epoch")
+  }
+
+  test("diagnose stays drift-free after execute + re-cluster (live-view diff)") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 4L, seed = 29L, tokensPerDoc = 80).toDF().cache()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, action = "delete")
+    Checkpoints.executeEpoch(spark, dir, None)
+    // re-cluster AFTER executing: clusters now cover only the live view, so
+    // diffing RAW signatures against clusters would count every tombstoned
+    // row as drift — the live-view diff must stay all-zero
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, action = "delete")
+    val d = Checkpoints.diagnose(spark, dir).as[(String, Long)].collect().toMap
+    assert(d("tombstoned") > 0L)
+    assert(d("live_signatures") == d("signatures") - d("tombstoned"))
+    assert(d("signature_without_cluster") == 0L,
+      "tombstoned rows must not be reported as unclustered drift")
+    assert(d("cluster_without_signature") == 0L)
   }
 
   test("mixed fast/full epochs: no empty-shingle mass-merge; simhash tier covers fast rows") {
