@@ -141,8 +141,19 @@ object Bench {
     runPipelineOn(spark, fullPath, DedupConfig(fastPath = true))
     val fastSec = (System.nanoTime() - tf) / 1e9
 
+    // reliable-checkpoint mode (preemptible-cluster posture): same job with
+    // every materialization point written to the checkpoint dir — the line
+    // records what executor-loss safety costs vs executor-local blocks
+    dropPipelineState(spark)
+    val ckptDir = s"$tmp/ckpt"
+    val tr = System.nanoTime()
+    runPipelineOn(spark, fullPath,
+      DedupConfig(reliableCheckpoints = true, checkpointDir = ckptDir))
+    val reliableSec = (System.nanoTime() - tr) / 1e9
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
-      ("dedup_pipeline_fast" -> fastSec)
+      ("dedup_pipeline_fast" -> fastSec) :+
+      ("dedup_pipeline_reliable" -> reliableSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"

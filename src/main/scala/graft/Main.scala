@@ -37,7 +37,10 @@ object Main {
       maxHamming: Option[Int] = None,
       extractFrom: Option[String] = None,
       extractor: String = "html",
-      diagnose: Boolean = false)
+      diagnose: Boolean = false,
+      reliable: Boolean = false,
+      checkpointDir: Option[String] = None,
+      pagesFormat: String = "auto")
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -63,6 +66,11 @@ object Main {
       case "--fast-path" :: t        => loop(t, acc.copy(fastPath = true))
       case "--force-rescan" :: t     => loop(t, acc.copy(forceRescan = true))
       case "--diagnose" :: t         => loop(t, acc.copy(diagnose = true))
+      // preemptible-cluster posture: reliable checkpoint() instead of
+      // executor-local blocks (dir defaults to <state>/_spark_checkpoints)
+      case "--reliable" :: t          => loop(t, acc.copy(reliable = true))
+      case "--checkpoint-dir" :: v :: t => loop(t, acc.copy(checkpointDir = Some(v)))
+      case "--pages-format" :: v :: t => loop(t, acc.copy(pagesFormat = v))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -78,11 +86,15 @@ object Main {
       Left("--jaccard must be in (0, 1]")
     else if (!Set("html", "plaintext").contains(a.extractor))
       Left("--extractor must be html or plaintext")
+    else if (!Set("auto", "parquet", "table").contains(a.pagesFormat))
+      Left("--pages-format must be auto, parquet or table")
     else Right(a)
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
   def toConfig(a: CliArgs): DedupConfig = {
-    val base = DedupConfig(fastPath = a.fastPath, forceRescan = a.forceRescan)
+    val base = DedupConfig(fastPath = a.fastPath, forceRescan = a.forceRescan,
+      reliableCheckpoints = a.reliable,
+      checkpointDir = a.checkpointDir.getOrElse(""))
     val withJ = a.jaccardThreshold.fold(base)(j => base.copy(jaccardThreshold = j))
     a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
   }
@@ -95,7 +107,9 @@ object Main {
           "[--id-col url] [--text-col text] [--action move|delete|symlink] " +
           "[--execute] [--backup-dir <uri>] [--fast-path] [--force-rescan] " +
           "[--jaccard <0..1>] [--max-hamming <int>] " +
-          "[--extract-from <binary-col>] [--extractor html|plaintext] | " +
+          "[--extract-from <binary-col>] [--extractor html|plaintext] " +
+          "[--reliable] [--checkpoint-dir <uri>] " +
+          "[--pages-format auto|parquet|table] | " +
           "--state <dir-uri> --diagnose")
       sys.exit(2)
     case Right(a) =>
@@ -130,7 +144,7 @@ object Main {
     val cfg = toConfig(a)
     // S12 seam: derive the text column from a binary payload column with
     // the selected extractor strategy before the pipeline sees it
-    val raw = PagesIO.read(spark, a.pages)
+    val raw = PagesIO.read(spark, a.pages, a.pagesFormat)
     val pages = a.extractFrom match {
       case Some(src) => raw.withColumn(a.textCol,
         graft.fingerprint.Fingerprints.extractorByName(a.extractor)(

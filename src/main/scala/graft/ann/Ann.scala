@@ -166,7 +166,8 @@ object Ann {
     */
   def ivfKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              nCells: Int = 0, nProbe: Int = 4, maxListSize: Int = 100000,
-             kmeansIters: Int = 2): DataFrame = {
+             kmeansIters: Int = 2,
+             mat: graft.state.Materializer = graft.state.Materializer.local): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
@@ -201,14 +202,14 @@ object Ann {
         .select(col("cell"),
           transform(vector_to_array(col("sv")),
             x => round(x / col("cn")).cast("long")).as("cqv"))
-        .localCheckpoint() // cut lineage: later rounds must not replay earlier ones
+      cents = mat(cents) // cut lineage: later rounds must not replay earlier ones
     }
 
     // lazy checkpoint the FINAL assignment: both the inverted lists and the
     // probe side derive from it, and without this the n x cells broadcast
     // assignment would re-run for each (the drop-count job below
     // materializes it once)
-    val ranked = assign(cents).localCheckpoint(eager = false)
+    val ranked = mat(assign(cents), eager = false)
     val listsAll = ranked.filter(col("crank") === 1)
       .select(col("cell"), col("id").as("nbr_id"),
         col("qv").as("qw"), col("nrm").as("nr"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.state.Materializer
+
 /** Duplicate-group resolution: exact groups + transitive closure of verified
   * near-dup edges into clusters, then representative ("original") selection.
   *
@@ -97,7 +99,8 @@ object Clustering {
     * @param edges  (a, b) pairs, any orientation, strings or longs
     * @return (id, cluster_id) — cluster_id = min id of the component
     */
-  def unionFind(spark: SparkSession, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+  def unionFind(spark: SparkSession, edges: DataFrame, maxIters: Int = 25,
+                mat: Materializer = Materializer.local): DataFrame = {
     // Fast path: already-numeric ids (the pipeline dictionary-encodes urls
     // to dense longs at entry) iterate directly. String ids are encoded to
     // dense longs here first: every propagation round shuffles and compares
@@ -111,26 +114,31 @@ object Clustering {
       edges.schema("a").dataType == org.apache.spark.sql.types.LongType
     val ids =
       if (alreadyNumeric) null
-      else edges.select(col("a").as("sid")).union(edges.select(col("b").as("sid")))
+      else mat(edges.select(col("a").as("sid")).union(edges.select(col("b").as("sid")))
         .distinct().sort("sid")
-        .withColumn("code", monotonically_increasing_id())
-        .localCheckpoint() // materialize ONCE: codes must not be re-derived per use
+        .withColumn("code", monotonically_increasing_id()))
+        // materialized ONCE: codes must not be re-derived per use
 
-    val enc =
+    // LAZY checkpoint on the encoded edge set: BOTH the oriented edges and
+    // the final node labeling derive from `enc`, so without this the
+    // id-dictionary encode joins (and any un-materialized upstream edge
+    // DAG) would replay once more when `nodes` is computed after the
+    // contraction loop. The first edgeStats job below materializes the
+    // whole chain (enc, then e) in one pass.
+    val enc = mat(
       if (alreadyNumeric) edges.select(col("a").as("src"), col("b").as("dst"))
       else edges
         .join(ids.select(col("sid").as("a"), col("code").as("ca")), "a")
         .join(ids.select(col("sid").as("b"), col("code").as("cb")), "b")
-        .select(col("ca").as("src"), col("cb").as("dst"))
+        .select(col("ca").as("src"), col("cb").as("dst")),
+      eager = false)
     // canonical oriented edge set (u > v), self-loops dropped; the initial
     // distinct bounds the first round and makes edgeStats a set invariant.
-    // LAZY checkpoint: the stats agg below materializes it (and cuts the
-    // upstream LSH/verify lineage) in a single job.
-    var e = enc.filter(col("src") =!= col("dst"))
+    var e = mat(enc.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint(eager = false)
+      .distinct(),
+      eager = false)
     var stats = edgeStats(e)
 
     var iter = 0
@@ -139,7 +147,7 @@ object Clustering {
       val t0 = System.nanoTime()
       // lazy checkpoint: the fixpoint agg below both materializes the round
       // AND cuts its lineage in one job
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = mat(smallStar(largeStar(e)), eager = false)
       val nextStats = edgeStats(next)
       converged = nextStats == stats
       stats = nextStats
@@ -171,8 +179,9 @@ object Clustering {
     * asserted by the ScalaCheck suite.
     */
   def clusters(spark: SparkSession, universe: DataFrame, idCol: String,
-               edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val uf = unionFind(spark, edges, maxIters)
+               edges: DataFrame, maxIters: Int = 25,
+               mat: Materializer = Materializer.local): DataFrame = {
+    val uf = unionFind(spark, edges, maxIters, mat)
     universe.select(col(idCol).as("id")).distinct()
       .join(uf, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

@@ -107,6 +107,7 @@ object LSH {
                      saltFactor: Int = 16,
                      maxBucketSize: Int = 100000,
                      carry: Seq[String] = Nil,
+                     mat: graft.state.Materializer = graft.state.Materializer.local,
                      prune: DataFrame => DataFrame = _.drop("band")): DataFrame = {
     val bucketKey = Seq("band", "band_hash")
     // only COLLIDING buckets matter (singletons yield no pairs) — filtering
@@ -170,7 +171,7 @@ object LSH {
     // distinct: the same pair collides in several bands. Eagerly materialize
     // the (bounded) pair set so the collision-side caches can be released
     // right away instead of leaking across pipeline runs.
-    val result = coldPairs.union(hotPairs).distinct().localCheckpoint()
+    val result = mat(coldPairs.union(hotPairs).distinct())
 
     // coverage-loss audit AFTER materialization: sizes is already cached by
     // the pair job, so this is a cheap cache scan, not an extra full pass

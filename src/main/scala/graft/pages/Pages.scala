@@ -30,16 +30,36 @@ case class TruthPair(urlA: String, urlB: String, kind: String, expect_dup: Boole
   * above this seam is identical in both deployments.
   */
 object PagesIO {
-  def read(spark: SparkSession, pathOrTable: String): DataFrame =
-    if (pathOrTable.contains("/")) spark.read.parquet(pathOrTable)
+
+  /** Path-vs-table routing for the `auto` format: a filesystem location has
+    * a URI scheme, a path separator, or a parquet suffix; anything else —
+    * including namespaced catalog identifiers like `catalog.db.pages` — is
+    * a table name. `format` overrides the heuristic outright (the CLI's
+    * `--pages-format`) for the cases no heuristic can win: a bare relative
+    * dir name, a table whose name looks like a file.
+    */
+  private[pages] def isPathLike(s: String): Boolean =
+    s.contains("/") || s.endsWith(".parquet") ||
+      s.matches("(?i)^[a-z][a-z0-9+.-]*://.*")
+
+  private def asPath(s: String, format: String): Boolean = format match {
+    case "parquet" => true
+    case "table"   => false
+    case "auto"    => isPathLike(s)
+    case other     => throw new IllegalArgumentException(
+      s"pages format must be auto/parquet/table, got $other")
+  }
+
+  def read(spark: SparkSession, pathOrTable: String, format: String = "auto"): DataFrame =
+    if (asPath(pathOrTable, format)) spark.read.parquet(pathOrTable)
     else spark.read.table(pathOrTable)
 
-  def append(df: DataFrame, pathOrTable: String): Unit =
-    if (pathOrTable.contains("/")) df.write.mode("append").parquet(pathOrTable)
+  def append(df: DataFrame, pathOrTable: String, format: String = "auto"): Unit =
+    if (asPath(pathOrTable, format)) df.write.mode("append").parquet(pathOrTable)
     else df.write.mode("append").saveAsTable(pathOrTable)
 
-  def overwrite(df: DataFrame, pathOrTable: String): Unit =
-    if (pathOrTable.contains("/")) df.write.mode("overwrite").parquet(pathOrTable)
+  def overwrite(df: DataFrame, pathOrTable: String, format: String = "auto"): Unit =
+    if (asPath(pathOrTable, format)) df.write.mode("overwrite").parquet(pathOrTable)
     else df.write.mode("overwrite").saveAsTable(pathOrTable)
 }
 

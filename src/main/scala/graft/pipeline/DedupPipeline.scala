@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cluster.Clustering
 import graft.fingerprint.Fingerprints
 import graft.lsh.LSH
+import graft.state.Materializer
 
 /** Job configuration — the analog of the reference `Config`
   * (image-deduper `src/config.rs:37-126`): `simhashMaxHamming` plays
@@ -42,6 +43,14 @@ case class DedupConfig(
     // a 25% quote only at its induced Jaccard ≈ 0.25, P ≈ 0.74). 0 disables.
     anchorModulus: Int = 6,
     forceRescan: Boolean = false,
+    // fault-tolerant materialization (north_rule resumability; the
+    // reference's crash-resumable commits, persistence/db.rs:64-92): route
+    // every lineage-cutting checkpoint through RELIABLE `checkpoint()` to
+    // `checkpointDir` instead of executor-local blocks, so executor
+    // preemption cannot kill a multi-hour run. Costs one distributed-FS
+    // write per materialization point (benched: `dedup_pipeline_reliable`).
+    reliableCheckpoints: Boolean = false,
+    checkpointDir: String = "",
     // the reference's ultra-fast mode (`ultra_fast_phash`,
     // src/processing/core.rs:158-199): skip shingles/MinHash entirely and
     // cluster on content_hash + SimHash alone — the cheap speed/quality
@@ -60,6 +69,13 @@ case class DedupConfig(
   require(64 % fastPathBands == 0, "fastPathBands must divide 64")
   require(fastPathMaxHamming < fastPathBands,
     "fastPathMaxHamming >= fastPathBands loses the pigeonhole collision guarantee")
+  /** The materialization strategy this config asks for. Reliable mode
+    * requires `checkpointDir` (an HDFS/S3A/file URI) — `Checkpoints.
+    * clusterEpoch` defaults it to a dir beside the state tables.
+    */
+  def materializer(spark: SparkSession): graft.state.Materializer =
+    if (reliableCheckpoints) graft.state.Materializer.reliable(spark, checkpointDir)
+    else graft.state.Materializer.local
 }
 
 /** End-to-end near-duplicate detection + clustering over a pages-shaped
@@ -120,7 +136,8 @@ object DedupPipeline {
     *              can over-accept reordered-block pairs).
     */
   def nearEdges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
-                texts: Option[DataFrame] = None): DataFrame = {
+                texts: Option[DataFrame] = None,
+                mat: Materializer = Materializer.local): DataFrame = {
     // Rows without shingles cannot be banded or verified: they are
     // fast-path-persisted state (fastPath stores empty arrays). Empty
     // arrays must NEVER enter banding — they'd share constant band keys
@@ -162,6 +179,7 @@ object DedupPipeline {
       saltFactor = cfg.saltFactor,
       maxBucketSize = cfg.maxBucketSize,
       carry = Seq("simhash"),
+      mat = mat,
       // containment-channel pairs (prefix/anchor bands, index >= bands) are
       // EXEMPT from the Hamming prefilter: a small quote inside a large doc
       // has low global similarity by construction — gating it on SimHash
@@ -238,7 +256,8 @@ object DedupPipeline {
     * shingles, no Jaccard, no suffix array — one banding shuffle + one
     * pair distinct.
     */
-  def nearEdgesFast(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  def nearEdgesFast(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
+                    mat: Materializer = Materializer.local): DataFrame = {
     val exploded = sigs.select(col("id"), col("simhash"))
       .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
       .withColumn("band_hash",
@@ -249,6 +268,7 @@ object DedupPipeline {
       saltFactor = cfg.saltFactor,
       maxBucketSize = cfg.maxBucketSize,
       carry = Seq("simhash"),
+      mat = mat,
       prune = df => df
         .filter(Fingerprints.hamming(col("simhash_a"), col("simhash_b"))
           <= cfg.fastPathMaxHamming)
@@ -272,10 +292,9 @@ object DedupPipeline {
     * representative tiebreak) is preserved exactly. Materialized once —
     * codes must never be re-derived under a different partitioning.
     */
-  def idDictionary(ids: DataFrame): DataFrame =
-    ids.toDF("sid").distinct().sort("sid")
-      .withColumn("id", monotonically_increasing_id())
-      .localCheckpoint()
+  def idDictionary(ids: DataFrame, mat: Materializer = Materializer.local): DataFrame =
+    mat(ids.toDF("sid").distinct().sort("sid")
+      .withColumn("id", monotonically_increasing_id()))
 
   /** Full run: returns the clusters table
     * (id, cluster_id, is_representative, kind) — kind ∈ {exact, near, unique}.
@@ -300,7 +319,8 @@ object DedupPipeline {
           orderCols: Seq[org.apache.spark.sql.Column] =
             Seq(col("order_len").desc, col("id").asc)): DataFrame = {
 
-    val dict = idDictionary(pages.select(col(idCol)))
+    val mat = cfg.materializer(spark)
+    val dict = idDictionary(pages.select(col(idCol)), mat)
     val keyed = pages.select(col(idCol).as("sid"), col(textCol).as("__text"))
       .join(dict, "sid").select("id", "__text")
 
@@ -323,8 +343,11 @@ object DedupPipeline {
     val coded = clusterFromParts(spark, slim, repSigs,
       texts = if (cfg.fastPath) None
               else Some(normTexts(nearPages, "id", "__text", cfg)),
-      cfg, orderCols)
-    val result = decode(coded, dict)
+      cfg, orderCols, mat,
+      // fresh full-path signatures are all-shingled by construction: the
+      // mixed-state probe only applies on the resume path (clusterSignatures)
+      mayHaveFastRows = cfg.fastPath)
+    val result = decode(coded, dict, mat)
     repSigs.unpersist()
     nearPages.unpersist()
     slim.unpersist()
@@ -332,17 +355,16 @@ object DedupPipeline {
   }
 
   /** Restore original string ids on a coded clusters table. */
-  private def decode(coded: DataFrame, dict: DataFrame): DataFrame =
-    coded
+  private def decode(coded: DataFrame, dict: DataFrame, mat: Materializer): DataFrame =
+    // eager-materialize the (small) clusters table so the big intermediate
+    // caches can be released immediately — downstream consumers read the
+    // checkpointed rows instead of re-running the LSH/verify DAG
+    mat(coded
       .join(dict, "id")
       .join(dict.select(col("id").as("cluster_id"), col("sid").as("cluster_sid")),
         "cluster_id")
       .select(col("sid").as("id"), col("cluster_sid").as("cluster_id"),
-        col("is_representative"), col("kind"))
-      // eager-materialize the (small) clusters table so the big intermediate
-      // caches can be released immediately — downstream consumers read the
-      // checkpointed rows instead of re-running the LSH/verify DAG
-      .localCheckpoint()
+        col("is_representative"), col("kind")))
 
   /** Cluster a full persisted signatures table (the resume path: fingerprints
     * come from the state table, never recomputed). `stateSigs` must carry
@@ -354,7 +376,8 @@ object DedupPipeline {
                         texts: Option[DataFrame], cfg: DedupConfig = DedupConfig(),
                         orderCols: Seq[org.apache.spark.sql.Column] =
                           Seq(col("order_len").desc, col("id").asc)): DataFrame = {
-    val dict = idDictionary(stateSigs.select(col("id")))
+    val mat = cfg.materializer(spark)
+    val dict = idDictionary(stateSigs.select(col("id")), mat)
     val keyed = stateSigs
       .select(col("id").as("sid"), col("order_len"), col("content_hash"),
         col("simhash"), col("minhash"), col("shingles"))
@@ -367,8 +390,11 @@ object DedupPipeline {
       .cache()
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
-    val coded = clusterFromParts(spark, slim, repSigs, codedTexts, cfg, orderCols)
-    val result = decode(coded, dict)
+    // persisted state MAY mix fast-path (shingle-less) and full epochs —
+    // only this resume path pays the mixed-state probe job
+    val coded = clusterFromParts(spark, slim, repSigs, codedTexts, cfg, orderCols,
+      mat, mayHaveFastRows = true)
+    val result = decode(coded, dict, mat)
     repSigs.unpersist()
     slim.unpersist()
     result
@@ -383,7 +409,9 @@ object DedupPipeline {
     */
   private def clusterFromParts(spark: SparkSession, slim: DataFrame, repSigs: DataFrame,
                                texts: Option[DataFrame], cfg: DedupConfig,
-                               orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+                               orderCols: Seq[org.apache.spark.sql.Column],
+                               mat: Materializer = Materializer.local,
+                               mayHaveFastRows: Boolean = true): DataFrame = {
     def tick[T](name: String)(f: => T): T =
       if (sys.env.contains("GRAFT_TIMING")) {
         val t0 = System.nanoTime()
@@ -395,25 +423,27 @@ object DedupPipeline {
     val exact = Clustering.exactEdges(slim, "id", "content_hash")
     val near = tick("near edges (LSH+verify)") {
       val edges =
-        if (cfg.fastPath) nearEdgesFast(spark, repSigs, cfg)
+        if (cfg.fastPath) nearEdgesFast(spark, repSigs, cfg, mat)
         else {
-          val full = nearEdges(spark, repSigs, cfg, texts)
+          val full = nearEdges(spark, repSigs, cfg, texts, mat)
           // MIXED state: rows persisted by a fast-path epoch carry no
           // shingles and are excluded from minhash banding (see nearEdges);
           // when any exist, ALL rows additionally go through the simhash
           // pigeonhole tier so old fast rows still pair (with each other
-          // AND with new full rows) at fast-path precision.
-          val hasFastRows =
+          // AND with new full rows) at fast-path precision. The probe job
+          // only runs where mixed state is possible (the resume path) —
+          // fresh full-path runs skip it statically (driver-job floor).
+          val hasFastRows = mayHaveFastRows &&
             repSigs.filter(size(col("shingles")) === 0).limit(1).count() > 0
-          if (hasFastRows) full.union(nearEdgesFast(spark, repSigs, cfg))
+          if (hasFastRows) full.union(nearEdgesFast(spark, repSigs, cfg, mat))
           else full
         }
-      edges.localCheckpoint(false)
+      mat(edges, eager = false)
     }
     val edges = exact.union(near)
 
     val clustered = tick("union-find") {
-      Clustering.clusters(spark, slim, "id", edges, cfg.maxUnionFindIters)
+      Clustering.clusters(spark, slim, "id", edges, cfg.maxUnionFindIters, mat)
     }
 
     // kind: exact if the row shares a content_hash with ≥2 rows; near if in a

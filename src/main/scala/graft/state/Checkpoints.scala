@@ -190,14 +190,20 @@ object Checkpoints {
                    stateDir: String, cfg: DedupConfig = DedupConfig(),
                    action: String = "symlink"): (Long, Long) =
       withStateLock(spark, stateDir) {
-    val (nNew, _) = runEpochUnlocked(spark, pages, idCol, textCol, stateDir, cfg)
+    // reliable-checkpoint mode defaults its dir to live beside the state
+    // tables — same filesystem, one tree to clean up
+    val cfg0 =
+      if (cfg.reliableCheckpoints && cfg.checkpointDir.isEmpty)
+        cfg.copy(checkpointDir = s"$stateDir/_spark_checkpoints")
+      else cfg
+    val (nNew, _) = runEpochUnlocked(spark, pages, idCol, textCol, stateDir, cfg0)
 
     // cluster the LIVE state: rows vacated by executed delete/move actions
     // must not re-enter clusters (or worse, win representative selection
     // and direct new duplicates at originals that no longer exist)
     val stateSigs = liveSignatures(spark, stateDir)
-    val texts = DedupPipeline.normTexts(pages, idCol, textCol, cfg)
-    val clusters = DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg)
+    val texts = DedupPipeline.normTexts(pages, idCol, textCol, cfg0)
+    val clusters = DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg0)
 
     clusters.write.mode("overwrite").parquet(clustersPath(stateDir))
     graft.actions.Actions.plan(clusters, action, dryRun = true)

@@ -77,6 +77,45 @@ class EntrySpec extends SparkTestBase {
     assert(diag.exists(_.contains("\"category\":\"signature_without_cluster\",\"n\":0")))
   }
 
+  test("PagesIO routing: paths, table names and namespaced catalog identifiers") {
+    import graft.pages.{PagesGen, PagesIO}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pagesio").toString
+    PagesGen.pages(spark, 2L, seed = 31L, tokensPerDoc = 60).toDF()
+      .write.parquet(s"$tmp/pages")
+    // absolute path and file:// URI route to parquet
+    assert(PagesIO.read(spark, s"$tmp/pages").count() > 0)
+    assert(PagesIO.read(spark, s"file://$tmp/pages").count() > 0)
+    // bare and NAMESPACED table identifiers route to the catalog (the
+    // round-2 review case: `db.table` must not be read as a parquet path)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    spark.sql("DROP TABLE IF EXISTS graftdb.pages_t")
+    // the in-memory metastore forgets tables between JVMs but the warehouse
+    // dir persists — clear the stale location so CREATE TABLE can land
+    val loc = new java.io.File("spark-warehouse/graftdb.db/pages_t")
+    if (loc.exists()) {
+      java.nio.file.Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    PagesGen.pages(spark, 1L, seed = 32L, tokensPerDoc = 50).toDF()
+      .write.mode("overwrite").saveAsTable("graftdb.pages_t")
+    assert(PagesIO.read(spark, "graftdb.pages_t").count() > 0)
+    // explicit format override beats the heuristic
+    assert(PagesIO.read(spark, s"$tmp/pages", "parquet").count() > 0)
+    intercept[Exception] { PagesIO.read(spark, s"$tmp/pages", "bogus") }
+  }
+
+  test("CLI arg parsing: reliable checkpoints + pages format flags") {
+    val a = Main.parse(Seq("--pages", "cat.db.pages", "--state", "/s",
+      "--reliable", "--checkpoint-dir", "hdfs:///ckpt",
+      "--pages-format", "table")).toOption.get
+    assert(a.reliable && a.checkpointDir.contains("hdfs:///ckpt"))
+    assert(a.pagesFormat == "table")
+    val cfg = Main.toConfig(a)
+    assert(cfg.reliableCheckpoints && cfg.checkpointDir == "hdfs:///ckpt")
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--pages-format", "orc")).isLeft)
+  }
+
   test("CLI arg parsing: extractor seam + diagnose mode") {
     val a = Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--extract-from", "html", "--extractor", "plaintext")).toOption.get

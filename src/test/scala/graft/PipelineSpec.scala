@@ -159,4 +159,22 @@ class PipelineSpec extends SparkTestBase {
     val hit = t.filter($"ca" === $"cb").count()
     assert(hit.toDouble / total >= 0.95, s"containment recall $hit/$total")
   }
+
+  test("reliable-checkpoint mode yields byte-identical clusters (preemption-safe path)") {
+    // every localCheckpoint site routes through reliable checkpoint():
+    // blocks land in checkpointDir (they survive executor loss on a real
+    // cluster), and the result must not move by a byte
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = DedupPipeline.run(spark, pages, "url", "text",
+      DedupConfig(reliableCheckpoints = true, checkpointDir = ckpt))
+    val base = clusters.select("id", "cluster_id", "is_representative", "kind")
+      .as[(String, String, Boolean, String)].collect().toSet
+    val rel = reliable.select("id", "cluster_id", "is_representative", "kind")
+      .as[(String, String, Boolean, String)].collect().toSet
+    assert(rel == base, "reliable mode changed the clustering output")
+    // the checkpoints actually went to the reliable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files were written")
+  }
 }
