@@ -104,22 +104,28 @@ object StreamOps {
     }
   }
 
-  case class BandedSig(band: Int, band_hash: Long, id: String, simhash: Long)
+  case class BandedSig(band: Int, band_hash: Long, id: String, simhash: Long,
+                       ts: Timestamp)
   case class StreamPair(id_a: String, id_b: String, hamming: Int)
 
   /** Band a pages frame into the fast-path SimHash buckets (4 × 16-bit
     * slices — the same pigeonhole banding as `DedupPipeline.nearEdgesFast`)
-    * as a typed stream. Pure projection + explode: stream-safe.
+    * as a typed stream, watermarked on the event-time column so downstream
+    * stateful operators can expire bucket state. Pure projection + explode:
+    * stream-safe.
     */
   def bandedSimhash(pages: DataFrame, idCol: String, textCol: String,
-                    bands: Int = 4): Dataset[BandedSig] = {
+                    tsCol: String, bands: Int = 4,
+                    watermark: String = "1 hour"): Dataset[BandedSig] = {
     import pages.sparkSession.implicits._
-    pages.select(col(idCol).cast("string").as("id"),
-        graft.fingerprint.Fingerprints.simhash(col(textCol)).as("simhash"))
+    val wm = if (pages.isStreaming) pages.withWatermark(tsCol, watermark) else pages
+    wm.select(col(idCol).cast("string").as("id"),
+        graft.fingerprint.Fingerprints.simhash(col(textCol)).as("simhash"),
+        col(tsCol).as("ts"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
         graft.lsh.LSH.slicedBandHash("simhash", "band", 64 / bands))
-      .select("band", "band_hash", "id", "simhash").as[BandedSig]
+      .select("band", "band_hash", "id", "simhash", "ts").as[BandedSig]
   }
 
   /** Streaming NEAR-dup detection: incremental fast-path LSH via
@@ -130,33 +136,66 @@ object StreamOps {
     * against its bucket's state and emits a pair per match. The same pair
     * can surface from several bands — downstream consumers dedupe, exactly
     * like the batch pair-distinct.
+    *
+    * State discipline (the batch side's tombstone/cap posture, stream-shaped):
+    *
+    *  - EVENT-TIME TTL: every bucket arms a timeout `stateTtlMs` past its
+    *    own newest member's EVENT time (floored at the watermark, which
+    *    Spark requires) and is dropped when it fires. Anchoring to the
+    *    bucket's max event ts rather than the current watermark matters:
+    *    the watermark lags one batch behind the data, so a watermark-
+    *    anchored timeout can expire a bucket while partners within
+    *    `stateTtlMs` of its newest member are still in flight. With the
+    *    event-time anchor, expiry costs no in-horizon recall, and total
+    *    state is bounded by the docs seen within watermark + TTL instead
+    *    of the stream's lifetime signature space.
+    *  - CAP OVERFLOW ids are remembered id-only: an id that arrives while
+    *    its bucket is full still gets its pairs emitted once and is
+    *    recorded in the overflow list, so an at-least-once redelivery can
+    *    neither re-emit pairs nor consume member capacity. The overflow
+    *    list shares the bucket's TTL, so it is horizon-bounded too.
+    *
+    * Streaming-only by design: batch near-dup is `DedupPipeline.nearEdgesFast`.
     */
   def streamingNearDupPairs(sigs: Dataset[BandedSig], maxHamming: Int = 3,
-                            maxBucket: Int = 64): Dataset[StreamPair] = {
+                            maxBucket: Int = 64,
+                            stateTtlMs: Long = 60L * 60 * 1000): Dataset[StreamPair] = {
     import sigs.sparkSession.implicits._
     sigs
       .groupByKey(s => (s.band, s.band_hash))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Long), rows: Iterator[BandedSig], state: GroupState[List[(String, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[StreamPair]
-          rows.foreach { r =>
-            // at-least-once sources redeliver: an id already in state must
-            // neither re-emit its pairs nor consume another capacity slot
-            // (64 redeliveries would otherwise fill the cap with copies)
-            if (!seen.exists(_._1 == r.id)) {
-              seen.foreach { case (oid, osim) =>
-                val h = java.lang.Long.bitCount(r.simhash ^ osim)
-                if (h <= maxHamming) {
-                  val (a, b) = if (r.id < oid) (r.id, oid) else (oid, r.id)
-                  out += StreamPair(a, b, h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedSig],
+         state: GroupState[(List[(String, Long)], List[String], Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the bucket's horizon: no in-order row can
+            // pair with these members any more — drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var (seen, overflow, maxTs) = state.getOption.getOrElse((Nil, Nil, 0L))
+            val out = List.newBuilder[StreamPair]
+            rows.foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (!seen.exists(_._1 == r.id) && !overflow.contains(r.id)) {
+                seen.foreach { case (oid, osim) =>
+                  val h = java.lang.Long.bitCount(r.simhash ^ osim)
+                  if (h <= maxHamming) {
+                    val (a, b) = if (r.id < oid) (r.id, oid) else (oid, r.id)
+                    out += StreamPair(a, b, h)
+                  }
                 }
+                if (seen.size < maxBucket) seen = (r.id, r.simhash) :: seen
+                else overflow = r.id :: overflow
               }
-              if (seen.size < maxBucket) seen = (r.id, r.simhash) :: seen
             }
+            state.update((seen, overflow, maxTs))
+            // anchor the TTL to the bucket's newest EVENT time (the
+            // watermark lags one batch; Spark requires timeout > watermark,
+            // hence the floor)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + stateTtlMs)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 
@@ -165,19 +204,43 @@ object StreamOps {
 
   /** Custom streaming state via typed `mapGroupsWithState`: a running
     * per-user event counter that survives across micro-batches — the
-    * KeyValueGroupedDataset custom-state surface (update-mode output; state
-    * is one long per user, expirable by processing-time timeout in
-    * production).
+    * KeyValueGroupedDataset custom-state surface (update-mode output).
+    * State per key is one long, expired by an EVENT-TIME TTL keyed to the
+    * watermark: a user idle for `stateTtlMs` of event time emits one final
+    * count row and is dropped, so the key space never grows beyond the
+    * in-horizon active-user set (the stream-side version of the batch
+    * tombstone discipline). Event-time, not processing-time, deliberately:
+    * a processing-time timeout forces Spark to construct a micro-batch
+    * every trigger for the stream's whole life (`shouldRunAnotherBatch`
+    * is unconditionally true), burning a core on empty batches and
+    * making `processAllAvailable` undecidable; the event-time timeout
+    * fires only when the watermark actually advances. The TTL anchors to
+    * the user's own newest event time, not the (one-batch-lagging)
+    * watermark — see [[streamingNearDupPairs]].
     */
-  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserCount] = {
+  def runningUserCounts(events: Dataset[UserEvent],
+                        stateTtlMs: Long = 30L * 60 * 1000,
+                        watermark: String = "10 seconds"): Dataset[UserCount] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
-          val total = state.getOption.getOrElse(0L) + batch.size
-          state.update(total)
-          UserCount(user, total)
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (total, _) = state.getOption.getOrElse((0L, 0L))
+            state.remove() // final flush for the idle key
+            UserCount(user, total)
+          } else {
+            var (total, maxTs) = state.getOption.getOrElse((0L, 0L))
+            batch.foreach { e =>
+              total += 1
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update((total, maxTs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + stateTtlMs)
+            UserCount(user, total)
+          }
       }
   }
 }

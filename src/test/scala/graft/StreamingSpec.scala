@@ -101,20 +101,22 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming near-dup pairs: cross-micro-batch fast-path LSH with capped state") {
     implicit val sqlCtx = spark.sqlContext
-    val stream = MemoryStream[(String, String)]
-    val sigs = StreamOps.bandedSimhash(stream.toDF().toDF("url", "text"), "url", "text")
+    val t0 = new Timestamp(1700000000000L)
+    val stream = MemoryStream[(String, String, Timestamp)]
+    val sigs = StreamOps.bandedSimhash(stream.toDF().toDF("url", "text", "ts"),
+      "url", "text", "ts")
     val q = StreamOps.streamingNearDupPairs(sigs)
       .toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("neardup_out").start()
     val base = (1 to 40).map(i => s"token$i word$i").mkString(" ")
-    stream.addData(("a", base), ("x", "completely different content entirely unrelated"))
+    stream.addData(("a", base, t0), ("x", "completely different content entirely unrelated", t0))
     q.processAllAvailable()
     // batch 2: an exact copy (hamming 0) and an unrelated doc
-    stream.addData(("b", base), ("y", (100 to 140).map(i => s"zz$i qq$i").mkString(" ")))
+    stream.addData(("b", base, t0), ("y", (100 to 140).map(i => s"zz$i qq$i").mkString(" "), t0))
     q.processAllAvailable()
     // batch 3: at-least-once redelivery of an already-seen doc — must not
     // re-emit pairs or burn a state-capacity slot
-    stream.addData(("a", base))
+    stream.addData(("a", base, t0))
     q.processAllAvailable()
     q.stop()
     val pairs = spark.table("neardup_out")
@@ -125,6 +127,43 @@ class StreamingSpec extends SparkTestBase {
       .filter($"id_a" === "a" && $"id_b" === "b").count()
     assert(abEmissions <= 4, // at most once per colliding band, never re-emitted
       s"redelivery re-emitted pairs: $abEmissions rows for (a,b)")
+  }
+
+  test("streaming near-dup state expires by watermark TTL; in-horizon twins still pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String, Timestamp)]
+    val sigs = StreamOps.bandedSimhash(stream.toDF().toDF("url", "text", "ts"),
+      "url", "text", "ts", watermark = "10 minutes")
+    val q = StreamOps.streamingNearDupPairs(sigs, stateTtlMs = 10L * 60 * 1000)
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_ttl_out").start()
+    def at(hours: Int) = new Timestamp(1700000000000L + hours * 3600L * 1000)
+    def doc(i: Int) = (100 to 140).map(j => s"w${i}x$j tk${i}y$j").mkString(" ")
+    def stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+
+    stream.addData(("a1", doc(1), at(0)), ("b1", doc(1), at(0)))
+    q.processAllAvailable()
+    val s1 = stateRows
+    // each batch jumps one hour of event time — 6x the watermark+TTL
+    // horizon — so earlier buckets must expire as the watermark passes them
+    stream.addData(("a2", doc(2), at(1)), ("b2", doc(2), at(1)))
+    q.processAllAvailable()
+    stream.addData(("a3", doc(3), at(2)), ("b3", doc(3), at(2)))
+    q.processAllAvailable()
+    stream.addData(("a4", doc(4), at(3)), ("b4", doc(4), at(3)))
+    q.processAllAvailable()
+    val s4 = stateRows
+    // a twin arriving INSIDE the live horizon still pairs across batches
+    stream.addData(("a4twin", doc(4), at(3)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_ttl_out")
+      .select("id_a", "id_b").distinct().as[(String, String)].collect().toSet
+    assert(pairs.contains(("a1", "b1")) && pairs.contains(("a4", "b4")),
+      s"same-batch twins missing: $pairs")
+    assert(pairs.contains(("a4", "a4twin")), s"in-horizon cross-batch twin missing: $pairs")
+    assert(s4 <= s1 * 2,
+      s"state grew with stream lifetime instead of the watermark horizon: s1=$s1 s4=$s4")
   }
 
   test("mapGroupsWithState: running per-user counts accumulate across micro-batches") {
@@ -145,5 +184,32 @@ class StreamingSpec extends SparkTestBase {
     val last = spark.table("ucounts_out").groupBy("user_id")
       .agg(max("n_events").as("n")).as[(Long, Long)].collect().sortBy(_._1)
     assert(last.toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("mapGroupsWithState: idle user state expires by event-time TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.UserEvent]
+    // 1-minute TTL, zero-delay watermark: a user idle for >1 min of EVENT
+    // time is flushed and dropped from state
+    val counts = StreamOps.runningUserCounts(stream.toDS(),
+      stateTtlMs = 60L * 1000, watermark = "0 seconds")
+    val q = counts.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ucounts_ttl_out").start()
+    def at(min: Int) = new Timestamp(1700000000000L + min * 60L * 1000)
+
+    stream.addData(StreamOps.UserEvent(1, at(0)), StreamOps.UserEvent(1, at(0)))
+    q.processAllAvailable()
+    // one hour of event time later: user 1's bucket is far past watermark+TTL
+    stream.addData(StreamOps.UserEvent(2, at(60)))
+    q.processAllAvailable()
+    // next watermark advance fires user 1's timeout (final flush, remove)
+    stream.addData(StreamOps.UserEvent(2, at(61)))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val last = spark.table("ucounts_ttl_out").groupBy("user_id")
+      .agg(max("n_events").as("n")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(last.toSeq == Seq((1L, 2L), (2L, 2L)), s"counts wrong: ${last.toSeq}")
+    assert(stateRows <= 1, s"idle user state not expired: $stateRows rows live")
   }
 }
