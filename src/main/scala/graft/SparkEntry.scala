@@ -465,6 +465,24 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("blob"))
       Multimodal.sampleFrames(d, "doc_id", "blob", everyNth = 2)
+    }),
+
+    // REAL pixel decode: synthesize an uncompressed BMP per doc from one of
+    // three analytic patterns (doc_id % 3), run the real decode→grayscale→
+    // 8×8-box-mean→threshold kernel on the actual bytes, and let DuckDB
+    // recompute the expected hash ANALYTICALLY from the pattern id — a
+    // genuine oracle for the pixel path (reference kernel
+    // processing/core.rs:37-104; goldens mirror processing_tests.rs:93-119).
+    "q_image_ahash" -> ((s, dir) => {
+      import graft.multimodal.BmpSynth
+      val blob = when(col("doc_id") % 3 === 0, lit(BmpSynth.OraclePatterns(0)))
+        .when(col("doc_id") % 3 === 1, lit(BmpSynth.OraclePatterns(1)))
+        .otherwise(lit(BmpSynth.OraclePatterns(2)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"),
+          Multimodal.imageAHash(col("blob")).as("ahash"),
+          Multimodal.imageMeta(col("blob")).getField("format").as("format"))
     })
   )
 
@@ -775,6 +793,19 @@ object SparkEntry {
     "q_frame_sample" ->
       """SELECT doc_id, CAST(unnest(range(0,
         |         octet_length(encode(text)) // 250 + 1, 2)) AS BIGINT) AS frame_idx
+        |FROM documents""".stripMargin,
+
+    // expected aHash derived analytically from the pattern id: left/right
+    // split lights cells cx≥4 of every row (0x0F per row byte), top/bottom
+    // split lights rows cy≥4 (low 32 bits), solid is all-equal → 0 under
+    // the strict > threshold
+    "q_image_ahash" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN CAST(1085102592571150095 AS BIGINT)
+        |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ahash,
+        |       'bmp' AS format
         |FROM documents""".stripMargin
   )
 

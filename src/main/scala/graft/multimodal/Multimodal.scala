@@ -27,6 +27,16 @@ object Multimodal {
     shim.toColumn(ImageMeta(shim.toExpression(blob)))
   }
 
+  /** REAL pixel-level perceptual hash for uncompressed BMPs (the
+    * reference's aHash kernel, `processing/core.rs:37-104`): binary →
+    * 64-bit mean-threshold average hash, null for anything that needs a
+    * codec. Compose with `bit_count(a ^ b)` for perceptual Hamming.
+    */
+  def imageAHash(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.shim
+    shim.toColumn(ImageAHash(shim.toExpression(blob)))
+  }
+
   /** Magic-byte content sniffing as pure column expressions — the real
     * thing, not a stub (reference `is_heic_format` / fixsuffix magics).
     * Output: "png" | "jpeg" | "gif" | "riff" | "html" | "bin".

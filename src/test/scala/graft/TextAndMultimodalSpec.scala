@@ -93,6 +93,60 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(ImageHeader.parse("plain text bytes".getBytes) == null)
   }
 
+  test("BmpAHash goldens: real pixel decode -> 8x8 mean-threshold hash") {
+    import graft.multimodal.{BmpAHash, BmpSynth}
+    // the three analytic oracle patterns, pinned to their closed-form hashes
+    // (mirrors the reference's synthesized-image goldens,
+    // processing_tests.rs:93-119)
+    BmpSynth.OraclePatterns.zip(BmpSynth.OracleHashes).foreach { case (b, h) =>
+      assert(BmpAHash.ahash(b) == h)
+    }
+    // kernel is invariant to the BMP container encoding: 32-bpp, top-down
+    // row order, and non-8 dimensions (padded strides, box-mean cells) all
+    // hash identically to the canonical 24-bpp bottom-up 8x8
+    val leftRight: (Int, Int) => Int = (x, _) => if (x < 4) 0x000000 else 0xFFFFFF
+    assert(BmpAHash.ahash(BmpSynth.bmp(8, 8, bpp = 32)(leftRight)) == 0x0F0F0F0F0F0F0F0FL)
+    assert(BmpAHash.ahash(BmpSynth.bmp(8, 8, topDown = true)(leftRight)) == 0x0F0F0F0F0F0F0F0FL)
+    val bigLeftRight = BmpSynth.bmp(100, 60)((x, _) => if (x < 50) 0x101010 else 0xF0F0F0)
+    assert(BmpAHash.ahash(bigLeftRight) == 0x0F0F0F0F0F0F0F0FL) // odd stride: 100*3 pads to 304
+    val tiny = BmpSynth.bmp(4, 4)((x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    assert(BmpAHash.ahash(tiny) == 0x0F0F0F0F0F0F0F0FL) // cells widen below 8px
+    // a near-dup pair (one flipped cell) lands at Hamming 1 of each other
+    val oneOff = BmpSynth.bmp(8, 8)((x, y) =>
+      if (x == 7 && y == 7) 0x000000 else if (x < 4) 0x000000 else 0xFFFFFF)
+    assert(java.lang.Long.bitCount(
+      BmpAHash.ahash(oneOff) ^ 0x0F0F0F0F0F0F0F0FL) == 1)
+    // corrupt-input contract: null, never throw
+    val good = BmpSynth.OraclePatterns(0)
+    assert(BmpAHash.ahash(null) == null)
+    assert(BmpAHash.ahash(good.take(53)) == null)          // truncated header
+    assert(BmpAHash.ahash(good.take(100)) == null)         // truncated pixels
+    assert(BmpAHash.ahash("BM then garbage bytes here padded out to length".getBytes) == null)
+    val rle = good.clone(); rle(30) = 1                    // BI_RLE8 compression
+    assert(BmpAHash.ahash(rle) == null)
+    val bpp16 = good.clone(); bpp16(28) = 16               // unsupported depth
+    assert(BmpAHash.ahash(bpp16) == null)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    assert(BmpAHash.ahash(png) == null)                    // needs a codec: stub stays
+  }
+
+  test("imageAHash Column expression: codegen path and null propagation") {
+    import graft.multimodal.BmpSynth
+    val rows = Seq(
+      (0L, BmpSynth.OraclePatterns(0)),
+      (1L, BmpSynth.OraclePatterns(1)),
+      (2L, BmpSynth.OraclePatterns(2)),
+      (3L, "not an image".getBytes))
+    val out = rows.toDF("id", "blob")
+      .select($"id", Multimodal.imageAHash($"blob").as("h"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, Some(0x0F0F0F0F0F0F0F0FL)),
+      (1L, Some(0x00000000FFFFFFFFL)),
+      (2L, Some(0L)),
+      (3L, None)))
+  }
+
   test("withMeta prefers real decoded dimensions over the stand-in") {
     def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
