@@ -49,12 +49,39 @@ object RunOnce {
     // driver round-trip (plan + schedule + barrier), the fixed-overhead
     // component of the scaling story
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobLog = sys.env.contains("SPARK_GRAFT_JOBLOG")
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (jobLog) {
+          // attribute each driver round-trip: callsite + triggering action
+          val sites = js.stageInfos.map(_.name)
+            .filterNot(_.contains("CompletableFuture")).distinct
+          val site = sites.headOption.getOrElse(
+            js.stageInfos.headOption.map(_.name).getOrElse("?"))
+          val exec = Option(js.properties).flatMap(x =>
+            Option(x.getProperty("spark.sql.execution.id"))).getOrElse("-")
+          val rddName = js.stageInfos.lastOption
+            .flatMap(_.rddInfos.lastOption).map(_.name).getOrElse("?")
+          System.err.println(
+            s"[joblog] job=${js.jobId} exec=$exec stages=${js.stageInfos.size} " +
+              s"rdd=$rddName site=$site")
+        }
+      }
     }
     spark.sparkContext.addSparkListener(listener)
+    if (jobLog) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          System.err.println(f"[execlog] exec=${qe.id} func=$funcName " +
+            f"${durationNs / 1e9}%.2fs root=${qe.executedPlan.nodeName}")
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               e: Exception): Unit = ()
+      })
     val t0 = System.nanoTime()
     val n = job(s"$tmp/full")
     val sec = (System.nanoTime() - t0) / 1e9

@@ -77,19 +77,39 @@ object Clustering {
     * consecutive edge sets would exit early with non-star labels — odds
     * are ~2⁻⁶⁴ per round; if the checksum is ever narrowed, replace this
     * with an exact set-difference check.
+    *
+    * The stats ride the round's own materialization job as `observe`
+    * metrics (CollectMetrics accumulators) instead of a separate
+    * aggregation action: one driver round-trip per round, not two — the
+    * per-round driver-job floor is a measured suppressor of scaling
+    * efficiency at high parallelism.
     */
-  private def edgeStats(e: DataFrame): (Long, Long) = {
+  private def observeStats(e: DataFrame, name: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
     // bit_xor, not sum: order-independent AND overflow-free under ANSI mode
     // (the set is distinct, so XOR self-cancellation cannot occur)
-    val r = e.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
-    (r.getLong(0), r.getLong(1))
+    (e.observe(obs, count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")), obs)
+  }
+
+  private def statsOf(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+    // the materializing checkpoint action has already run; the metrics row
+    // arrives on the listener bus within ms — the generous bound only
+    // guards against a wedged bus, failing loudly instead of hanging
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    // empty row: AQE's empty-relation propagation pruned the metrics node —
+    // the observed edge set was empty
+    if (row.length == 0) (0L, 0L)
+    else (row.getLong(0), row.getLong(1)) // positional: (n, x) in observe order
   }
 
   /** Distributed union-find: alternating large-star/small-star contraction
-    * (Kiveris et al. 2014) over an edge list, iterated to fixpoint with
-    * per-round lazy `localCheckpoint()` to cut lineage (north_rule;
-    * SURVEY.md §4 custom-work item 3). Converges in O(log n) rounds on ANY
+    * (Kiveris et al. 2014) over an edge list, iterated to fixpoint with one
+    * eager checkpoint per round that both cuts lineage (north_rule;
+    * SURVEY.md §4 custom-work item 3) and carries the fixpoint stats as
+    * observe metrics. Converges in O(log n) rounds on ANY
     * topology — including the chain-shaped components (successive
     * truncations/edits) that defeat O(diameter) label propagation — because
     * each round at least halves the height of every non-star component.
@@ -120,11 +140,11 @@ object Clustering {
         // materialized ONCE: codes must not be re-derived per use
 
     // LAZY checkpoint on the encoded edge set: BOTH the oriented edges and
-    // the final node labeling derive from `enc`, so without this the
-    // id-dictionary encode joins (and any un-materialized upstream edge
-    // DAG) would replay once more when `nodes` is computed after the
-    // contraction loop. The first edgeStats job below materializes the
-    // whole chain (enc, then e) in one pass.
+    // the self-loop-only labeling tail derive from `enc`, so without this
+    // the id-dictionary encode joins (and any un-materialized upstream edge
+    // DAG) would replay once more after the contraction loop. The initial
+    // eager checkpoint of `e` below materializes the whole chain (enc,
+    // then e) in one pass.
     val enc = mat(
       if (alreadyNumeric) edges.select(col("a").as("src"), col("b").as("dst"))
       else edges
@@ -133,22 +153,25 @@ object Clustering {
         .select(col("ca").as("src"), col("cb").as("dst")),
       eager = false)
     // canonical oriented edge set (u > v), self-loops dropped; the initial
-    // distinct bounds the first round and makes edgeStats a set invariant.
-    var e = mat(enc.filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .distinct(),
-      eager = false)
-    var stats = edgeStats(e)
+    // distinct bounds the first round and makes the stats a set invariant.
+    // Each round's stats ride its eager checkpoint via observe — one
+    // materializing job per round, no separate fixpoint-agg action.
+    val (e0, obs0) = observeStats(
+      enc.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .distinct(),
+      "uf_round_0")
+    var e = mat(e0)
+    var stats = statsOf(obs0)
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      // lazy checkpoint: the fixpoint agg below both materializes the round
-      // AND cuts its lineage in one job
-      val next = mat(smallStar(largeStar(e)), eager = false)
-      val nextStats = edgeStats(next)
+      val (nextDf, obs) = observeStats(smallStar(largeStar(e)), s"uf_round_${iter + 1}")
+      val next = mat(nextDf)
+      val nextStats = statsOf(obs)
       converged = nextStats == stats
       stats = nextStats
       e = next
@@ -160,12 +183,17 @@ object Clustering {
     require(converged, s"union-find did not converge within $maxIters rounds")
 
     // fixpoint edge set is a star forest (child u → component-min root v):
-    // label every node that appeared in the input; roots label themselves
-    val nodes = enc.select(col("src").as("id"))
-      .union(enc.select(col("dst").as("id"))).distinct()
-    val labels = nodes
-      .join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+    // read the labels straight off it — every non-root appears exactly once
+    // as u, roots appear only as v and label themselves. Nodes whose every
+    // edge was a self-loop vanish from `e`, so they re-enter from `enc`;
+    // min(label) per id reconciles a self-loop row (id→id) with a real star
+    // label (id→root ≤ id) without an anti-join. This replaces the old
+    // O(|E|) union-distinct node-universe rebuild with an O(|V|) agg.
+    val labels = e.select(col("u").as("id"), col("v").as("label"))
+      .union(e.select(col("v").as("id"), col("v").as("label")))
+      .union(enc.filter(col("src") === col("dst"))
+        .select(col("src").as("id"), col("src").as("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
 
     if (alreadyNumeric) labels.withColumnRenamed("label", "cluster_id")
     else labels

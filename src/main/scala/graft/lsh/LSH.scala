@@ -113,9 +113,16 @@ object LSH {
     // only COLLIDING buckets matter (singletons yield no pairs) — filtering
     // size-1 buckets out before the join keeps this frame small (collisions
     // only, not O(docs×bands)) so caching it is safe at any scale, and the
-    // inner join below then doubles as the singleton filter on the big side
+    // inner join below then doubles as the singleton filter on the big side.
+    // The coverage-loss audit rides the same aggregation as observe metrics
+    // (CollectMetrics executes while the cache fills inside the pair job) —
+    // no separate audit action on the driver's critical path.
+    val dropObs = org.apache.spark.sql.Observation()
     val sizes = exploded.groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
+      .observe(dropObs, coalesce(
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)),
+        lit(0L)).as("dropped"))
       .filter(col("bucket_n") > 1)
       .cache()
 
@@ -173,9 +180,24 @@ object LSH {
     // right away instead of leaking across pipeline runs.
     val result = mat(coldPairs.union(hotPairs).distinct())
 
-    // coverage-loss audit AFTER materialization: sizes is already cached by
-    // the pair job, so this is a cheap cache scan, not an extra full pass
-    val nDropped = sizes.filter(col("bucket_n") > maxBucketSize).count()
+    // coverage-loss audit: read the observe metrics collected during the
+    // pair job's cache fill (zero extra jobs); if the metric event has not
+    // landed (cache was warm from a prior call, so CollectMetrics never
+    // ran), fall back to one cheap scan of the small cached frame
+    val nDropped =
+      try {
+        // metric delivery is async on the listener bus: give it a beat
+        val row = scala.concurrent.Await.result(dropObs.future,
+          scala.concurrent.duration.Duration(5, "s"))
+        // empty row: AQE's empty-relation propagation pruned the metrics
+        // node (no colliding buckets) — nothing was droppable
+        if (row.length == 0) 0L else row.getLong(0)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          // cache was warm from a prior call (CollectMetrics never ran):
+          // one cheap scan of the small cached frame instead
+          sizes.filter(col("bucket_n") > maxBucketSize).count()
+      }
     if (nDropped > 0) {
       // explicit, logged coverage loss — never silent
       System.err.println(

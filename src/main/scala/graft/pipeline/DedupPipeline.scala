@@ -286,14 +286,24 @@ object DedupPipeline {
       substring(Fingerprints.normalized(col(textCol)), 1, cfg.saMaxChars).as("norm_text"))
 
   /** Order-preserving id dictionary: original id → dense long code.
-    * A global sort then monotonically_increasing_id (monotone in partition
-    * index × offset) makes codes order-isomorphic to the original ids, so
-    * every min-id convention downstream (exact-group rep, union-find label,
-    * representative tiebreak) is preserved exactly. Materialized once —
-    * codes must never be re-derived under a different partitioning.
+    * Range partitioning + in-partition sort + in-partition dedup, then
+    * monotonically_increasing_id (monotone in partition index × offset)
+    * makes codes order-isomorphic to the original ids, so every min-id
+    * convention downstream (exact-group rep, union-find label,
+    * representative tiebreak) is preserved exactly. ONE shuffle of the id
+    * column: range partitioning co-locates equal ids, so the global
+    * hash-distinct a naive `distinct().sort()` would pay (a second full
+    * exchange) is replaced by a narrow in-partition dedup. Materialized
+    * once — codes must never be re-derived under a different partitioning.
     */
   def idDictionary(ids: DataFrame, mat: Materializer = Materializer.local): DataFrame =
-    mat(ids.toDF("sid").distinct().sort("sid")
+    mat(ids.toDF("sid")
+      .repartitionByRange(col("sid"))
+      // no exchange here: RangePartitioning(sid) already satisfies the
+      // aggregate's ClusteredDistribution(sid) — equal ids are co-located
+      .dropDuplicates("sid")
+      // the hash agg scrambles in-partition order; restore it narrowly
+      .sortWithinPartitions("sid")
       .withColumn("id", monotonically_increasing_id()))
 
   /** Full run: returns the clusters table
@@ -329,18 +339,20 @@ object DedupPipeline {
       col("id"),
       length(col("__text")).as("order_len"),
       Fingerprints.contentHash(col("__text")).as("content_hash"))
-      .cache() // reused by: exact edges, reps, hash counts, kind join, universe
+      .cache() // reused by: exact edges, hash groups, kind join, universe
 
-    // one representative (min id ≡ exactEdges root) per content_hash enters
-    // the near-dup stage; fingerprints are computed for reps ONLY
-    val reps = slim.groupBy("content_hash").agg(min(col("id")).as("id")).select("id")
+    // ONE aggregation serves both downstream needs: the representative
+    // (min id ≡ exactEdges root) per content_hash that enters the near-dup
+    // stage, and the per-hash multiplicity the kind labeling reads later —
+    // computing them separately would run the same exchange twice
+    val hashGroups = hashGroupsOf(slim)
     val nearPages = keyed
-      .join(reps, Seq("id"), "left_semi")
+      .join(hashGroups.select("id"), Seq("id"), "left_semi")
       .cache() // read twice: fingerprints + SA-pass norm texts
     val repSigs = signatures(nearPages, "id", "__text", cfg)
       .cache() // reused by band explode (×2 paths) + verify shingle re-join
 
-    val coded = clusterFromParts(spark, slim, repSigs,
+    val coded = clusterFromParts(spark, slim, hashGroups, repSigs,
       texts = if (cfg.fastPath) None
               else Some(normTexts(nearPages, "id", "__text", cfg)),
       cfg, orderCols, mat,
@@ -350,9 +362,19 @@ object DedupPipeline {
     val result = decode(coded, dict, mat)
     repSigs.unpersist()
     nearPages.unpersist()
+    hashGroups.unpersist()
     slim.unpersist()
     result
   }
+
+  /** (content_hash, id = group-min rep, hash_n) — one shared aggregation
+    * for rep selection AND kind labeling; cached because both the near-dup
+    * head and the cluster tail read it.
+    */
+  private def hashGroupsOf(slim: DataFrame): DataFrame =
+    slim.groupBy("content_hash")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("hash_n"))
+      .cache()
 
   /** Restore original string ids on a coded clusters table. */
   private def decode(coded: DataFrame, dict: DataFrame, mat: Materializer): DataFrame =
@@ -383,19 +405,20 @@ object DedupPipeline {
         col("simhash"), col("minhash"), col("shingles"))
       .join(dict, "sid")
     val slim = keyed.select("id", "order_len", "content_hash").cache()
-    val reps = slim.groupBy("content_hash").agg(min(col("id")).as("id")).select("id")
+    val hashGroups = hashGroupsOf(slim)
     val repSigs = keyed
       .select("id", "simhash", "minhash", "shingles")
-      .join(reps, Seq("id"), "left_semi")
+      .join(hashGroups.select("id"), Seq("id"), "left_semi")
       .cache()
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
     // persisted state MAY mix fast-path (shingle-less) and full epochs —
     // only this resume path pays the mixed-state probe job
-    val coded = clusterFromParts(spark, slim, repSigs, codedTexts, cfg, orderCols,
-      mat, mayHaveFastRows = true)
+    val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,
+      cfg, orderCols, mat, mayHaveFastRows = true)
     val result = decode(coded, dict, mat)
     repSigs.unpersist()
+    hashGroups.unpersist()
     slim.unpersist()
     result
   }
@@ -403,11 +426,13 @@ object DedupPipeline {
   /** Shared pipeline tail: exact edges from the slim universe, near edges
     * from rep signatures, union-find, kind labeling, representative window.
     *
-    * @param slim    (id, order_len, content_hash) for EVERY row — the
-    *                cluster universe
-    * @param repSigs signatures for one representative per content_hash
+    * @param slim       (id, order_len, content_hash) for EVERY row — the
+    *                   cluster universe
+    * @param hashGroups (content_hash, id, hash_n) from [[hashGroupsOf]]
+    * @param repSigs    signatures for one representative per content_hash
     */
-  private def clusterFromParts(spark: SparkSession, slim: DataFrame, repSigs: DataFrame,
+  private def clusterFromParts(spark: SparkSession, slim: DataFrame,
+                               hashGroups: DataFrame, repSigs: DataFrame,
                                texts: Option[DataFrame], cfg: DedupConfig,
                                orderCols: Seq[org.apache.spark.sql.Column],
                                mat: Materializer = Materializer.local,
@@ -447,8 +472,10 @@ object DedupPipeline {
     }
 
     // kind: exact if the row shares a content_hash with ≥2 rows; near if in a
-    // multi-row cluster otherwise; unique for singletons
-    val hashCounts = slim.groupBy("content_hash").agg(count(lit(1)).as("hash_n"))
+    // multi-row cluster otherwise; unique for singletons. hash_n comes from
+    // the shared hashGroups agg — already computed (and cached) for rep
+    // selection, so no second content_hash exchange runs here.
+    val hashCounts = hashGroups.select("content_hash", "hash_n")
     val clusterSizes = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
 
     val out = clustered
