@@ -1,0 +1,39 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Records the worst single-task footprint seen while attached — the
+  * skew-stress gate's evidence that the salt/cap machinery keeps every
+  * task's input bounded (a mega bucket that escaped both would surface
+  * here as one task reading ~bucket²/2 shuffle records).
+  */
+final class TaskSkewListener extends SparkListener {
+  val maxShuffleReadRecords = new AtomicLong(0)
+  val maxTaskMillis = new AtomicLong(0)
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      maxShuffleReadRecords.getAndAccumulate(
+        m.shuffleReadMetrics.recordsRead, math.max)
+      maxTaskMillis.getAndAccumulate(m.executorRunTime, math.max)
+    }
+  }
+}
+
+object TaskSkewListener {
+  /** Run `f` with a fresh listener attached; returns (result, listener). */
+  def measure[T](spark: SparkSession)(f: => T): (T, TaskSkewListener) = {
+    val l = new TaskSkewListener
+    spark.sparkContext.addSparkListener(l)
+    try { val r = f; (r, l) }
+    finally {
+      // flush queued task-end events before reading the maxima
+      org.apache.spark.sql.graftshim.shim.drainListenerBus(spark.sparkContext, 30000)
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+}

@@ -89,6 +89,11 @@ object LSH {
     * @param saltFactor    salt partitions for hot buckets
     * @param maxBucketSize buckets larger than this are dropped entirely
     *                      (boilerplate black holes); the drop is logged
+    * @param bucketCap     optional per-ROW cap expression overriding
+    *                      `maxBucketSize` — may reference `band` /
+    *                      `band_hash` / `bucket_n`, enabling per-channel
+    *                      caps (the containment bands skip the Hamming
+    *                      prune, so they need a tighter boilerplate cap)
     * @param prune         applied to each path's raw pair stream BEFORE the
     *                      cross-band distinct — the hook for cheap pair
     *                      filters (e.g. SimHash Hamming) that shrink both
@@ -108,8 +113,10 @@ object LSH {
                      maxBucketSize: Int = 100000,
                      carry: Seq[String] = Nil,
                      mat: graft.state.Materializer = graft.state.Materializer.local,
-                     prune: DataFrame => DataFrame = _.drop("band")): DataFrame = {
+                     prune: DataFrame => DataFrame = _.drop("band"),
+                     bucketCap: Option[Column] = None): DataFrame = {
     val bucketKey = Seq("band", "band_hash")
+    val cap = bucketCap.getOrElse(lit(maxBucketSize))
     // only COLLIDING buckets matter (singletons yield no pairs) — filtering
     // size-1 buckets out before the join keeps this frame small (collisions
     // only, not O(docs×bands)) so caching it is safe at any scale, and the
@@ -121,7 +128,7 @@ object LSH {
     val sizes = exploded.groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .observe(dropObs, coalesce(
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)),
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)),
         lit(0L)).as("dropped"))
       .filter(col("bucket_n") > 1)
       .cache()
@@ -132,7 +139,7 @@ object LSH {
     // it is far smaller than the exploded table; MEMORY_AND_DISK spills
     // rather than OOMs if a dup-heavy corpus makes it large.
     val tagged = exploded.join(sizes, bucketKey)
-      .filter(col("bucket_n") <= maxBucketSize)
+      .filter(col("bucket_n") <= cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def sides(df: DataFrame, extra: Seq[String]): (DataFrame, DataFrame) = {
@@ -196,12 +203,13 @@ object LSH {
         case _: java.util.concurrent.TimeoutException =>
           // cache was warm from a prior call (CollectMetrics never ran):
           // one cheap scan of the small cached frame instead
-          sizes.filter(col("bucket_n") > maxBucketSize).count()
+          sizes.filter(col("bucket_n") > cap).count()
       }
     if (nDropped > 0) {
       // explicit, logged coverage loss — never silent
       System.err.println(
-        s"[lsh] dropped $nDropped bucket(s) larger than $maxBucketSize rows: " +
+        s"[lsh] dropped $nDropped bucket(s) over their cap " +
+          s"(base $maxBucketSize${if (bucketCap.isDefined) ", per-band overrides" else ""}): " +
           "boilerplate mega-buckets; members remain covered by their other bands")
     }
     tagged.unpersist()

@@ -236,4 +236,81 @@ object PagesGen {
       }
     }
   }
+
+  // ── skew-stress corpus ──────────────────────────────────────────────
+
+  /** Base docs with docIdx % 10 == 0 become the MEGA EXACT-GROUP: all their
+    * variants carry this one parked-domain text (10% of all rows
+    * byte-identical — the empty-page/parked-domain black hole of real web
+    * crawls, stressing the exact-first rep design).
+    */
+  private def parkedTokens(tokensPerDoc: Int): Array[String] =
+    baseTokens(0xBADC0DEL, 0L, tokensPerDoc)
+
+  /** Base docs with docIdx % 10 == 1 get the HOT BOILERPLATE PREFIX: one
+    * identical 60-token prefix prepended to every variant — a prefix-band
+    * (and anchor-band) mega bucket covering ~10% of the corpus, the
+    * quadratic boilerplate channel `containmentMaxBucket` exists to defuse.
+    */
+  private def hotPrefixTokens: Array[String] =
+    baseTokens(0x5EEDFACEL, 1L, 60)
+
+  def skewMega(docIdx: Long): Boolean = docIdx % 10 == 0
+  def skewHotPrefix(docIdx: Long): Boolean = docIdx % 10 == 1
+
+  /** The skew-stress corpus: the standard deterministic corpus with the two
+    * planted pathologies above. Same schema, urls and row count as
+    * [[pages]]; the mega-group and hot-prefix assignments are deterministic
+    * functions of docIdx, so ground truth stays closed-form.
+    */
+  def skewPages(spark: SparkSession, numBase: Long, seed: Long = 42L,
+                tokensPerDoc: Int = 300): Dataset[Page] = {
+    import spark.implicits._
+    val kinds = variantKinds
+    spark.range(numBase * kinds.length).mapPartitions { it =>
+      it.map { idx =>
+        val docIdx = idx / kinds.length
+        val kind = kinds((idx % kinds.length).toInt)
+        makeSkewPage(seed, docIdx, kind, tokensPerDoc)
+      }
+    }
+  }
+
+  def makeSkewPage(seed: Long, docIdx: Long, kind: String, tokensPerDoc: Int): Page = {
+    if (skewMega(docIdx)) {
+      val url = s"https://site${docIdx % 97}.example/p/$docIdx/$kind"
+      val (text, html) = render(parkedTokens(tokensPerDoc), kind, url)
+      val ts = new Timestamp(1700000000000L + docIdx * 60000L + variantKinds.indexOf(kind) * 1000L)
+      Page(url, ts, html, text, "en")
+    } else if (skewHotPrefix(docIdx)) {
+      val r = rng(seed * 424242L + docIdx)
+      val n = tokensPerDoc / 2 + java.lang.Long.remainderUnsigned(r(), tokensPerDoc).toInt
+      val base = baseTokens(seed, docIdx, n)
+      val toks = hotPrefixTokens ++ applyVariant(kind, base, seed, docIdx)
+      val url = s"https://site${docIdx % 97}.example/p/$docIdx/$kind"
+      val (text, html) = render(toks, kind, url)
+      val ts = new Timestamp(1700000000000L + docIdx * 60000L + variantKinds.indexOf(kind) * 1000L)
+      Page(url, ts, html, text, "en")
+    } else makePage(seed, docIdx, kind, tokensPerDoc)
+  }
+
+  /** Ground truth for the skew corpus. Mega-group docs pair only within the
+    * mega cluster (asserted separately as one exact cluster). Hot-prefix
+    * docs keep their variant pairs EXCEPT mid_quote: boilerplate + a
+    * mid-document quote is no longer a contiguous substring of boilerplate
+    * + original, so it is not a containment dup under the engine's (or any
+    * substring-based) semantics.
+    */
+  def skewTruthPairs(spark: SparkSession, numBase: Long, seed: Long = 42L): Dataset[TruthPair] = {
+    import spark.implicits._
+    spark.range(numBase).filter(d => !skewMega(d)).flatMap { docIdx =>
+      val orig = s"https://site${docIdx % 97}.example/p/$docIdx/original"
+      variantKinds
+        .filter(k => k != "original")
+        .filter(k => !(skewHotPrefix(docIdx) && k == "mid_quote"))
+        .map { k =>
+          TruthPair(orig, s"https://site${docIdx % 97}.example/p/$docIdx/$k", k, expectDup(k))
+        }
+    }
+  }
 }

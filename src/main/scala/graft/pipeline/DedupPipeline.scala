@@ -34,6 +34,15 @@ case class DedupConfig(
     hotBucketThreshold: Int = 200,
     saltFactor: Int = 16,
     maxBucketSize: Int = 100000,
+    // tighter cap for the CONTAINMENT channels (prefix + anchor bands):
+    // those bands are exempt from the Hamming prefilter by design, so a
+    // boilerplate prefix shared by b docs pairs quadratically (b²/2 rows
+    // reach the verify join). A real quote rarely spans >10³ docs — a
+    // prefix-band bucket beyond this cap is boilerplate, not quotation,
+    // and is dropped (logged) before it can go quadratic. At the default,
+    // the worst surviving containment bucket contributes ≤ ~12.5M verify
+    // pairs, salted across tasks.
+    containmentMaxBucket: Int = 5000,
     maxUnionFindIters: Int = 25,
     prefixBandShingles: Int = 8,
     // winnowed anchor bands (LSH.anchorBandHashes): selects ~1/modulus of
@@ -187,7 +196,13 @@ object DedupPipeline {
       prune = df => df
         .withColumn("hamming", Fingerprints.hamming(col("simhash_a"), col("simhash_b")))
         .filter(col("band") >= cfg.bands || col("hamming") <= cfg.simhashMaxHamming)
-        .select("id_a", "id_b", "hamming"))
+        .select("id_a", "id_b", "hamming"),
+      // ...which is exactly why those channels get a TIGHTER bucket cap: a
+      // prefix shared by b docs pairs b²/2 rows straight into the verify
+      // join, so past containmentMaxBucket it is boilerplate and dropped
+      bucketCap = Some(
+        when(col("band") >= cfg.bands, lit(cfg.containmentMaxBucket))
+          .otherwise(lit(cfg.maxBucketSize))))
 
     // verify, tier 1 (cheap, signature-only): a pair is a near-dup edge if —
     //  - SimHash Hamming ≤ accept threshold (the reference's PRIMARY
