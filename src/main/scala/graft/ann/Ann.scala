@@ -168,6 +168,23 @@ object Ann {
              nCells: Int = 0, nProbe: Int = 4, maxListSize: Int = 100000,
              kmeansIters: Int = 2,
              mat: graft.state.Materializer = graft.state.Materializer.local): DataFrame = {
+    val idx = ivfIndex(vecs, idCol, vecCol, nCells, maxListSize, kmeansIters, mat)
+    ivfQuery(idx, k, nProbe)
+  }
+
+  /** The built IVF index: `ranked` = every vector's cells ranked by
+    * centroid cosine (probe side), `lists` = capped inverted lists.
+    */
+  final case class IvfIndex(ranked: DataFrame, lists: DataFrame)
+
+  /** Build the IVF index once — [[ivfQuery]] can then be evaluated at any
+    * `nProbe` without re-running k-means or the assignment (the recall
+    * curve and nProbe calibration depend on this split).
+    */
+  def ivfIndex(vecs: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 0, maxListSize: Int = 100000,
+               kmeansIters: Int = 2,
+               mat: graft.state.Materializer = graft.state.Materializer.local): IvfIndex = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val base = vecs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
@@ -224,10 +241,14 @@ object Ann {
         s"[ivf] dropped $nDropped member(s) beyond $maxListSize per inverted list: " +
           "skewed cells; recall for those members degrades, never task memory")
     val lists = listsRanked.filter(col("lrank") <= maxListSize).drop("lrank")
-    val probes = ranked.filter(col("crank") <= nProbe)
-      .select(col("id"), col("qv"), col("nrm").as("nl"), col("cell"))
+    IvfIndex(ranked, lists)
+  }
 
-    val scored = probes.join(lists, "cell")
+  /** Query a built index: probe each vector's `nProbe` nearest cells. */
+  def ivfQuery(idx: IvfIndex, k: Int, nProbe: Int): DataFrame = {
+    val probes = idx.ranked.filter(col("crank") <= nProbe)
+      .select(col("id"), col("qv"), col("nrm").as("nl"), col("cell"))
+    val scored = probes.join(idx.lists, "cell")
       .filter(col("id") =!= col("nbr_id"))
       .withColumn("cos", pairCos(col("nl"), col("nr"), qdot(col("qv"), col("qw"))))
       .select("id", "nbr_id", "cos") // each nbr lives in exactly one list → no dup pairs
@@ -235,6 +256,50 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id", "nbr_id", "cos", "rank")
+  }
+
+  /** Measured recall-vs-nProbe curve against the exact brute-force oracle
+    * (ascending nProbe → non-decreasing recall: probes only grow). The
+    * index is built ONCE; each point reuses it. This is the operator's
+    * probe-cost dial: recall buys linearly more probe work.
+    */
+  def ivfRecallCurve(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                     nProbes: Seq[Int], nCells: Int = 0,
+                     maxListSize: Int = 100000, kmeansIters: Int = 2,
+                     mat: graft.state.Materializer = graft.state.Materializer.local)
+      : Seq[(Int, Double)] = {
+    val idx = ivfIndex(vecs, idCol, vecCol, nCells, maxListSize, kmeansIters, mat)
+    val exact = bruteForceKnn(vecs, vecs, idCol, vecCol, k)
+      .select(col("id"), col("nbr_id"))
+    val exactN = exact.count().toDouble
+    nProbes.sorted.map { p =>
+      val hit = ivfQuery(idx, k, p).select(col("id"), col("nbr_id"))
+        .join(exact, Seq("id", "nbr_id"), "left_semi").count()
+      p -> (if (exactN == 0) 1.0 else hit / exactN)
+    }
+  }
+
+  /** Smallest candidate nProbe whose MEASURED recall meets `target` (falls
+    * back to the largest candidate, logged, when none does) — the
+    * auto-derivation an operator runs once on a corpus sample instead of
+    * hand-picking the probe count. Returns the choice plus the full curve
+    * so the trade is visible.
+    */
+  def nProbeForRecall(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                      target: Double, candidates: Seq[Int] = Seq(4, 8, 12, 16),
+                      nCells: Int = 0,
+                      mat: graft.state.Materializer = graft.state.Materializer.local)
+      : (Int, Seq[(Int, Double)]) = {
+    require(candidates.nonEmpty, "need at least one candidate nProbe")
+    val curve = ivfRecallCurve(vecs, idCol, vecCol, k, candidates, nCells, mat = mat)
+    curve.find(_._2 >= target) match {
+      case Some((p, _)) => (p, curve)
+      case None =>
+        System.err.println(
+          s"[ivf] no candidate nProbe reaches recall $target " +
+            s"(curve: ${curve.mkString(", ")}); using ${curve.last._1}")
+        (curve.last._1, curve)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets — the

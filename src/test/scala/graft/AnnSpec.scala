@@ -119,6 +119,52 @@ class AnnSpec extends SparkTestBase {
     assert(precisionViolations == 0, "bucketed pairs must be exact-cosine verified")
   }
 
+  /** Hard regime for the probe dial: 60 small clusters in 16-d with strong
+    * jitter — √600 ≈ 25 cells cannot isolate 60 clusters, so true
+    * neighbors regularly live in a NON-nearest cell and recall genuinely
+    * climbs with nProbe (on the easy 3-cluster fixture the curve saturates
+    * at the first point and teaches nothing).
+    */
+  private lazy val vecsHard = {
+    val rows = for (i <- 0 until 600) yield {
+      val c = i % 60
+      val base = Array.tabulate(16) { d =>
+        val h = graft.fingerprint.HashKernels.avalanche(c * 7919L + d)
+        (java.lang.Long.remainderUnsigned(h, 1000).toInt - 500) / 500.0f
+      }
+      val jitter = Array.tabulate(16) { d =>
+        val h = graft.fingerprint.HashKernels.avalanche(i * 104729L + d)
+        (java.lang.Long.remainderUnsigned(h, 1000).toInt - 500) / 900.0f
+      }
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b }.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("ivf recall-vs-nProbe curve is non-decreasing; calibration picks the knee") {
+    val curve = Ann.ivfRecallCurve(vecsHard, "vec_id", "embedding", k = 3,
+      nProbes = Seq(2, 4, 8, 12, 16))
+    info(s"ivf recall curve @10x hard regime: ${curve.mkString(", ")}")
+    // probing MORE cells can only add candidates: recall never drops
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, s"recall dropped from nProbe=$pa ($ra) to $pb ($rb)")
+    }
+    // the regime is actually hard: the cheapest point must NOT already be
+    // at ceiling, or the curve teaches nothing
+    assert(curve.head._2 < 0.97, s"regime too easy: ${curve.head}")
+    assert(curve.last._2 >= 0.95, s"even nProbe=16 below 0.95: ${curve.last}")
+
+    // auto-derivation reproduces a by-hand read of the same curve
+    val (chosen, curve2) = Ann.nProbeForRecall(vecsHard, "vec_id", "embedding",
+      k = 3, target = 0.95, candidates = Seq(2, 4, 8, 12, 16))
+    val byHand = curve2.find(_._2 >= 0.95).get._1
+    assert(chosen == byHand, s"calibration chose $chosen, curve says $byHand")
+    // and an unreachable target falls back to the largest candidate, logged
+    val (fallback, _) = Ann.nProbeForRecall(vecsHard, "vec_id", "embedding",
+      k = 3, target = 1.01, candidates = Seq(2, 4))
+    assert(fallback == 4)
+  }
+
   test("embedding near-dups: identical vectors score 1.0") {
     val dup = Seq((100L, Seq(1f, 2f, 3f, 4f)), (101L, Seq(1f, 2f, 3f, 4f)),
       (102L, Seq(-1f, 2f, -3f, 4f))).toDF("vec_id", "embedding")
