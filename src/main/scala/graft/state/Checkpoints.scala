@@ -40,6 +40,16 @@ object Checkpoints {
     * silently bind the manifest to the DRIVER'S local disk on a real
     * cluster while the parquet tables land on the distributed store.
     */
+  /** Read one long out of an observe metric after its carrying action ran —
+    * the single-pass epoch-accounting primitive (counts ride the write
+    * jobs; empty-relation-pruned metric nodes read as 0).
+    */
+  private def observedLong(obs: org.apache.spark.sql.Observation, idx: Int): Long = {
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    if (row.length == 0) 0L else row.getLong(idx)
+  }
+
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -147,28 +157,28 @@ object Checkpoints {
       .withColumn("epoch", lit(epoch))
     withPart.write.mode(if (cfg.forceRescan) "overwrite" else "append").parquet(sigPath)
 
-    // quarantine computed ONCE: cache spans the count and the write
-    val badC = bad.cache()
-    val nQuarantined = badC.count()
-    if (nQuarantined > 0) badC.write.mode("append").parquet(qPath)
-    badC.unpersist()
+    // quarantine count rides the write as an observe metric — one action,
+    // no cache/count/write triple (an empty append just writes a footer)
+    val qObs = org.apache.spark.sql.Observation()
+    bad.observe(qObs, count(lit(1)).as("n")).write.mode("append").parquet(qPath)
+    val nQuarantined = observedLong(qObs, 0)
 
-    // one read-back pass over the committed epoch serves BOTH the lineage
-    // table and the row count (sum of per-partition counts) — the tiny
-    // lineage aggregate is cached instead of re-scanning the parquet
+    // one read-back pass over the committed epoch serves the lineage table
+    // AND the row count: the total rides the lineage write as an observe
+    // metric (sum over the already-grouped per-partition counts)
+    val lObs = org.apache.spark.sql.Observation()
     val lineage = spark.read.parquet(sigPath).filter(col("epoch") === epoch)
       .groupBy("part_id")
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("epoch", lit(epoch))
       .withColumn("table", lit("signatures"))
-      .cache()
+      .observe(lObs, coalesce(sum("n_rows"), lit(0L)).as("n"))
     lineage.write.mode("append").parquet(metricsPath(stateDir))
 
     // X13 rate metrics (reference progress.rs ETA math): each commit line
     // records its own throughput, so an operator can project the remaining
     // corpus (eta = remaining / docs_per_sec) from the manifest alone
-    val nNew = lineage.agg(coalesce(sum("n_rows"), lit(0L))).first().getLong(0)
-    lineage.unpersist()
+    val nNew = observedLong(lObs, 0)
     val elapsed = (System.nanoTime() - epochT0) / 1e9
     val rate = if (elapsed > 0) nNew / elapsed else 0.0
     appendManifest(spark, stateDir,
@@ -270,8 +280,12 @@ object Checkpoints {
         .join(graft.actions.Actions.tombstones(executed).select("id"), Seq("id"), "left_semi")
         .write.mode("append").parquet(bd)
     }
-    val nExecuted = executed.filter(col("success")).count()
-    val nFailed = executed.count() - nExecuted
+    // one aggregation pass over the checkpointed result serves both counts
+    val r = executed.agg(
+      coalesce(sum(when(col("success"), 1L).otherwise(0L)), lit(0L)),
+      count(lit(1))).first()
+    val nExecuted = r.getLong(0)
+    val nFailed = r.getLong(1) - nExecuted
     if (nExecuted + nFailed > 0)
       executed.write.mode("append").parquet(executedPath(stateDir))
     appendManifest(spark, stateDir,
