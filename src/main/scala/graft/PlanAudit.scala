@@ -37,6 +37,12 @@ object PlanAudit {
       graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", 3))
     show("ann_neardup_lsh (raw operator)",
       graft.ann.Ann.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.9))
+    // dictionary encode: ONE range exchange; the dedup aggregate must reuse
+    // the range partitioning (no second hashpartitioning exchange)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    show("id_dictionary (encode plan)",
+      graft.pipeline.DedupPipeline.idDictionaryPlan(
+        docs.select(org.apache.spark.sql.functions.col("doc_id").cast("string"))))
     spark.stop()
   }
 }

@@ -312,14 +312,21 @@ object DedupPipeline {
     * once — codes must never be re-derived under a different partitioning.
     */
   def idDictionary(ids: DataFrame, mat: Materializer = Materializer.local): DataFrame =
-    mat(ids.toDF("sid")
+    mat(idDictionaryPlan(ids))
+
+  /** The encode plan before materialization — split out so PlanAudit can
+    * verify the single-exchange claim (`Exchange rangepartitioning` once;
+    * the dedup aggregate must NOT add a hashpartitioning exchange).
+    */
+  def idDictionaryPlan(ids: DataFrame): DataFrame =
+    ids.toDF("sid")
       .repartitionByRange(col("sid"))
       // no exchange here: RangePartitioning(sid) already satisfies the
       // aggregate's ClusteredDistribution(sid) — equal ids are co-located
       .dropDuplicates("sid")
       // the hash agg scrambles in-partition order; restore it narrowly
       .sortWithinPartitions("sid")
-      .withColumn("id", monotonically_increasing_id()))
+      .withColumn("id", monotonically_increasing_id())
 
   /** Full run: returns the clusters table
     * (id, cluster_id, is_representative, kind) — kind ∈ {exact, near, unique}.
