@@ -15,7 +15,10 @@ object RunOnce {
     val mapOnly = sys.env.get("SPARK_GRAFT_STAGE").contains("map")
     val spark = Bench.sessionFor(cpus)
     val tmp = Files.createTempDirectory("graft-once").toString
-    Bench.materializePages(spark, numBase, s"$tmp/full")
+    if (sys.env.contains("SPARK_GRAFT_SKEW"))
+      graft.pages.PagesGen.skewPages(spark, numBase, seed = 42L, tokensPerDoc = 200)
+        .toDF().write.mode("overwrite").parquet(s"$tmp/full")
+    else Bench.materializePages(spark, numBase, s"$tmp/full")
 
     def job(path: String): Long =
       if (sys.env.get("SPARK_GRAFT_STAGE").contains("shuffle")) {
@@ -37,7 +40,16 @@ object RunOnce {
           .signatures(pages, "url", "text", graft.pipeline.DedupConfig())
           .agg(expr("bit_xor(simhash)").as("x"), sum("n_shingles").as("s"))
           .collect()(0).getLong(1)
-      } else Bench.runPipelineOn(spark, path)
+      } else {
+        // bisect knobs: raise the containment gate past 1.0 to disable the
+        // suffix-array slice, tighten the Hamming prefilter, etc.
+        val cfg = graft.pipeline.DedupConfig(
+          containmentGate = sys.env.get("SPARK_GRAFT_CGATE").map(_.toDouble)
+            .getOrElse(graft.pipeline.DedupConfig().containmentGate),
+          simhashMaxHamming = sys.env.get("SPARK_GRAFT_MAXHAM").map(_.toInt)
+            .getOrElse(graft.pipeline.DedupConfig().simhashMaxHamming))
+        Bench.runPipelineOn(spark, path, cfg)
+      }
 
     if (warm) {
       Bench.materializePages(spark, math.max(50L, numBase / 20), s"$tmp/warm")

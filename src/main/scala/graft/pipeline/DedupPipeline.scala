@@ -28,7 +28,15 @@ case class DedupConfig(
     simhashMaxHamming: Int = 28,
     simhashAcceptHamming: Int = 12,
     jaccardThreshold: Double = 0.5,
-    containmentGate: Double = 0.5,
+    // gate into the suffix-array slice — the engine's most expensive
+    // per-pair kernel. A TRUE containment dup's shingle-set containment is
+    // ≈1.0 (subset ± k-gram boundary effects; still ≥0.85 with a few
+    // percent edits), while a shared-boilerplate-prefix pair tops out
+    // around |prefix|/min(|doc|) ≈ 0.4–0.6 — so 0.75 separates them
+    // cleanly. Measured on the skew corpus (10% shared-prefix family,
+    // 44k pages): gate 0.5 spent ~200 s building suffix arrays for pairs
+    // the SA then rejected; 0.75 cuts that to ~7 s at identical output.
+    containmentGate: Double = 0.75,
     containmentThreshold: Double = 0.9,
     saMaxChars: Int = 20000,
     hotBucketThreshold: Int = 200,
@@ -37,12 +45,15 @@ case class DedupConfig(
     // tighter cap for the CONTAINMENT channels (prefix + anchor bands):
     // those bands are exempt from the Hamming prefilter by design, so a
     // boilerplate prefix shared by b docs pairs quadratically (b²/2 rows
-    // reach the verify join). A real quote rarely spans >10³ docs — a
-    // prefix-band bucket beyond this cap is boilerplate, not quotation,
+    // reach the verify join) — and the SAME family usually collides in
+    // ~|prefix|/modulus anchor buckets at once, multiplying the
+    // pre-distinct volume by ~10×. A real quote rarely spans >10³ docs —
+    // a containment bucket beyond this cap is boilerplate, not quotation,
     // and is dropped (logged) before it can go quadratic. At the default,
-    // the worst surviving containment bucket contributes ≤ ~12.5M verify
-    // pairs, salted across tasks.
-    containmentMaxBucket: Int = 5000,
+    // the worst surviving family contributes ≤ ~2M pairs per channel
+    // (measured: a family parked just under a 5000 cap cost 27× the whole
+    // pipeline; at 2000 the same corpus runs at full speed).
+    containmentMaxBucket: Int = 2000,
     maxUnionFindIters: Int = 25,
     prefixBandShingles: Int = 8,
     // winnowed anchor bands (LSH.anchorBandHashes): selects ~1/modulus of
