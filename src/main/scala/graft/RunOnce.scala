@@ -57,6 +57,30 @@ object RunOnce {
       Bench.dropPipelineState(spark)
       System.err.println("[once] warmup done")
     }
+    // interleaved same-JVM A/B of the minhash-estimate verify tier: the
+    // box's 2-3× co-tenant noise makes cross-invocation comparisons
+    // meaningless — alternate the toggle within one session and take
+    // per-arm medians
+    if (sys.env.contains("SPARK_GRAFT_AB")) {
+      val reps = sys.env.getOrElse("SPARK_GRAFT_AB", "3").toInt
+      def one(est: Boolean): Double = {
+        Bench.dropPipelineState(spark)
+        val t0 = System.nanoTime()
+        Bench.runPipelineOn(spark, s"$tmp/full",
+          graft.pipeline.DedupConfig(estimateTier = est))
+        (System.nanoTime() - t0) / 1e9
+      }
+      one(false) // JIT both code paths once
+      one(true)
+      val runs = (1 to reps).map(i => (one(false), one(true)))
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(f"""{"ab":"estimateTier","off_med":${med(runs.map(_._1))}%.2f,""" +
+        f""""on_med":${med(runs.map(_._2))}%.2f,""" +
+        f""""off":[${runs.map(r => f"${r._1}%.1f").mkString(",")}],""" +
+        f""""on":[${runs.map(r => f"${r._2}%.1f").mkString(",")}]}""")
+      spark.stop()
+      return
+    }
     // count Spark jobs issued by the timed run: every job is a blocking
     // driver round-trip (plan + schedule + barrier), the fixed-overhead
     // component of the scaling story

@@ -114,7 +114,8 @@ object LSH {
                      carry: Seq[String] = Nil,
                      mat: graft.state.Materializer = graft.state.Materializer.local,
                      prune: DataFrame => DataFrame = _.drop("band"),
-                     bucketCap: Option[Column] = None): DataFrame = {
+                     bucketCap: Option[Column] = None,
+                     combine: DataFrame => DataFrame = _.distinct()): DataFrame = {
     val bucketKey = Seq("band", "band_hash")
     val cap = bucketCap.getOrElse(lit(maxBucketSize))
     // only COLLIDING buckets matter (singletons yield no pairs) — filtering
@@ -182,10 +183,13 @@ object LSH {
         .select(outCols: _*))
     }
 
-    // distinct: the same pair collides in several bands. Eagerly materialize
-    // the (bounded) pair set so the collision-side caches can be released
-    // right away instead of leaking across pipeline runs.
-    val result = mat(coldPairs.union(hotPairs).distinct())
+    // combine (default distinct): the same pair collides in several bands.
+    // Callers whose prune emits per-CHANNEL columns (not pair-functional)
+    // pass a groupBy-based combine that folds them (e.g. max of a
+    // containment-channel flag) — same single exchange as distinct.
+    // Eagerly materialize the (bounded) pair set so the collision-side
+    // caches can be released right away instead of leaking across runs.
+    val result = mat(combine(coldPairs.union(hotPairs)))
 
     // coverage-loss audit: read the observe metrics collected during the
     // pair job's cache fill (zero extra jobs); if the metric event has not

@@ -37,6 +37,12 @@ case class DedupConfig(
     // 44k pages): gate 0.5 spent ~200 s building suffix arrays for pairs
     // the SA then rejected; 0.75 cuts that to ~7 s at identical output.
     containmentGate: Double = 0.75,
+    // tier-1.5 toggle: reject (hamming-unaccepted) pairs from the 42-slot
+    // minhash estimate + set sizes before paying the wide shingle fetch.
+    // 3σ gates on BOTH estimated Jaccard and estimated containment — zero
+    // recall change measured on every gate; biggest effect on corpora with
+    // large low-Jaccard pair populations (boilerplate families).
+    estimateTier: Boolean = true,
     containmentThreshold: Double = 0.9,
     saMaxChars: Int = 20000,
     hotBucketThreshold: Int = 200,
@@ -207,13 +213,21 @@ object DedupPipeline {
       prune = df => df
         .withColumn("hamming", Fingerprints.hamming(col("simhash_a"), col("simhash_b")))
         .filter(col("band") >= cfg.bands || col("hamming") <= cfg.simhashMaxHamming)
-        .select("id_a", "id_b", "hamming"),
+        // remember WHICH channel family surfaced the pair: containment-
+        // channel pairs are exempt from the estimate tier below (their
+        // global similarity is low by construction). Not pair-functional
+        // (the same pair may surface from both families), so the combine
+        // folds it with max() instead of relying on distinct.
+        .withColumn("cont_chan", col("band") >= cfg.bands)
+        .select("id_a", "id_b", "hamming", "cont_chan"),
       // ...which is exactly why those channels get a TIGHTER bucket cap: a
       // prefix shared by b docs pairs b²/2 rows straight into the verify
       // join, so past containmentMaxBucket it is boilerplate and dropped
       bucketCap = Some(
         when(col("band") >= cfg.bands, lit(cfg.containmentMaxBucket))
-          .otherwise(lit(cfg.maxBucketSize))))
+          .otherwise(lit(cfg.maxBucketSize))),
+      combine = df => df.groupBy("id_a", "id_b", "hamming")
+        .agg(max(col("cont_chan")).as("cont_chan")))
 
     // verify, tier 1 (cheap, signature-only): a pair is a near-dup edge if —
     //  - SimHash Hamming ≤ accept threshold (the reference's PRIMARY
@@ -229,7 +243,45 @@ object DedupPipeline {
     val acceptedByHamming = withHamming
       .filter(col("hamming") <= cfg.simhashAcceptHamming)
       .select("id_a", "id_b")
-    val needShingles = withHamming.filter(col("hamming") > cfg.simhashAcceptHamming)
+    val needCheck = withHamming.filter(col("hamming") > cfg.simhashAcceptHamming)
+
+    // verify, tier 1.5 (MinHash ESTIMATE, signature-only): before fetching
+    // the wide shingle arrays (~1.6 KB/side — the dominant verify shuffle
+    // bytes), re-join only the 42-slot minhash + n_shingles (~350 B/side)
+    // and reject pairs whose estimated Jaccard AND estimated containment
+    // both sit ≥3σ below their accept thresholds. Estimated containment
+    // comes from the identity m = J(a+b)/(1+J) with the persisted set
+    // sizes, so asymmetric true pairs (truncations/quotes, J≈0.3 but
+    // C≈1.0) survive even when discovered only by a minhash band.
+    // Containment-channel pairs skip the tier entirely. What it kills is
+    // the band-collision noise a boilerplate-prefix family produces:
+    // J≈0.17 pairs collide in some minhash band with P≈0.5 at the
+    // recall-first 21×2 banding, and every one of them previously paid
+    // the full shingle fetch only to fail the exact tiers (~95% of that
+    // volume is rejected here from signatures alone).
+    val estJGate = math.max(0.0,
+      cfg.jaccardThreshold - 3 * math.sqrt(
+        cfg.jaccardThreshold * (1 - cfg.jaccardThreshold) / cfg.numPerms))
+    val estCGate = math.max(0.0, cfg.containmentGate - 0.2)
+    // set size derived from the array (not the optional n_shingles column:
+    // the resume path's state projection doesn't carry it)
+    val mhDf = banded.select(col("id"), col("minhash"),
+      size(col("shingles")).as("n_shingles"))
+    val est = Fingerprints.minhashJaccardEst(col("mh_a"), col("mh_b"))
+    val needShingles =
+      if (!cfg.estimateTier) needCheck.select("id_a", "id_b")
+      else needCheck
+        .join(mhDf.select(col("id").as("id_a"), col("minhash").as("mh_a"),
+          col("n_shingles").as("n_a")), "id_a")
+        .join(mhDf.select(col("id").as("id_b"), col("minhash").as("mh_b"),
+          col("n_shingles").as("n_b")), "id_b")
+        .withColumn("est", est)
+        .withColumn("est_c",
+          col("est") * (col("n_a") + col("n_b")) /
+            ((col("est") + 1.0) * least(col("n_a"), col("n_b"))))
+        .filter(col("cont_chan") ||
+          col("est") >= lit(estJGate) || col("est_c") >= lit(estCGate))
+        .select("id_a", "id_b")
 
     val shinglesDf = banded.select(col("id"), col("shingles"))
     val scored = needShingles
