@@ -272,8 +272,12 @@ object Checkpoints {
     // executed delete/move must not validate as an existing original/dup
     val universe = liveSignatures(spark, stateDir).select("id")
     // small table (one row per planned duplicate): materialize once, every
-    // consumer below (backup, commit, counts) reads the checkpoint
-    val executed = graft.actions.Actions.execute(pending, universe).localCheckpoint()
+    // consumer below (backup, commit, counts) reads the checkpoint.
+    // Stamped with the manifest epoch it ran under so [[signaturesAsOf]]
+    // can scope tombstones per snapshot.
+    val executed = graft.actions.Actions.execute(pending, universe)
+      .withColumn("epoch", lit(math.max(0L, nextEpoch(spark, stateDir) - 1)))
+      .localCheckpoint()
 
     backupDir.foreach { bd =>
       spark.read.parquet(signaturesPath(stateDir))
@@ -310,6 +314,28 @@ object Checkpoints {
     readIfExists(spark, executedPath(stateDir)) match {
       case Some(ex) =>
         sigs.join(graft.actions.Actions.tombstones(ex).select("id"), Seq("id"), "left_anti")
+      case None => sigs
+    }
+  }
+
+  /** SNAPSHOT read — the signature state exactly as of `epoch`, inclusive
+    * (Iceberg-style time travel over the epoch manifest, which is this
+    * store's snapshot log: every row carries the epoch that committed it,
+    * and executed actions are stamped with the epoch they ran under).
+    * Signature commits after the epoch are invisible; only tombstones from
+    * executions at or before it apply. `signaturesAsOf(latest epoch)` ≡
+    * [[liveSignatures]].
+    */
+  def signaturesAsOf(spark: SparkSession, stateDir: String, epoch: Long): DataFrame = {
+    val sigs = spark.read.parquet(signaturesPath(stateDir))
+      .filter(col("epoch") <= epoch)
+    readIfExists(spark, executedPath(stateDir)) match {
+      case Some(ex) =>
+        val inScope =
+          if (ex.columns.contains("epoch")) ex.filter(col("epoch") <= epoch)
+          else ex // pre-time-travel executed table: all tombstones apply
+        sigs.join(graft.actions.Actions.tombstones(inScope).select("id"),
+          Seq("id"), "left_anti")
       case None => sigs
     }
   }

@@ -185,6 +185,33 @@ class StateSpec extends SparkTestBase {
       "executed table accumulated duplicate rows across retries")
   }
 
+  test("time travel: signaturesAsOf reads each epoch's exact snapshot") {
+    val dir = tempDir()
+    val nk = PagesGen.variantKinds.length
+    // epoch 0: 4 bases; epoch 1: 2 more bases; then execute deletes
+    val p1 = PagesGen.pages(spark, 4L, seed = 9L, tokensPerDoc = 100).toDF()
+    val p2 = PagesGen.pages(spark, 6L, seed = 9L, tokensPerDoc = 100).toDF()
+    Checkpoints.runEpoch(spark, p1, "url", "text", dir)
+    Checkpoints.clusterEpoch(spark, p2, "url", "text", dir, action = "delete")
+    val (nExec, _) = Checkpoints.executeEpoch(spark, dir)
+    assert(nExec > 0)
+
+    // epoch 0 snapshot: exactly the first commit, NO tombstones (the
+    // execution was stamped with epoch 1)
+    val asOf0 = Checkpoints.signaturesAsOf(spark, dir, 0L)
+    assert(asOf0.count() == 4L * nk, s"epoch-0 snapshot wrong: ${asOf0.count()}")
+    // latest snapshot ≡ live view (rows and ids)
+    val asOf1 = Checkpoints.signaturesAsOf(spark, dir, 1L)
+    val live = Checkpoints.liveSignatures(spark, dir)
+    assert(asOf1.count() == live.count())
+    assert(asOf1.select("id").except(live.select("id")).count() == 0)
+    // snapshots never resurrect the future: epoch-0 read contains no
+    // epoch-1 id
+    val epoch1Ids = spark.read.parquet(Checkpoints.signaturesPath(dir))
+      .filter($"epoch" === 1L).select("id")
+    assert(asOf0.select("id").intersect(epoch1Ids).count() == 0)
+  }
+
   test("state lock: a second writer fails cleanly; stale leases are broken") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 2L, seed = 23L, tokensPerDoc = 60).toDF()
