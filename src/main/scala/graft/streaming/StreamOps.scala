@@ -81,6 +81,34 @@ object StreamOps {
 
   // ── streaming dedup (the engine's own domain, stream-shaped) ──────────
 
+  /** Streaming INGESTION into the incremental state layer: every
+    * micro-batch commits one epoch ([[graft.state.Checkpoints.runEpoch]]:
+    * anti-join resume, quarantine, signature append, manifest line) via
+    * `foreachBatch` — a continuously-arriving crawl feeds the same state
+    * tables the batch engine clusters. Clustering deliberately does NOT
+    * run per batch (it rewrites the clusters table and costs minutes at
+    * scale): run `clusterEpoch`/`executeEpoch` on an operator cadence over
+    * the same stateDir.
+    *
+    * Exactly-once by composition: `foreachBatch` replays a batch on
+    * failure (at-least-once), and runEpoch's id anti-join makes the
+    * replayed commit a no-op — the same idempotence contract the batch
+    * resume path is gated on.
+    */
+  def streamingIngest(pages: DataFrame, idCol: String, textCol: String,
+                      stateDir: String, checkpointLocation: String,
+                      cfg: graft.pipeline.DedupConfig = graft.pipeline.DedupConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.state.Checkpoints.runEpoch(
+          batch.sparkSession, batch.toDF(), idCol, textCol, stateDir, cfg)
+        ()
+      }
+      .start()
+
   /** Streaming EXACT dedup: first-seen page per content hash within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keys state by the
     * hash alone and expires it with the watermark — bounded state, the

@@ -166,6 +166,39 @@ class StreamingSpec extends SparkTestBase {
       s"state grew with stream lifetime instead of the watermark horizon: s1=$s1 s4=$s4")
   }
 
+  test("streamingIngest: micro-batches commit idempotent epochs into the state layer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.state.Checkpoints
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-sstate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sckpt").toString
+    val stream = MemoryStream[(String, String)]
+    val q = StreamOps.streamingIngest(
+      stream.toDF().toDF("url", "text"), "url", "text", stateDir, ckpt)
+
+    stream.addData(("u1", "alpha beta gamma delta"), ("u2", "epsilon zeta eta theta"))
+    q.processAllAvailable()
+    val sigs1 = spark.read.parquet(Checkpoints.signaturesPath(stateDir))
+    assert(sigs1.count() == 2)
+    // batch 2 redelivers u2 (at-least-once source) and adds u3 + a
+    // quarantine-bound empty row: the anti-join must commit ONLY u3
+    stream.addData(("u2", "epsilon zeta eta theta"), ("u3", "iota kappa lambda mu"),
+      ("u4", ""))
+    q.processAllAvailable()
+    q.stop()
+    val sigs2 = spark.read.parquet(Checkpoints.signaturesPath(stateDir))
+    assert(sigs2.count() == 3, s"expected 3 signatures, got ${sigs2.count()}")
+    assert(sigs2.select("id").distinct().count() == 3)
+    assert(sigs2.filter(col("epoch") === 1L).select("id").as[String].collect().toSet
+      == Set("u3"))
+    // the empty-text row went to quarantine, not signatures
+    val quarantined = spark.read.parquet(s"$stateDir/quarantine")
+    assert(quarantined.select("id").as[String].collect().toSet == Set("u4"))
+    // and the committed state clusters like any batch state
+    val clusters = graft.pipeline.DedupPipeline.clusterSignatures(
+      spark, Checkpoints.liveSignatures(spark, stateDir), texts = None)
+    assert(clusters.count() == 3)
+  }
+
   test("mapGroupsWithState: running per-user counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamOps.UserEvent]
