@@ -40,7 +40,9 @@ object Main {
       diagnose: Boolean = false,
       reliable: Boolean = false,
       checkpointDir: Option[String] = None,
-      pagesFormat: String = "auto")
+      pagesFormat: String = "auto",
+      containmentCap: Option[Int] = None,
+      noEstimateTier: Boolean = false)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -71,6 +73,10 @@ object Main {
       case "--reliable" :: t          => loop(t, acc.copy(reliable = true))
       case "--checkpoint-dir" :: v :: t => loop(t, acc.copy(checkpointDir = Some(v)))
       case "--pages-format" :: v :: t => loop(t, acc.copy(pagesFormat = v))
+      case "--containment-cap" :: v :: t =>
+        v.toIntOption.toRight(s"--containment-cap: not an int: $v")
+          .flatMap(c => loop(t, acc.copy(containmentCap = Some(c))))
+      case "--no-estimate-tier" :: t  => loop(t, acc.copy(noEstimateTier = true))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -88,6 +94,8 @@ object Main {
       Left("--extractor must be html or plaintext")
     else if (!Set("auto", "parquet", "table").contains(a.pagesFormat))
       Left("--pages-format must be auto, parquet or table")
+    else if (a.containmentCap.exists(_ <= 0))
+      Left("--containment-cap must be positive")
     else Right(a)
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
@@ -96,7 +104,9 @@ object Main {
       reliableCheckpoints = a.reliable,
       checkpointDir = a.checkpointDir.getOrElse(""))
     val withJ = a.jaccardThreshold.fold(base)(j => base.copy(jaccardThreshold = j))
-    a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
+    val withH = a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
+    val withC = a.containmentCap.fold(withH)(c => withH.copy(containmentMaxBucket = c))
+    if (a.noEstimateTier) withC.copy(estimateTier = false) else withC
   }
 
   def main(args: Array[String]): Unit = parse(args.toIndexedSeq) match {

@@ -104,6 +104,20 @@ class EntrySpec extends SparkTestBase {
     intercept[Exception] { PagesIO.read(spark, s"$tmp/pages", "bogus") }
   }
 
+  test("CLI arg parsing: containment cap + estimate-tier flags") {
+    val a = Main.parse(Seq("--pages", "p", "--state", "s",
+      "--containment-cap", "750", "--no-estimate-tier")).toOption.get
+    val cfg = Main.toConfig(a)
+    assert(cfg.containmentMaxBucket == 750 && !cfg.estimateTier)
+    assert(Main.parse(Seq("--state", "s", "--containment-cap", "x")).isLeft)
+    assert(Main.parse(Seq("--pages", "p", "--state", "s",
+      "--containment-cap", "-1")).isLeft) // validation runs inside parse
+    // defaults untouched when flags absent
+    val d = Main.toConfig(Main.parse(Seq("--pages", "p", "--state", "s")).toOption.get)
+    assert(d.containmentMaxBucket == graft.pipeline.DedupConfig().containmentMaxBucket)
+    assert(d.estimateTier)
+  }
+
   test("CLI arg parsing: reliable checkpoints + pages format flags") {
     val a = Main.parse(Seq("--pages", "cat.db.pages", "--state", "/s",
       "--reliable", "--checkpoint-dir", "hdfs:///ckpt",
