@@ -77,22 +77,59 @@ object Checkpoints {
     * a live writer. (On S3, creation is not atomic; front a real lock
     * service or DynamoDB-style conditional put there.)
     */
+  /** Thrown when the state lease is held by another writer. Subclasses
+    * IllegalStateException so existing catch sites keep working; a distinct
+    * type so retry loops (streaming ingest under a batch clusterEpoch) can
+    * match contention without parsing messages.
+    */
+  final class StateLockedException(msg: String, cause: Throwable = null)
+    extends IllegalStateException(msg, cause)
+
+  /** Test seam: runs between the staleness observation and the takeover
+    * rename so a spec can interleave a competing writer deterministically
+    * inside the otherwise-nanoseconds takeover window.
+    */
+  private[graft] var lockTakeoverTestHook: () => Unit = () => ()
+
   def withStateLock[T](spark: SparkSession, stateDir: String,
                        staleMs: Long = 30L * 60 * 1000)(f: => T): T = {
     val (fs, root) = fsFor(spark, stateDir)
     fs.mkdirs(root)
     val lp = new Path(lockPath(stateDir))
+    def locked(cause: Throwable): Nothing =
+      throw new StateLockedException(
+        s"state dir is locked by another writer (${lockPath(stateDir)}); " +
+          "concurrent epochs over one state dir are not supported", cause)
     if (fs.exists(lp) &&
-        System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleMs)
-      fs.delete(lp, false) // abandoned lease from a crashed writer
+        System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleMs) {
+      lockTakeoverTestHook()
+      // Break the abandoned lease by ATOMIC RENAME to a unique name — never
+      // delete in place. Between our staleness check and this point another
+      // racer may have broken the stale lock AND a third writer re-created a
+      // FRESH one at the same path; a delete here would destroy that live
+      // lease (the check-then-act race). Rename moves whatever file holds
+      // the lock path right now; re-statting what we actually took tells us
+      // whose it was: fresh → restore it and fail as locked, stale → discard
+      // it and contend for the create below like everyone else.
+      val broken = new Path(lockPath(stateDir) + s".broken.${System.nanoTime()}")
+      val renamed =
+        try fs.rename(lp, broken)
+        catch { case _: java.io.IOException => false } // racer broke it first
+      if (renamed) {
+        val tookMtime = fs.getFileStatus(broken).getModificationTime
+        if (System.currentTimeMillis() - tookMtime <= staleMs) {
+          // we grabbed a fresh lease created inside our takeover window —
+          // put it back (we hold it exclusively under the unique name, so
+          // only a writer two races deep could have re-created the path)
+          fs.rename(broken, lp)
+          locked(null)
+        }
+        fs.delete(broken, false)
+      }
+    }
     val out =
       try fs.create(lp, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"state dir is locked by another writer (${lockPath(stateDir)}); " +
-              "concurrent epochs over one state dir are not supported", e)
-      }
+      catch { case e: java.io.IOException => locked(e) }
     try out.write(
       (s"""{"holder":"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}",""" +
         s""""acquired_ms":${System.currentTimeMillis()}}""").getBytes(UTF_8))
@@ -239,11 +276,15 @@ object Checkpoints {
     *
     *  - idempotent with bounded retries: a plan row is attempted at most
     *    once per PLAN IDENTITY (id, original_id, action) — the anti-join on
-    *    the persisted `executed` table skips rows already recorded, success
-    *    OR failure, so a crash-retry never double-acts and a permanently
-    *    missing id never accumulates one duplicate failure row per run.
-    *    Re-clustering that assigns a failed duplicate a NEW original emits a
-    *    new plan identity, which runs — retry-on-replan, not retry-forever;
+    *    the persisted `executed` table skips rows already SETTLED: succeeded,
+    *    or failed PERMANENTLY (a validation failure — `missing_id`/
+    *    `missing_original` — is deterministic in the state, so re-running it
+    *    unchanged would only accumulate duplicate failure rows). A failure
+    *    with any OTHER error class (a transient infrastructure fault from a
+    *    side-effecting executor) stays pending and is retried on the next
+    *    run. Re-clustering that assigns a failed duplicate a NEW original
+    *    emits a new plan identity, which runs — retry-on-replan for
+    *    validation failures, retry-on-rerun for transient ones;
     *  - validate-exists: both sides of every action must still be live
     *    signature ids, else success=false with an error reason;
     *  - backup-before-remove (`config.rs:57` backup_dir): the signature
@@ -259,12 +300,19 @@ object Checkpoints {
     * @return (nExecuted, nFailed) for this run (0, 0) when nothing pending
     */
   def executeEpoch(spark: SparkSession, stateDir: String,
-                   backupDir: Option[String] = None): (Long, Long) =
+                   backupDir: Option[String] = None,
+                   cfg: DedupConfig = DedupConfig()): (Long, Long) =
       withStateLock(spark, stateDir) {
+    val cfg0 =
+      if (cfg.reliableCheckpoints && cfg.checkpointDir.isEmpty)
+        cfg.copy(checkpointDir = s"$stateDir/_spark_checkpoints")
+      else cfg
     val plan = spark.read.parquet(actionsPath(stateDir))
     val pending = readIfExists(spark, executedPath(stateDir)) match {
       case Some(prior) =>
-        plan.join(prior.select("id", "original_id", "action"),
+        val settled = prior.filter(col("success") ||
+          col("error").isin("missing_id", "missing_original"))
+        plan.join(settled.select("id", "original_id", "action"),
           Seq("id", "original_id", "action"), "left_anti")
       case None => plan
     }
@@ -272,12 +320,14 @@ object Checkpoints {
     // executed delete/move must not validate as an existing original/dup
     val universe = liveSignatures(spark, stateDir).select("id")
     // small table (one row per planned duplicate): materialize once, every
-    // consumer below (backup, commit, counts) reads the checkpoint.
-    // Stamped with the manifest epoch it ran under so [[signaturesAsOf]]
-    // can scope tombstones per snapshot.
-    val executed = graft.actions.Actions.execute(pending, universe)
-      .withColumn("epoch", lit(math.max(0L, nextEpoch(spark, stateDir) - 1)))
-      .localCheckpoint()
+    // consumer below (backup, commit, counts) reads the checkpoint — via the
+    // CONFIGURED materializer, so `--reliable` covers the executor stage too
+    // (a preemption mid-execute recomputes from checkpoint files instead of
+    // wasting the epoch). Stamped with the manifest epoch it ran under so
+    // [[signaturesAsOf]] can scope tombstones per snapshot.
+    val executed = cfg0.materializer(spark)(
+      graft.actions.Actions.execute(pending, universe)
+        .withColumn("epoch", lit(math.max(0L, nextEpoch(spark, stateDir) - 1))))
 
     backupDir.foreach { bd =>
       spark.read.parquet(signaturesPath(stateDir))
@@ -329,15 +379,21 @@ object Checkpoints {
   def signaturesAsOf(spark: SparkSession, stateDir: String, epoch: Long): DataFrame = {
     val sigs = spark.read.parquet(signaturesPath(stateDir))
       .filter(col("epoch") <= epoch)
-    readIfExists(spark, executedPath(stateDir)) match {
-      case Some(ex) =>
-        val inScope =
-          if (ex.columns.contains("epoch")) ex.filter(col("epoch") <= epoch)
-          else ex // pre-time-travel executed table: all tombstones apply
-        sigs.join(graft.actions.Actions.tombstones(inScope).select("id"),
-          Seq("id"), "left_anti")
-      case None => sigs
-    }
+    if (exists(spark, executedPath(stateDir))) {
+      // mergeSchema: a store whose executed table mixes pre-time-travel
+      // files (no epoch column) with epoch-stamped appends must see the
+      // union schema deterministically — and un-stamped rows must count as
+      // epoch 0 (all-history), not NULL (filtered out, which would silently
+      // resurrect their tombstoned rows in every snapshot)
+      val ex = spark.read.option("mergeSchema", "true")
+        .parquet(executedPath(stateDir))
+      val inScope =
+        if (ex.columns.contains("epoch"))
+          ex.filter(coalesce(col("epoch"), lit(0L)) <= epoch)
+        else ex // pre-time-travel executed table: all tombstones apply
+      sigs.join(graft.actions.Actions.tombstones(inScope).select("id"),
+        Seq("id"), "left_anti")
+    } else sigs
   }
 
   /** State consistency diagnosis — the runnable analog of the reference's

@@ -94,18 +94,38 @@ object StreamOps {
     * failure (at-least-once), and runEpoch's id anti-join makes the
     * replayed commit a no-op — the same idempotence contract the batch
     * resume path is gated on.
+    *
+    * Lock contention is EXPECTED under the documented cadence (a batch
+    * `clusterEpoch`/`executeEpoch` holds the state lease for minutes while
+    * micro-batches keep arriving), so a batch that finds the lease held
+    * RETRIES with exponential backoff up to `lockWaitMs` instead of failing
+    * the whole streaming query on first contention; only a lease still held
+    * after the full wait (a wedged writer) propagates and stops the stream.
     */
   def streamingIngest(pages: DataFrame, idCol: String, textCol: String,
                       stateDir: String, checkpointLocation: String,
-                      cfg: graft.pipeline.DedupConfig = graft.pipeline.DedupConfig())
+                      cfg: graft.pipeline.DedupConfig = graft.pipeline.DedupConfig(),
+                      lockWaitMs: Long = 15L * 60 * 1000)
       : org.apache.spark.sql.streaming.StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.state.Checkpoints.runEpoch(
-          batch.sparkSession, batch.toDF(), idCol, textCol, stateDir, cfg)
-        ()
+        val deadline = System.currentTimeMillis() + lockWaitMs
+        var delayMs = 200L
+        var done = false
+        while (!done) {
+          try {
+            graft.state.Checkpoints.runEpoch(
+              batch.sparkSession, batch.toDF(), idCol, textCol, stateDir, cfg)
+            done = true
+          } catch {
+            case e: graft.state.Checkpoints.StateLockedException =>
+              if (System.currentTimeMillis() + delayMs > deadline) throw e
+              Thread.sleep(delayMs)
+              delayMs = math.min(delayMs * 2, 10000L)
+          }
+        }
       }
       .start()
 

@@ -232,6 +232,98 @@ class StateSpec extends SparkTestBase {
     assert(!fs.exists(lock), "lease must be released after a successful epoch")
   }
 
+  test("state lock: a fresh lease created inside the takeover window survives") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 2L, seed = 23L, tokensPerDoc = 60).toDF()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(Checkpoints.lockPath(dir))
+    fs.mkdirs(lock.getParent)
+    // a crashed holder's stale lease is on disk…
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    // …and between OUR staleness check and the takeover, a racing writer
+    // breaks it and a third writer creates a FRESH lease at the same path
+    Checkpoints.lockTakeoverTestHook = () => {
+      fs.delete(lock, false)
+      fs.create(lock, false).close()
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+      assert(fs.exists(lock),
+        "the fresh lease created inside the takeover window was destroyed")
+      // the fresh lease must still be LIVE (recent mtime), not a broken relic
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      assert(age < 60L * 1000, s"surviving lock is not the fresh lease (age ${age}ms)")
+    } finally Checkpoints.lockTakeoverTestHook = () => ()
+  }
+
+  test("executeEpoch with reliable checkpoints yields identical results") {
+    def run(cfg: DedupConfig): org.apache.spark.sql.DataFrame = {
+      val dir = tempDir()
+      val pages = PagesGen.pages(spark, 4L, seed = 31L, tokensPerDoc = 80).toDF()
+      Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, cfg, action = "delete")
+      Checkpoints.executeEpoch(spark, dir, None, cfg)
+      spark.read.parquet(Checkpoints.executedPath(dir))
+    }
+    val local = run(DedupConfig())
+    val reliable = run(DedupConfig(reliableCheckpoints = true))
+    assert(reliable.count() == local.count() && local.count() > 0)
+    assert(reliable.select("id", "original_id", "action", "success")
+      .except(local.select("id", "original_id", "action", "success")).count() == 0,
+      "reliable-mode executor produced different results")
+  }
+
+  test("executeEpoch retries transient failures but not validation failures") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 3L, seed = 37L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, action = "delete")
+    val plan = spark.read.parquet(Checkpoints.actionsPath(dir))
+    val two = plan.select("id", "original_id", "action").limit(2).collect()
+    // simulate a prior run: row 0 failed TRANSIENTLY (an FS hiccup from a
+    // side-effecting executor), row 1 failed PERMANENTLY (validation)
+    Seq(
+      (two(0).getString(0), two(0).getString(1), two(0).getString(2),
+        false, false, "io_error_transient", 0L),
+      (two(1).getString(0), two(1).getString(1), two(1).getString(2),
+        false, false, "missing_id", 0L))
+      .toDF("id", "original_id", "action", "dry_run", "success", "error", "epoch")
+      .write.mode("overwrite").parquet(Checkpoints.executedPath(dir))
+    Checkpoints.executeEpoch(spark, dir, None)
+    val ex = spark.read.parquet(Checkpoints.executedPath(dir))
+    // the transient row was re-attempted (ids are live, so it now succeeds)…
+    assert(ex.filter(col("id") === two(0).getString(0) && col("success")).count() == 1,
+      "transiently failed action was not retried")
+    // …the validation failure was NOT re-attempted (still its single row)
+    assert(ex.filter(col("id") === two(1).getString(0)).count() == 1,
+      "permanent validation failure was retried")
+  }
+
+  test("signaturesAsOf applies tombstones from pre-epoch executed files at every snapshot") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 3L, seed = 41L, tokensPerDoc = 80).toDF()
+    Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    val someId = spark.read.parquet(Checkpoints.signaturesPath(dir))
+      .select("id").orderBy("id").limit(1).collect()(0).getString(0)
+    // a PRE-time-travel executed file: no epoch column at all…
+    Seq((someId, "orig-x", "delete", false, true, null.asInstanceOf[String]))
+      .toDF("id", "original_id", "action", "dry_run", "success", "error")
+      .write.mode("overwrite").parquet(Checkpoints.executedPath(dir))
+    // …mixed with a NEW epoch-stamped append in the same table
+    Seq(("no-such-id", "orig-y", "delete", false, false, "missing_id", 0L))
+      .toDF("id", "original_id", "action", "dry_run", "success", "error", "epoch")
+      .write.mode("append").parquet(Checkpoints.executedPath(dir))
+    // the un-stamped tombstone must count as epoch 0 (all history), never be
+    // NULL-filtered out of a snapshot — deleted rows must not resurrect
+    val asOf0 = Checkpoints.signaturesAsOf(spark, dir, 0L)
+    assert(asOf0.filter(col("id") === someId).count() == 0,
+      "pre-epoch tombstone resurrected in the epoch-0 snapshot")
+    assert(Checkpoints.signaturesAsOf(spark, dir, 99L)
+      .filter(col("id") === someId).count() == 0)
+  }
+
   test("diagnose stays drift-free after execute + re-cluster (live-view diff)") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 4L, seed = 29L, tokensPerDoc = 80).toDF().cache()
