@@ -483,6 +483,36 @@ object SparkEntry {
         .select(col("doc_id"),
           Multimodal.imageAHash(col("blob")).as("ahash"),
           Multimodal.imageMeta(col("blob")).getField("format").as("format"))
+    }),
+
+    // REAL PNG pixel decode (JDK Inflater + Sub/Up/Average/Paeth unfilter →
+    // the same pinned kernel): synthesized real zlib-compressed PNGs per
+    // doc, hashed from the actual decompressed pixels, oracled analytically
+    // from the pattern id (reference formats/png.rs:9-23 + core.rs:37-104).
+    "q_png_ahash" -> ((s, dir) => {
+      import graft.multimodal.PngSynth
+      val blob = when(col("doc_id") % 3 === 0, lit(PngSynth.OraclePatterns(0)))
+        .when(col("doc_id") % 3 === 1, lit(PngSynth.OraclePatterns(1)))
+        .otherwise(lit(PngSynth.OraclePatterns(2)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"),
+          Multimodal.imageAHash(col("blob")).as("ahash"),
+          Multimodal.imageMeta(col("blob")).getField("format").as("format"))
+    }),
+
+    // REAL GIF pixel decode (pure-JVM LZW → the same pinned kernel), same
+    // analytic oracle scheme.
+    "q_gif_ahash" -> ((s, dir) => {
+      import graft.multimodal.GifSynth
+      val blob = when(col("doc_id") % 3 === 0, lit(GifSynth.OraclePatterns(0)))
+        .when(col("doc_id") % 3 === 1, lit(GifSynth.OraclePatterns(1)))
+        .otherwise(lit(GifSynth.OraclePatterns(2)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"),
+          Multimodal.imageAHash(col("blob")).as("ahash"),
+          Multimodal.imageMeta(col("blob")).getField("format").as("format"))
     })
   )
 
@@ -806,6 +836,27 @@ object SparkEntry {
         |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
         |         ELSE CAST(0 AS BIGINT) END AS ahash,
         |       'bmp' AS format
+        |FROM documents""".stripMargin,
+
+    // the PNG/GIF patterns are pixel-identical to the BMP ones → same
+    // closed-form hashes; only the container (and thus the decode path —
+    // inflate+unfilter / LZW) differs
+    "q_png_ahash" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN CAST(1085102592571150095 AS BIGINT)
+        |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ahash,
+        |       'png' AS format
+        |FROM documents""".stripMargin,
+
+    "q_gif_ahash" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN CAST(1085102592571150095 AS BIGINT)
+        |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ahash,
+        |       'gif' AS format
         |FROM documents""".stripMargin
   )
 

@@ -7,11 +7,11 @@ import org.apache.spark.sql.types._
 /** REAL pixel-level decode for uncompressed BMPs → 8×8 mean-threshold
   * average hash — the reference's actual perceptual-hash kernel
   * (image-deduper `src/processing/core.rs:37-104`: decode → grayscale →
-  * 8×8 resize → mean threshold → 64-bit hash), retired from stub status
-  * for the one format a pure JVM can decode without a codec dependency
-  * (BI_RGB 24/32-bpp BMP: the pixels are literally in the bytes).
-  * PNG/GIF/JPEG pixel decode still requires inflate/codecs this container
-  * doesn't ship and stays behind the declared stub.
+  * 8×8 resize → mean threshold → 64-bit hash). BI_RGB 24/32-bpp BMP: the
+  * pixels are literally in the bytes, so this decoder keeps its own fused
+  * loop; PNG ([[PngPixels]], JDK Inflater) and GIF ([[GifPixels]], pure
+  * LZW) decode to a luma raster and share the same pinned kernel via
+  * [[AHashKernel]]. JPEG needs a real DCT codec and stays undecodable.
   *
   * Kernel definition (pinned — goldens and the SQL oracle depend on it):
   *  - grayscale: integer Rec.601 luma  (299·R + 587·G + 114·B) / 1000
@@ -174,8 +174,9 @@ object BmpSynth {
 }
 
 /** Catalyst wrapper: binary → 64-bit aHash (LongType), null for anything
-  * but a decodable uncompressed BMP. Scalar with codegen — rides inside
-  * project stages, composes with `bit_count(a ^ b)` Hamming directly.
+  * but a decodable BMP, PNG, or GIF ([[PixelAHash]] routes by magic
+  * bytes). Scalar with codegen — rides inside project stages, composes
+  * with `bit_count(a ^ b)` Hamming directly.
   */
 case class ImageAHash(child: Expression) extends UnaryExpression {
 
@@ -192,10 +193,10 @@ case class ImageAHash(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    BmpAHash.ahash(input.asInstanceOf[Array[Byte]]) // null ⇒ SQL null
+    PixelAHash.ahash(input.asInstanceOf[Array[Byte]]) // null ⇒ SQL null
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cls = BmpAHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cls = PixelAHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, c => s"""
       java.lang.Long ah = $cls.ahash($c);
       ${ev.isNull} = ah == null;

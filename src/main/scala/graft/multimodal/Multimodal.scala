@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Image DIMENSION decode is REAL: [[ImageHeader]] parses PNG/GIF/JPEG/BMP
   * container headers in pure JVM bytes (dimensions never need a codec).
-  * Pixel-level decode and video frame EXTRACTION remain stubbed (this
-  * container ships no codecs): `fakeDecodeMeta` derives deterministic
-  * stand-in metadata from the byte stream, clearly marked, and the
-  * frame-sampling plan runs on it. Everything around the stub — schema,
+  * Image PIXEL decode is REAL for BMP/PNG/GIF ([[BmpAHash]], [[PngPixels]],
+  * [[GifPixels]] → [[PixelAHash]]); only JPEG pixel decode (a DCT codec)
+  * and video frame EXTRACTION remain stubbed: `fakeDecodeMeta` derives
+  * deterministic stand-in metadata from the byte stream, clearly marked,
+  * and the frame-sampling plan runs on it. Everything around the stub — schema,
   * batch shape, partitioning, column pruning — is the real Spark-side
   * plumbing a production codec UDF slots into. Analog: the reference's
   * per-format decoders + magic-byte sniffing (image-deduper
@@ -27,10 +28,11 @@ object Multimodal {
     shim.toColumn(ImageMeta(shim.toExpression(blob)))
   }
 
-  /** REAL pixel-level perceptual hash for uncompressed BMPs (the
-    * reference's aHash kernel, `processing/core.rs:37-104`): binary →
-    * 64-bit mean-threshold average hash, null for anything that needs a
-    * codec. Compose with `bit_count(a ^ b)` for perceptual Hamming.
+  /** REAL pixel-level perceptual hash for uncompressed BMPs, 8-bit
+    * non-interlaced PNGs, and GIF first frames (the reference's aHash
+    * kernel, `processing/core.rs:37-104`): binary → 64-bit mean-threshold
+    * average hash, null for anything that needs a real codec (JPEG).
+    * Compose with `bit_count(a ^ b)` for perceptual Hamming.
     */
   def imageAHash(blob: Column): Column = {
     import org.apache.spark.sql.graftshim.shim

@@ -127,7 +127,91 @@ class TextAndMultimodalSpec extends SparkTestBase {
     val bpp16 = good.clone(); bpp16(28) = 16               // unsupported depth
     assert(BmpAHash.ahash(bpp16) == null)
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
-    assert(BmpAHash.ahash(png) == null)                    // needs a codec: stub stays
+    assert(BmpAHash.ahash(png) == null)                    // BMP decoder: not its format
+  }
+
+  test("PngAHash goldens: real inflate + unfilter decode matches the pinned kernel") {
+    import graft.multimodal.{BmpSynth, PngPixels, PngSynth}
+    // the three analytic patterns are pixel-identical to the BMP goldens →
+    // identical closed-form hashes
+    PngSynth.OraclePatterns.zip(BmpSynth.OracleHashes).foreach { case (b, h) =>
+      assert(PngPixels.ahash(b) == h)
+    }
+    val leftRight: (Int, Int) => Int = (x, _) => if (x < 4) 0x000000 else 0xFFFFFF
+    // kernel is container-invariant: gray, RGBA, and palette color types all
+    // hash identically to the canonical RGB encoding
+    for (ct <- Seq(0, 2, 3, 6))
+      assert(PngPixels.ahash(PngSynth.png(8, 8, colorType = ct)(leftRight)) ==
+        0x0F0F0F0F0F0F0F0FL, s"colorType $ct")
+    // ALL FIVE scanline filters (None/Sub/Up/Average/Paeth) round-trip: a
+    // gradient encoded with each filter per row decodes to the same hash as
+    // its filter-0 encoding
+    val gradient: (Int, Int) => Int = (x, y) => {
+      val v = (x * 13 + y * 29) % 256; (v << 16) | (v << 8) | v
+    }
+    val plain = PngPixels.ahash(PngSynth.png(40, 40)(gradient))
+    for (f <- 1 to 4)
+      assert(PngPixels.ahash(PngSynth.png(40, 40, filterFor = _ => f)(gradient)) ==
+        plain, s"filter $f")
+    assert(PngPixels.ahash(PngSynth.png(40, 40, filterFor = y => y % 5)(gradient)) ==
+      plain, "mixed filters")
+    // non-8 dims: box-mean cells widen/aggregate exactly like the BMP path
+    val bigLeftRight = PngSynth.png(100, 60)((x, _) => if (x < 50) 0x101010 else 0xF0F0F0)
+    assert(PngPixels.ahash(bigLeftRight) == 0x0F0F0F0F0F0F0F0FL)
+    // corrupt-input contract: null, never throw
+    val good = PngSynth.OraclePatterns(0)
+    assert(PngPixels.ahash(null) == null)
+    assert(PngPixels.ahash(good.take(20)) == null)           // truncated IHDR
+    assert(PngPixels.ahash(good.dropRight(20)) == null)      // truncated IDAT
+    val interlaced = good.clone(); interlaced(28) = 1        // Adam7: unsupported
+    assert(PngPixels.ahash(interlaced) == null)
+    val deep = good.clone(); deep(24) = 16                   // 16-bit: unsupported
+    assert(PngPixels.ahash(deep) == null)
+    val garbageIdat = good.clone()
+    val idatData = good.indexOfSlice("IDAT".getBytes) + 4
+    garbageIdat(idatData) = 0x55                             // invalid zlib header
+    assert(PngPixels.ahash(garbageIdat) == null)
+    assert(PngPixels.ahash("not a png at all, just text bytes".getBytes) == null)
+    // decompression-bomb bound: a legal PNG describing > MaxPixels is refused
+    val bombIhdr = good.clone()
+    bombIhdr(16) = 0x7F.toByte // width = huge
+    assert(PngPixels.ahash(bombIhdr) == null)
+  }
+
+  test("GifAHash goldens: real LZW decode matches the pinned kernel") {
+    import graft.multimodal.{BmpSynth, GifPixels, GifSynth}
+    GifSynth.OraclePatterns.zip(BmpSynth.OracleHashes).foreach { case (b, h) =>
+      assert(GifPixels.ahash(b) == h)
+    }
+    val leftRight: (Int, Int) => Int = (x, _) => if (x < 4) 0x000000 else 0xFFFFFF
+    // interlaced encoding decodes to the same raster (de-interlace map)
+    val topBottom: (Int, Int) => Int = (_, y) => if (y < 20) 0x000000 else 0xFFFFFF
+    assert(GifPixels.ahash(GifSynth.gif(40, 40)(topBottom)) ==
+      GifPixels.ahash(GifSynth.gif(40, 40, interlacedFlag = true)(topBottom)))
+    // >254-literal streams exercise the mid-stream CLEAR handling
+    val big = GifSynth.gif(100, 60)((x, _) => if (x < 50) 0x101010 else 0xF0F0F0)
+    assert(GifPixels.ahash(big) == 0x0F0F0F0F0F0F0F0FL)
+    // many-color image exercises dictionary growth across code widths
+    val gradient = GifSynth.gif(64, 64)((x, y) => { val v = (x * 4 + y) % 256; (v << 16) | (v << 8) | v })
+    assert(GifPixels.ahash(gradient) != null)
+    // corrupt-input contract
+    val good = GifSynth.OraclePatterns(0)
+    assert(GifPixels.ahash(null) == null)
+    assert(GifPixels.ahash(good.take(10)) == null)           // truncated descriptor
+    assert(GifPixels.ahash(good.dropRight(10)) == null)      // truncated LZW data
+    assert(GifPixels.ahash("GIF89a but then garbage follows here".getBytes) == null)
+  }
+
+  test("PixelAHash dispatch: one expression, three container formats, same hash") {
+    import graft.multimodal.{BmpSynth, GifSynth, PixelAHash, PngSynth}
+    for (i <- 0 until 3) {
+      val expected = BmpSynth.OracleHashes(i)
+      assert(PixelAHash.ahash(BmpSynth.OraclePatterns(i)) == expected)
+      assert(PixelAHash.ahash(PngSynth.OraclePatterns(i)) == expected)
+      assert(PixelAHash.ahash(GifSynth.OraclePatterns(i)) == expected)
+    }
+    assert(PixelAHash.ahash(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) == null) // JPEG: codec
+    assert(PixelAHash.ahash(null) == null)
   }
 
   test("imageAHash Column expression: codegen path and null propagation") {
