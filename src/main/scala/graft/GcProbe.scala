@@ -1,0 +1,87 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Bimodality diagnosis harness (round-3 verdict #1): one pipeline run in
+  * a fresh JVM with GC evidence attached, so the 660k-page/local[32]
+  * collapse (runs land at ~105 s or ~248 s, nothing between) can be
+  * attributed with data instead of suspicion.
+  *
+  * `gen` materializes the corpus once; `run` opens a fresh session over
+  * it, warms up, times ONE pipeline run, and prints a JSON line with the
+  * elapsed time plus the per-collector GC count/time deltas across the
+  * timed region, peak heap, and the Spark-reported executor GC time.
+  * Intended to be invoked repeatedly via plain `java -cp` (no sbt lock)
+  * so foreground work can continue while the evidence accumulates.
+  */
+object GcProbe {
+
+  private def gcSnapshot(): Map[String, (Long, Long)] =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => b.getName -> (b.getCollectionCount, b.getCollectionTime)).toMap
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("run")
+    val path = args.lift(1).getOrElse("/tmp/graft-gcprobe-corpus")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val numBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "60000").toLong
+
+    mode match {
+      case "gen" =>
+        val spark = Bench.sessionFor("32")
+        Bench.materializePages(spark, math.max(50L, numBase / 20), s"$path/warm")
+        Bench.materializePages(spark, numBase, s"$path/full")
+        spark.stop()
+        println(s"""{"generated":"$path","num_base":$numBase}""")
+
+      case "run" =>
+        val spark = Bench.sessionFor(cpus)
+        // Spark-side executor GC accounting (local mode: same JVM, but the
+        // task-time denominator makes it a rate, comparable across runs)
+        var taskTimeMs = 0L
+        var gcTimeMs = 0L
+        var peakMem = 0L
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (e.taskMetrics != null) {
+                taskTimeMs += e.taskMetrics.executorRunTime
+                gcTimeMs += e.taskMetrics.jvmGCTime
+                peakMem = math.max(peakMem, e.taskMetrics.peakExecutionMemory)
+              }
+          })
+        Bench.runPipelineOn(spark, s"$path/warm")
+        Bench.dropPipelineState(spark)
+        taskTimeMs = 0; gcTimeMs = 0; peakMem = 0
+
+        val gc0 = gcSnapshot()
+        val heap0 = java.lang.management.ManagementFactory.getMemoryMXBean
+          .getHeapMemoryUsage.getUsed
+        val t0 = System.nanoTime()
+        Bench.runPipelineOn(spark, s"$path/full")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc1 = gcSnapshot()
+        val heap1 = java.lang.management.ManagementFactory.getMemoryMXBean
+          .getHeapMemoryUsage
+
+        // let straggling task-end events drain before reading the counters
+        org.apache.spark.sql.graftshim.shim.drainListenerBus(spark.sparkContext, 30000)
+        val gcs = gc1.map { case (name, (c1, t1)) =>
+          val (c0, tt0) = gc0.getOrElse(name, (0L, 0L))
+          f""""${name.replace(' ', '_')}":{"n":${c1 - c0},"ms":${t1 - tt0}}"""
+        }.mkString(",")
+        val xmx = Runtime.getRuntime.maxMemory
+        spark.stop()
+        println(f"""{"cpus":$cpus,"sec":$sec%.2f,"gc":{$gcs},""" +
+          f""""task_time_ms":$taskTimeMs,"task_gc_ms":$gcTimeMs,""" +
+          f""""gc_frac_of_task_time":${if (taskTimeMs > 0) gcTimeMs.toDouble / taskTimeMs else 0.0}%.4f,""" +
+          f""""peak_exec_mem_mb":${peakMem / 1024 / 1024},""" +
+          f""""heap_used_before_mb":${heap0 / 1024 / 1024},""" +
+          f""""heap_used_after_mb":${heap1.getUsed / 1024 / 1024},""" +
+          f""""heap_committed_mb":${heap1.getCommitted / 1024 / 1024},""" +
+          f""""xmx_mb":${xmx / 1024 / 1024}}""")
+
+      case other => sys.error(s"unknown mode $other (gen|run)")
+    }
+  }
+}

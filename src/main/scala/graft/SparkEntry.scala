@@ -30,10 +30,15 @@ object SparkEntry {
     * vec_id carrying that vector's rank/count/cosine sanity booleans, plus
     * the global recall@k bound vs the exact brute-force baseline. The
     * DuckDB oracle independently enumerates the vec_id set and pins every
-    * boolean TRUE — so a dropped/duplicated query vector, an out-of-range
-    * rank or an unbounded cosine each flips a REAL oracle row (round-2
-    * review asked for this; the one Spark-computed value left is the
-    * recall bound, which would need the ANN output inside DuckDB).
+    * boolean TRUE. Scope, precisely: an out-of-range rank, a >k neighbor
+    * count, or an unbounded cosine flips a REAL oracle row for that
+    * vector; a query vector the ANN operator DROPPED entirely does NOT
+    * flip its row (the left join coalesces absent-output to trivially
+    * valid — no per-vector output floor is analytically guaranteed, since
+    * a vector can legitimately be alone in its probe buckets). Drops are
+    * caught only in aggregate, by the recall@k bound vs brute force —
+    * the one Spark-computed value, which would need the ANN output inside
+    * DuckDB to pin row-wise.
     */
   private def annInvariants(s: SparkSession, vecs: DataFrame,
                             op: DataFrame => DataFrame,
@@ -326,13 +331,17 @@ object SparkEntry {
     // coherence (rows sharing sha256(text) must share a cluster) is
     // derivable from the inputs, so a broken union-find flips real oracle
     // rows instead of a self-certified aggregate (round-2 review ask).
+    // Min-labeling (cluster_id = min member id) is NOT re-asserted here as
+    // a Spark-computed boolean: q_union_find oracles it END-TO-END — its
+    // DuckDB side recomputes every assignment as min-over-component via a
+    // recursive CTE, so a label that isn't the component minimum fails a
+    // REAL hash row there rather than a self-certified constant here.
     "q_dedup_invariants" -> ((s, dir) => {
       // run() returns an eagerly checkpointed frame, so the joins below
       // read materialized rows, not the full DAG
       val c = DedupPipeline.run(s, t(s, dir, "documents"), "doc_id", "text", DedupConfig())
       val perCluster = c.groupBy("cluster_id").agg(
-        (sum(col("is_representative").cast("long")) === 1).as("one_rep_in_cluster"),
-        min(col("id")).as("min_id"))
+        (sum(col("is_representative").cast("long")) === 1).as("one_rep_in_cluster"))
       val hashes = t(s, dir, "documents")
         .select(col("doc_id").as("id"), FP.contentHash(col("text")).as("ch"))
       val perHash = c.join(hashes, "id").groupBy("ch")
@@ -340,7 +349,6 @@ object SparkEntry {
       c.join(perCluster, "cluster_id")
         .join(hashes, "id").join(perHash, "ch")
         .select(col("id"), col("one_rep_in_cluster"),
-          (col("cluster_id") === col("min_id")).as("cluster_id_is_min"),
           col("exact_group_coherent"))
     }),
 
@@ -715,7 +723,10 @@ object SparkEntry {
         |              [array_to_string(toks[i:i+2], ' ')
         |               for i in range(1, length(toks) - 1)]))
         |            ELSE 1 END AS BIGINT) AS n_shingles,
-        |       true AS norm_invariant
+        |       sha256(trim(regexp_replace(lower(
+        |         upper(regexp_replace(text, ' ', '  ', 'g'))), '\s+', ' ', 'g')))
+        |         = sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |         AS norm_invariant
         |FROM t""".stripMargin,
 
     "q_minhash_lsh_pairs" ->
@@ -733,7 +744,7 @@ object SparkEntry {
     // doc_id DuckDB enumerates.
     "q_dedup_invariants" ->
       """SELECT doc_id AS id, true AS one_rep_in_cluster,
-        |       true AS cluster_id_is_min, true AS exact_group_coherent
+        |       true AS exact_group_coherent
         |FROM documents""".stripMargin,
 
     "q_union_find" ->
