@@ -70,7 +70,13 @@ object Bench {
     val pages = spark.read.parquet(path)
       .select(col("url"),
         graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
-    DedupPipeline.run(spark, pages, "url", "text", cfg).count()
+    // the row count rides the pipeline's final materializing job as an
+    // observe metric — consuming the result costs zero extra actions
+    val obs = org.apache.spark.sql.Observation()
+    DedupPipeline.run(spark, pages, "url", "text", cfg, rowObs = Some(obs))
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    if (row.length == 0) 0L else row.getLong(0)
   }
 
   /** Corpus-wide extraction-fidelity gate (north_star: byte-identical

@@ -20,6 +20,23 @@ object GcProbe {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => b.getName -> (b.getCollectionCount, b.getCollectionTime)).toMap
 
+  /** Box-wide CPU accounting from /proc/stat (USER_HZ ticks): user, nice,
+    * system, idle, iowait, irq, softirq, steal. The STEAL column is the
+    * hypervisor-co-tenant discriminator: ticks the VM wanted to run but the
+    * host gave to someone else.
+    */
+  private def procStat(): Array[Long] = {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    line.split("\\s+").drop(1).take(8).map(_.toLong)
+  }
+
+  /** This JVM's cumulative CPU nanoseconds (sum of all threads). */
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
     val path = args.lift(1).getOrElse("/tmp/graft-gcprobe-corpus")
@@ -39,6 +56,7 @@ object GcProbe {
         // Spark-side executor GC accounting (local mode: same JVM, but the
         // task-time denominator makes it a rate, comparable across runs)
         var taskTimeMs = 0L
+        var taskCpuNs = 0L
         var gcTimeMs = 0L
         var peakMem = 0L
         spark.sparkContext.addSparkListener(
@@ -46,20 +64,25 @@ object GcProbe {
             override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
               if (e.taskMetrics != null) {
                 taskTimeMs += e.taskMetrics.executorRunTime
+                taskCpuNs += e.taskMetrics.executorCpuTime
                 gcTimeMs += e.taskMetrics.jvmGCTime
                 peakMem = math.max(peakMem, e.taskMetrics.peakExecutionMemory)
               }
           })
         Bench.runPipelineOn(spark, s"$path/warm")
         Bench.dropPipelineState(spark)
-        taskTimeMs = 0; gcTimeMs = 0; peakMem = 0
+        taskTimeMs = 0; taskCpuNs = 0; gcTimeMs = 0; peakMem = 0
 
         val gc0 = gcSnapshot()
+        val stat0 = procStat()
+        val pcpu0 = processCpuNs()
         val heap0 = java.lang.management.ManagementFactory.getMemoryMXBean
           .getHeapMemoryUsage.getUsed
         val t0 = System.nanoTime()
         Bench.runPipelineOn(spark, s"$path/full")
         val sec = (System.nanoTime() - t0) / 1e9
+        val stat1 = procStat()
+        val pcpu1 = processCpuNs()
         val gc1 = gcSnapshot()
         val heap1 = java.lang.management.ManagementFactory.getMemoryMXBean
           .getHeapMemoryUsage
@@ -72,9 +95,22 @@ object GcProbe {
         }.mkString(",")
         val xmx = Runtime.getRuntime.maxMemory
         spark.stop()
+        // box-wide accounting over the timed window: whose CPU was it?
+        val d = stat0.indices.map(i => stat1(i) - stat0(i))
+        val ticksTotal = math.max(1L, d.sum)
+        val Seq(dUser, dNice, dSys, dIdle, dIowait, dIrq, dSoftirq, dSteal) =
+          d.toSeq.padTo(8, 0L)
+        val ownCpuSec = (pcpu1 - pcpu0) / 1e9
+        val busySec = (dUser + dNice + dSys + dIrq + dSoftirq) / 100.0
         println(f"""{"cpus":$cpus,"sec":$sec%.2f,"gc":{$gcs},""" +
-          f""""task_time_ms":$taskTimeMs,"task_gc_ms":$gcTimeMs,""" +
+          f""""task_time_ms":$taskTimeMs,"task_cpu_ms":${taskCpuNs / 1000000},""" +
+          f""""task_gc_ms":$gcTimeMs,""" +
           f""""gc_frac_of_task_time":${if (taskTimeMs > 0) gcTimeMs.toDouble / taskTimeMs else 0.0}%.4f,""" +
+          f""""own_proc_cpu_sec":$ownCpuSec%.1f,"box_busy_cpu_sec":$busySec%.1f,""" +
+          f""""other_proc_cpu_sec":${math.max(0.0, busySec - ownCpuSec)}%.1f,""" +
+          f""""steal_frac":${dSteal.toDouble / ticksTotal}%.4f,""" +
+          f""""idle_frac":${dIdle.toDouble / ticksTotal}%.4f,""" +
+          f""""iowait_frac":${dIowait.toDouble / ticksTotal}%.4f,""" +
           f""""peak_exec_mem_mb":${peakMem / 1024 / 1024},""" +
           f""""heap_used_before_mb":${heap0 / 1024 / 1024},""" +
           f""""heap_used_after_mb":${heap1.getUsed / 1024 / 1024},""" +

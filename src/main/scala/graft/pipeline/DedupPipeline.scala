@@ -374,8 +374,18 @@ object DedupPipeline {
     * exchange) is replaced by a narrow in-partition dedup. Materialized
     * once — codes must never be re-derived under a different partitioning.
     */
-  def idDictionary(ids: DataFrame, mat: Materializer = Materializer.local): DataFrame =
-    mat(idDictionaryPlan(ids))
+  def idDictionary(ids: DataFrame): DataFrame =
+    // persist, NOT checkpoint: a checkpoint (even lazy) forces `toRdd`,
+    // which runs the range exchange's boundary-sampling job as its own
+    // driver action — a persist defers everything into the pipeline's first
+    // materializing action (the LSH pair job, whose DAG contains the
+    // dictionary), cutting one blocking round-trip. All consumers share the
+    // one cached plan; an evicted/lost block recomputes DETERMINISTICALLY
+    // (range boundaries live in the partitioner object, the in-partition
+    // sort and monotonically_increasing_id are partition-deterministic), so
+    // codes can never diverge across uses. Callers unpersist after the
+    // clusters table is materialized.
+    idDictionaryPlan(ids).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The encode plan before materialization — split out so PlanAudit can
     * verify the single-exchange claim (`Exchange rangepartitioning` once;
@@ -412,10 +422,11 @@ object DedupPipeline {
   def run(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
           cfg: DedupConfig = DedupConfig(),
           orderCols: Seq[org.apache.spark.sql.Column] =
-            Seq(col("order_len").desc, col("id").asc)): DataFrame = {
+            Seq(col("order_len").desc, col("id").asc),
+          rowObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
 
     val mat = cfg.materializer(spark)
-    val dict = idDictionary(pages.select(col(idCol)), mat)
+    val dict = idDictionary(pages.select(col(idCol)))
     val keyed = pages.select(col(idCol).as("sid"), col(textCol).as("__text"))
       .join(dict, "sid").select("id", "__text")
 
@@ -444,11 +455,12 @@ object DedupPipeline {
       // fresh full-path signatures are all-shingled by construction: the
       // mixed-state probe only applies on the resume path (clusterSignatures)
       mayHaveFastRows = cfg.fastPath)
-    val result = decode(coded, dict, mat)
+    val result = decode(coded, dict, mat, rowObs)
     repSigs.unpersist()
     nearPages.unpersist()
     hashGroups.unpersist()
     slim.unpersist()
+    dict.unpersist()
     result
   }
 
@@ -462,16 +474,24 @@ object DedupPipeline {
       .cache()
 
   /** Restore original string ids on a coded clusters table. */
-  private def decode(coded: DataFrame, dict: DataFrame, mat: Materializer): DataFrame =
+  private def decode(coded: DataFrame, dict: DataFrame, mat: Materializer,
+                     rowObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // eager-materialize the (small) clusters table so the big intermediate
     // caches can be released immediately — downstream consumers read the
     // checkpointed rows instead of re-running the LSH/verify DAG
-    mat(coded
+    val decoded = coded
       .join(dict, "id")
       .join(dict.select(col("id").as("cluster_id"), col("sid").as("cluster_sid")),
         "cluster_id")
       .select(col("sid").as("id"), col("cluster_sid").as("cluster_id"),
-        col("is_representative"), col("kind")))
+        col("is_representative"), col("kind"))
+    // a caller that only needs the row count reads it off this
+    // materializing job as an observe metric instead of paying a separate
+    // count() action (driver-job floor: every blocking action is a fixed
+    // serial cost the 4N-executor side cannot parallelize away)
+    mat(rowObs.map(o => decoded.observe(o, count(lit(1)).as("n_rows")))
+      .getOrElse(decoded))
+  }
 
   /** Cluster a full persisted signatures table (the resume path: fingerprints
     * come from the state table, never recomputed). `stateSigs` must carry
@@ -484,7 +504,7 @@ object DedupPipeline {
                         orderCols: Seq[org.apache.spark.sql.Column] =
                           Seq(col("order_len").desc, col("id").asc)): DataFrame = {
     val mat = cfg.materializer(spark)
-    val dict = idDictionary(stateSigs.select(col("id")), mat)
+    val dict = idDictionary(stateSigs.select(col("id")))
     val keyed = stateSigs
       .select(col("id").as("sid"), col("order_len"), col("content_hash"),
         col("simhash"), col("minhash"), col("shingles"))
@@ -505,6 +525,7 @@ object DedupPipeline {
     repSigs.unpersist()
     hashGroups.unpersist()
     slim.unpersist()
+    dict.unpersist()
     result
   }
 

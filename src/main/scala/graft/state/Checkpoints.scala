@@ -258,14 +258,21 @@ object Checkpoints {
 
     val epoch = nextEpoch(spark, stateDir) - 1 // runEpoch already appended this epoch
     val persisted = spark.read.parquet(clustersPath(stateDir))
+    // cluster count rides the lineage write as an observe metric: every
+    // cluster has exactly one representative (pipeline invariant, oracled
+    // per-row by q_dedup_invariants), so sum(is_representative) ≡
+    // count(distinct cluster_id) without a second scan + distinct exchange
+    val cObs = org.apache.spark.sql.Observation()
     val lineage = persisted
+      .observe(cObs, coalesce(sum(col("is_representative").cast("long")), lit(0L))
+        .as("n_clusters"))
       .withColumn("part_id", spark_partition_id())
       .groupBy("part_id").agg(count(lit(1)).as("n_rows"))
       .withColumn("epoch", lit(epoch))
       .withColumn("table", lit("clusters"))
     lineage.write.mode("append").parquet(metricsPath(stateDir))
 
-    val nClusters = persisted.select("cluster_id").distinct().count()
+    val nClusters = observedLong(cObs, 0)
     appendManifest(spark, stateDir, s"""{"epoch":$epoch,"clusters":$nClusters}""")
     (nNew, nClusters)
   }
@@ -411,28 +418,38 @@ object Checkpoints {
     */
   def diagnose(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
+    val empty = spark.emptyDataset[String].toDF("id")
     val sigs = readIfExists(spark, signaturesPath(stateDir))
-      .map(_.select("id")).getOrElse(spark.emptyDataset[String].toDF("id"))
+      .map(_.select("id")).getOrElse(empty)
     val live =
       if (exists(spark, signaturesPath(stateDir)))
         liveSignatures(spark, stateDir).select("id")
-      else spark.emptyDataset[String].toDF("id")
+      else empty
     val clusters = readIfExists(spark, clustersPath(stateDir))
-      .map(_.select("id")).getOrElse(spark.emptyDataset[String].toDF("id"))
+      .map(_.select("id")).getOrElse(empty)
     val quarantined = readIfExists(spark, quarantinePath(stateDir))
-      .map(_.count()).getOrElse(0L)
-    val tombstoned = tombstones(spark, stateDir).count()
-    val unclustered = live.join(clusters, Seq("id"), "left_anti").count()
-    val dangling = clusters.join(sigs, Seq("id"), "left_anti").count()
-    Seq(
-      ("signatures", sigs.count()),
-      ("live_signatures", live.count()),
-      ("clusters", clusters.count()),
-      ("quarantined", quarantined),
-      ("tombstoned", tombstoned),
-      ("signature_without_cluster", unclustered),
-      ("cluster_without_signature", dangling)
-    ).toDF("category", "n")
+      .map(_.select("id")).getOrElse(empty)
+    // ONE pass: union every per-table id stream (including the two
+    // anti-join drift streams) under a category label and aggregate — the
+    // same observe-fusion discipline as the epoch paths, instead of seven
+    // separate count() round-trips. Zero-count categories are restored by
+    // the seed join so a healthy store still reports every row.
+    def tag(df: DataFrame, cat: String) = df.select(lit(cat).as("category"))
+    val counted = tag(sigs, "signatures")
+      .unionAll(tag(live, "live_signatures"))
+      .unionAll(tag(clusters, "clusters"))
+      .unionAll(tag(quarantined, "quarantined"))
+      .unionAll(tag(tombstones(spark, stateDir), "tombstoned"))
+      .unionAll(tag(live.join(clusters, Seq("id"), "left_anti"),
+        "signature_without_cluster"))
+      .unionAll(tag(clusters.join(sigs, Seq("id"), "left_anti"),
+        "cluster_without_signature"))
+      .groupBy("category").agg(count(lit(1)).as("n"))
+    Seq("signatures", "live_signatures", "clusters", "quarantined",
+      "tombstoned", "signature_without_cluster", "cluster_without_signature")
+      .toDF("category")
+      .join(counted, Seq("category"), "left")
+      .select(col("category"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
   /** Manifest lines, oldest first; empty if no manifest yet. Falls back to

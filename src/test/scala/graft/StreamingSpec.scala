@@ -199,6 +199,52 @@ class StreamingSpec extends SparkTestBase {
     assert(clusters.count() == 3)
   }
 
+  test("cadence recipe: streamed state batch-clusters the containment kinds " +
+      "the streaming fast path can't see") {
+    // the operator contract from streamingIngest's docstring, END-TO-END:
+    // a continuously-arriving crawl commits signature epochs per micro-batch
+    // (fast-path near-dup only sees SimHash-pigeonhole pairs), then a batch
+    // clusterEpoch on a cadence over the SAME stateDir resolves the
+    // containment / sub-Jaccard kinds (mid_quote, truncate_60/30) from the
+    // persisted signatures WITHOUT re-fingerprinting anything
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pages.PagesGen
+    import graft.state.Checkpoints
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cadence").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cadence-ck").toString
+    val pages = PagesGen.pages(spark, 6L, seed = 59L, tokensPerDoc = 120).toDF().cache()
+    val rows = pages.select("url", "text").as[(String, String)].collect()
+
+    val stream = MemoryStream[(String, String)]
+    val q = StreamOps.streamingIngest(
+      stream.toDF().toDF("url", "text"), "url", "text", stateDir, ckpt)
+    rows.grouped(math.max(1, rows.length / 3)).foreach { g =>
+      stream.addData(g.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamedEpochs = spark.read.parquet(Checkpoints.signaturesPath(stateDir))
+      .select("epoch").distinct().count()
+    assert(streamedEpochs >= 3, s"expected >=3 streamed epochs, got $streamedEpochs")
+
+    // operator cadence: batch cluster over the streamed state
+    val (nNew, nClusters) = Checkpoints.clusterEpoch(spark, pages, "url", "text", stateDir)
+    assert(nNew == 0L,
+      "cadence clusterEpoch re-fingerprinted rows the stream already committed")
+    assert(nClusters > 0)
+
+    val assign = spark.read.parquet(Checkpoints.clustersPath(stateDir))
+      .select(col("id"), col("cluster_id"))
+    val truth = PagesGen.truthPairs(spark, 6L, seed = 59L).toDF()
+      .filter(col("expect_dup") &&
+        col("kind").isin("mid_quote", "truncate_60", "truncate_30"))
+    val joined = truth
+      .join(assign.withColumnRenamed("id", "urlA").withColumnRenamed("cluster_id", "ca"), "urlA")
+      .join(assign.withColumnRenamed("id", "urlB").withColumnRenamed("cluster_id", "cb"), "urlB")
+    val missed = joined.filter(col("ca") =!= col("cb")).count()
+    assert(missed == 0,
+      s"$missed containment pairs unresolved after the batch cadence pass")
+  }
+
   test("mapGroupsWithState: running per-user counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamOps.UserEvent]
