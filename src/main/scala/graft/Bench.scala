@@ -134,40 +134,52 @@ object Bench {
     require(nBadExtract == 0, s"$nBadExtract rows violate extract(html)==text")
 
     runPipelineOn(spark, warmPath) // warmup (JIT + codegen)
-    dropPipelineState(spark)
-    val t0 = System.nanoTime()
-    runPipelineOn(spark, fullPath)
-    val pipeSec = (System.nanoTime() - t0) / 1e9
+
+    // the box's co-tenant noise swings identical runs 2-3× minute-to-minute;
+    // a single-shot snapshot can grade a code change by the minute it ran
+    // in. Each pipeline line is the MEDIAN of `reps` same-JVM runs (state
+    // dropped between runs); per-line run arrays are reported alongside so
+    // the spread itself is visible.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def medianTimed(f: => Unit): (Double, Seq[Double]) = {
+      val runs = (1 to reps).map { _ =>
+        dropPipelineState(spark)
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      (runs.sorted.apply(runs.length / 2), runs)
+    }
+    val (pipeSec, pipeRuns) = medianTimed { runPipelineOn(spark, fullPath) }
     val docsPerSec = nPages / pipeSec
 
     // the X4 fast path (content_hash + SimHash only) — the speed/quality
     // dial; reported alongside so the trade is visible per round
-    dropPipelineState(spark)
-    val tf = System.nanoTime()
-    runPipelineOn(spark, fullPath, DedupConfig(fastPath = true))
-    val fastSec = (System.nanoTime() - tf) / 1e9
+    val (fastSec, fastRuns) = medianTimed {
+      runPipelineOn(spark, fullPath, DedupConfig(fastPath = true))
+    }
 
     // reliable-checkpoint mode (preemptible-cluster posture): same job with
     // every materialization point written to the checkpoint dir — the line
     // records what executor-loss safety costs vs executor-local blocks
-    dropPipelineState(spark)
     val ckptDir = s"$tmp/ckpt"
-    val tr = System.nanoTime()
-    runPipelineOn(spark, fullPath,
-      DedupConfig(reliableCheckpoints = true, checkpointDir = ckptDir))
-    val reliableSec = (System.nanoTime() - tr) / 1e9
+    val (reliableSec, reliableRuns) = medianTimed {
+      runPipelineOn(spark, fullPath,
+        DedupConfig(reliableCheckpoints = true, checkpointDir = ckptDir))
+    }
 
     // skew-stress line (judge r2 #8): the same pipeline over the corpus with
     // a 10% mega exact-group and a 10% boilerplate hot prefix; alongside the
     // time it records the worst single-task shuffle read — the evidence the
     // salt/cap machinery keeps hot-path task skew bounded at bench scale
-    dropPipelineState(spark)
     val skewPath = s"$tmp/skew"
     PagesGen.skewPages(spark, numBase, seed = 42L, tokensPerDoc = 200).toDF()
       .write.mode("overwrite").parquet(skewPath)
-    val ts2 = System.nanoTime()
-    val (_, skewL) = TaskSkewListener.measure(spark) { runPipelineOn(spark, skewPath) }
-    val skewSec = (System.nanoTime() - ts2) / 1e9
+    var maxSkewRecords = 0L
+    val (skewSec, skewRuns) = medianTimed {
+      val (_, l) = TaskSkewListener.measure(spark) { runPipelineOn(spark, skewPath) }
+      maxSkewRecords = math.max(maxSkewRecords, l.maxShuffleReadRecords.get())
+    }
 
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
@@ -176,9 +188,13 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
+    def arr(runs: Seq[Double]) = runs.map(r => f"$r%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps,""" +
-      s""""skew_max_task_records":${skewL.maxShuffleReadRecords.get()}}""")
+      s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
+      s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
+      s""""skew":${arr(skewRuns)}},""" +
+      s""""skew_max_task_records":$maxSkewRecords}""")
     spark.stop()
   }
 }
