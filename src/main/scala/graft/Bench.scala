@@ -24,9 +24,14 @@ object Bench {
     // materializes every exchange as its own job (~91 jobs/run vs ~15), a
     // pure serial driver cost at bench scale.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // default shuffle width = cores (local mode); SPARK_GRAFT_SHUFFLE_PARTS
+    // overrides for the partitions-per-core dial (a straggler in a
+    // 1-task-per-core stage idles every other core until the stage barrier —
+    // finer partitions trade scheduling overhead for occupancy)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", aqe)
       // split parquet scans fine enough that the heaviest MAP stage
       // (scan → extract → fused fingerprint) fans out to every core: the

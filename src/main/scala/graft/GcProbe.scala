@@ -59,19 +59,36 @@ object GcProbe {
         var taskCpuNs = 0L
         var gcTimeMs = 0L
         var peakMem = 0L
+        var nTasks = 0L
+        var nFailedTasks = 0L
+        var nStageAttemptRetries = 0L
+        var spillBytes = 0L
+        var shuffleReadB = 0L
+        var shuffleWriteB = 0L
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
-            override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              nTasks += 1
+              if (!e.taskInfo.successful) nFailedTasks += 1
               if (e.taskMetrics != null) {
                 taskTimeMs += e.taskMetrics.executorRunTime
                 taskCpuNs += e.taskMetrics.executorCpuTime
                 gcTimeMs += e.taskMetrics.jvmGCTime
                 peakMem = math.max(peakMem, e.taskMetrics.peakExecutionMemory)
+                spillBytes += e.taskMetrics.memoryBytesSpilled
+                shuffleReadB += e.taskMetrics.shuffleReadMetrics.totalBytesRead
+                shuffleWriteB += e.taskMetrics.shuffleWriteMetrics.bytesWritten
               }
+            }
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+              if (s.stageInfo.attemptNumber() > 0) nStageAttemptRetries += 1
           })
         Bench.runPipelineOn(spark, s"$path/warm")
         Bench.dropPipelineState(spark)
         taskTimeMs = 0; taskCpuNs = 0; gcTimeMs = 0; peakMem = 0
+        nTasks = 0; nFailedTasks = 0; nStageAttemptRetries = 0
+        spillBytes = 0; shuffleReadB = 0; shuffleWriteB = 0
 
         val gc0 = gcSnapshot()
         val stat0 = procStat()
@@ -106,6 +123,11 @@ object GcProbe {
           f""""task_time_ms":$taskTimeMs,"task_cpu_ms":${taskCpuNs / 1000000},""" +
           f""""task_gc_ms":$gcTimeMs,""" +
           f""""gc_frac_of_task_time":${if (taskTimeMs > 0) gcTimeMs.toDouble / taskTimeMs else 0.0}%.4f,""" +
+          f""""n_tasks":$nTasks,"n_failed_tasks":$nFailedTasks,""" +
+          f""""n_stage_retries":$nStageAttemptRetries,""" +
+          f""""spill_mb":${spillBytes / 1024 / 1024},""" +
+          f""""shuffle_read_mb":${shuffleReadB / 1024 / 1024},""" +
+          f""""shuffle_write_mb":${shuffleWriteB / 1024 / 1024},""" +
           f""""own_proc_cpu_sec":$ownCpuSec%.1f,"box_busy_cpu_sec":$busySec%.1f,""" +
           f""""other_proc_cpu_sec":${math.max(0.0, busySec - ownCpuSec)}%.1f,""" +
           f""""steal_frac":${dSteal.toDouble / ticksTotal}%.4f,""" +

@@ -164,7 +164,7 @@ object Main {
     val (nNew, nClusters) =
       Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action)
     val (nExec, nFail) =
-      if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir)
+      if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir, cfg)
       else (0L, 0L)
     Seq(s"""{"new_signatures":$nNew,"clusters":$nClusters,""" +
       s""""executed":$nExec,"failed":$nFail,"state":"${a.state}"}""")

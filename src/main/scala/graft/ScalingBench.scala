@@ -39,6 +39,16 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // round-4 diagnosis (BASELINE.md): a large Xmx lets G1 ergonomics
+    // expand the heap instead of collecting, and the dispersed heap
+    // inflates task CPU up to 2.25× via memory stalls — the measured cause
+    // of the 660k/local[32] run-time bimodality. Scaling numbers are only
+    // comparable in the dense-heap regime.
+    if (Runtime.getRuntime.maxMemory > 20L * 1024 * 1024 * 1024)
+      System.err.println(
+        "[scaling] WARNING: Xmx > 20g puts G1 in the heap-expansion regime " +
+          "(BASELINE.md round 4: memory-stall CPU inflation, bimodal runs); " +
+          "set SPARK_DRIVER_MEM=16g for comparable measurements")
     val numBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "20000").toLong
     val ceilRows = sys.env.getOrElse("SPARK_GRAFT_CEIL_ROWS", "40000000").toLong
     val nPages = numBase * graft.pages.PagesGen.variantKinds.length
