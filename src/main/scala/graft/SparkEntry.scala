@@ -509,6 +509,22 @@ object SparkEntry {
           Multimodal.imageMeta(col("blob")).getField("format").as("format"))
     }),
 
+    // REAL JPEG pixel decode (the JDK's ImageIO plugin → the same pinned
+    // kernel): block-uniform baseline JPEGs are DC-only under a flat-8
+    // quant table, so the lossy format round-trips the patterns EXACTLY
+    // and the closed-form oracle holds (reference formats/jpeg.rs:8-31).
+    "q_jpeg_ahash" -> ((s, dir) => {
+      import graft.multimodal.JpegSynth
+      val blob = when(col("doc_id") % 3 === 0, lit(JpegSynth.OraclePatterns(0)))
+        .when(col("doc_id") % 3 === 1, lit(JpegSynth.OraclePatterns(1)))
+        .otherwise(lit(JpegSynth.OraclePatterns(2)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"),
+          Multimodal.imageAHash(col("blob")).as("ahash"),
+          Multimodal.imageMeta(col("blob")).getField("format").as("format"))
+    }),
+
     // REAL GIF pixel decode (pure-JVM LZW → the same pinned kernel), same
     // analytic oracle scheme.
     "q_gif_ahash" -> ((s, dir) => {
@@ -868,6 +884,15 @@ object SparkEntry {
         |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
         |         ELSE CAST(0 AS BIGINT) END AS ahash,
         |       'gif' AS format
+        |FROM documents""".stripMargin,
+
+    "q_jpeg_ahash" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN CAST(1085102592571150095 AS BIGINT)
+        |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ahash,
+        |       'jpeg' AS format
         |FROM documents""".stripMargin
   )
 

@@ -9,9 +9,9 @@ import org.apache.spark.sql.types._
   * (image-deduper `src/processing/core.rs:37-104`: decode → grayscale →
   * 8×8 resize → mean threshold → 64-bit hash). BI_RGB 24/32-bpp BMP: the
   * pixels are literally in the bytes, so this decoder keeps its own fused
-  * loop; PNG ([[PngPixels]], JDK Inflater) and GIF ([[GifPixels]], pure
-  * LZW) decode to a luma raster and share the same pinned kernel via
-  * [[AHashKernel]]. JPEG needs a real DCT codec and stays undecodable.
+  * loop; PNG ([[PngPixels]], JDK Inflater), GIF ([[GifPixels]], pure
+  * LZW) and JPEG ([[JpegPixels]], the JDK's ImageIO plugin) decode to a
+  * luma raster and share the same pinned kernel via [[AHashKernel]].
   *
   * Kernel definition (pinned — goldens and the SQL oracle depend on it):
   *  - grayscale: integer Rec.601 luma  (299·R + 587·G + 114·B) / 1000

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Image DIMENSION decode is REAL: [[ImageHeader]] parses PNG/GIF/JPEG/BMP
   * container headers in pure JVM bytes (dimensions never need a codec).
-  * Image PIXEL decode is REAL for BMP/PNG/GIF ([[BmpAHash]], [[PngPixels]],
-  * [[GifPixels]] → [[PixelAHash]]); only JPEG pixel decode (a DCT codec)
-  * and video frame EXTRACTION remain stubbed: `fakeDecodeMeta` derives
+  * Image PIXEL decode is REAL for BMP/PNG/GIF/JPEG ([[BmpAHash]],
+  * [[PngPixels]], [[GifPixels]] hand-rolled; [[JpegPixels]] via the JDK's
+  * own ImageIO plugin → [[PixelAHash]]); only video frame EXTRACTION
+  * remains stubbed: `fakeDecodeMeta` derives
   * deterministic stand-in metadata from the byte stream, clearly marked,
   * and the frame-sampling plan runs on it. Everything around the stub — schema,
   * batch shape, partitioning, column pruning — is the real Spark-side
@@ -29,10 +30,10 @@ object Multimodal {
   }
 
   /** REAL pixel-level perceptual hash for uncompressed BMPs, 8-bit
-    * non-interlaced PNGs, and GIF first frames (the reference's aHash
-    * kernel, `processing/core.rs:37-104`): binary → 64-bit mean-threshold
-    * average hash, null for anything that needs a real codec (JPEG).
-    * Compose with `bit_count(a ^ b)` for perceptual Hamming.
+    * non-interlaced PNGs, GIF first frames, and baseline JPEGs (the
+    * reference's aHash kernel, `processing/core.rs:37-104`): binary →
+    * 64-bit mean-threshold average hash, null for malformed/unsupported
+    * bytes. Compose with `bit_count(a ^ b)` for perceptual Hamming.
     */
   def imageAHash(blob: Column): Column = {
     import org.apache.spark.sql.graftshim.shim

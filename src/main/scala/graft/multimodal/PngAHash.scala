@@ -339,8 +339,8 @@ object PngSynth {
 }
 
 /** Format dispatch for the `image_ahash` expression: route by magic bytes
-  * to the per-format pixel decoder, null for formats that still need a
-  * real codec (JPEG) or anything malformed.
+  * to the per-format pixel decoder (BMP/PNG/GIF hand-rolled, JPEG via the
+  * JDK's ImageIO plugin), null for anything malformed or unsupported.
   */
 object PixelAHash {
 
@@ -349,6 +349,7 @@ object PixelAHash {
     else if (b(0) == 'B' && b(1) == 'M') BmpAHash.ahash(b)
     else if (PngPixels.isPng(b)) PngPixels.ahash(b)
     else if (GifPixels.isGif(b)) GifPixels.ahash(b)
+    else if (JpegPixels.isJpeg(b)) JpegPixels.ahash(b)
     else null
   }
 }

@@ -202,15 +202,45 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(GifPixels.ahash("GIF89a but then garbage follows here".getBytes) == null)
   }
 
-  test("PixelAHash dispatch: one expression, three container formats, same hash") {
-    import graft.multimodal.{BmpSynth, GifSynth, PixelAHash, PngSynth}
+  test("JpegAHash goldens: block-uniform baseline JPEGs decode exactly") {
+    import graft.multimodal.{BmpSynth, JpegPixels, JpegSynth}
+    // block-uniform blocks are DC-only with a flat-8 quant table, so the
+    // lossy format round-trips these patterns EXACTLY — same closed forms
+    JpegSynth.OraclePatterns.zip(BmpSynth.OracleHashes).foreach { case (b, h) =>
+      assert(JpegPixels.ahash(b) == h)
+    }
+    // a REAL ImageIO-encoded color JPEG of block-aligned solid halves:
+    // every 8x8 block is uniform -> AC-free -> only bounded uniform DC
+    // shifts survive quantization, which the mean threshold ignores
+    val im = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      im.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, "jpg", bos))
+    assert(JpegPixels.ahash(bos.toByteArray) == 0x0F0F0F0F0F0F0F0FL)
+    // corrupt-input contract: never throw; un-decodable -> null. A scan
+    // truncated AFTER the header decodes LENIENTLY (ImageIO fills the
+    // missing tail) — the right posture for crawl fingerprinting: hash
+    // what decoded, rather than refusing an image that is 95% present.
+    val good = JpegSynth.OraclePatterns(0)
+    assert(JpegPixels.ahash(null) == null)
+    assert(JpegPixels.ahash(good.take(20)) == null)          // truncated header
+    assert(JpegPixels.ahash(good.dropRight(30)) != null)     // truncated scan: lenient
+    assert(JpegPixels.ahash(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) == null)
+  }
+
+  test("PixelAHash dispatch: one expression, four container formats, same hash") {
+    import graft.multimodal.{BmpSynth, GifSynth, JpegSynth, PixelAHash, PngSynth}
     for (i <- 0 until 3) {
       val expected = BmpSynth.OracleHashes(i)
       assert(PixelAHash.ahash(BmpSynth.OraclePatterns(i)) == expected)
       assert(PixelAHash.ahash(PngSynth.OraclePatterns(i)) == expected)
       assert(PixelAHash.ahash(GifSynth.OraclePatterns(i)) == expected)
+      assert(PixelAHash.ahash(JpegSynth.OraclePatterns(i)) == expected)
     }
-    assert(PixelAHash.ahash(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) == null) // JPEG: codec
+    assert(PixelAHash.ahash("no known magic bytes here".getBytes) == null)
     assert(PixelAHash.ahash(null) == null)
   }
 
