@@ -118,8 +118,11 @@ object Fingerprints {
   /** Pluggable extractor strategies — the seam the reference fills with a
     * platform-specific external-process decoder (S12, macOS
     * `sips`/`qlmanage` shell-outs, `src/platform/macos.rs:53-322`). Here
-    * both strategies are in-JVM Column functions; a future strategy (e.g.
-    * a codec UDF) registers under a new name without touching callers.
+    * both strategies are in-JVM Column functions; the actual
+    * external-process path is [[graft.sources.ExternalPipe]] (one filter
+    * process per partition, streamed rows, bounded backpressure) — a
+    * DataFrame transform rather than a Column, since a process is not an
+    * expression.
     *
     *  - "html":      full boilerplate-dropping extraction ([[ExtractText]])
     *  - "plaintext": UTF-8 decode + whitespace collapse only (for corpora

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ExternalPipe
+
+/** S12 external-process source analog: one filter process per partition,
+  * rows streamed through stdin/stdout with bounded backpressure, hard
+  * failure on crash or line-count mismatch (reference shell-out stage,
+  * image-deduper src/platform/macos.rs:53-322).
+  */
+class ExternalPipeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pipe matches the equivalent Column transform across partitions") {
+    val df = (1 to 500).map(i => (i.toLong, s"alpha doc $i with alpha tokens"))
+      .toDF("id", "text").repartition(3)
+    val piped = ExternalPipe.pipePartitions(df, "text", "out",
+      Seq("sed", "-e", "s/alpha/beta/g"))
+    // same transform in-JVM; anti-join both ways = exact row-set equality
+    val expected = df.withColumn("out", regexp_replace($"text", "alpha", "beta"))
+    assert(piped.count() == 500)
+    assert(piped.except(expected).count() == 0 && expected.except(piped).count() == 0)
+    // original columns carried through untouched
+    assert(piped.schema.fieldNames.toSeq == Seq("id", "text", "out"))
+  }
+
+  test("embedded newlines are flattened, nulls become empty lines") {
+    val df = Seq((1L, "line\nbreak"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = ExternalPipe.pipePartitions(df, "text", "out", Seq("cat"))
+      .orderBy("id").select("out").as[String].collect()
+    assert(out.toSeq == Seq("line break", ""))
+  }
+
+  test("a crashing filter fails the task loudly, not with dropped rows") {
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "text").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      ExternalPipe.pipePartitions(df, "text", "out",
+        Seq("sh", "-c", "head -n 10; exit 3")).count()
+    }
+    assert(e.getMessage.contains("external pipe") ||
+      Option(e.getCause).exists(_.getMessage.contains("external pipe")))
+  }
+
+  test("backpressure: partitions larger than the pending queue still stream") {
+    // stdbuf -oL: the queue retains only 64 in-flight rows, so the filter
+    // must be line-buffered (a block-buffered tr would wedge at this
+    // capacity — the documented buffering caveat)
+    val df = (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "text").coalesce(1)
+    val piped = ExternalPipe.pipePartitions(df, "text", "out",
+      Seq("stdbuf", "-oL", "tr", "a-z", "A-Z"), queueCapacity = 64)
+    assert(piped.filter($"out" === upper($"text")).count() == 5000)
+  }
+}
