@@ -42,7 +42,8 @@ object Main {
       checkpointDir: Option[String] = None,
       pagesFormat: String = "auto",
       containmentCap: Option[Int] = None,
-      noEstimateTier: Boolean = false)
+      noEstimateTier: Boolean = false,
+      previewChars: Option[Int] = None)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -77,6 +78,9 @@ object Main {
         v.toIntOption.toRight(s"--containment-cap: not an int: $v")
           .flatMap(c => loop(t, acc.copy(containmentCap = Some(c))))
       case "--no-estimate-tier" :: t  => loop(t, acc.copy(noEstimateTier = true))
+      case "--preview-chars" :: v :: t =>
+        v.toIntOption.toRight(s"--preview-chars: not an int: $v")
+          .flatMap(p => loop(t, acc.copy(previewChars = Some(p))))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -96,6 +100,8 @@ object Main {
       Left("--pages-format must be auto, parquet or table")
     else if (a.containmentCap.exists(_ <= 0))
       Left("--containment-cap must be positive")
+    else if (a.previewChars.exists(_ <= 0))
+      Left("--preview-chars must be positive")
     else Right(a)
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
@@ -106,7 +112,8 @@ object Main {
     val withJ = a.jaccardThreshold.fold(base)(j => base.copy(jaccardThreshold = j))
     val withH = a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
     val withC = a.containmentCap.fold(withH)(c => withH.copy(containmentMaxBucket = c))
-    if (a.noEstimateTier) withC.copy(estimateTier = false) else withC
+    val withP = a.previewChars.fold(withC)(p => withC.copy(previewChars = p))
+    if (a.noEstimateTier) withP.copy(estimateTier = false) else withP
   }
 
   def main(args: Array[String]): Unit = parse(args.toIndexedSeq) match {
@@ -118,7 +125,7 @@ object Main {
           "[--execute] [--backup-dir <uri>] [--fast-path] [--force-rescan] " +
           "[--jaccard <0..1>] [--max-hamming <int>] " +
           "[--extract-from <binary-col>] [--extractor html|plaintext] " +
-          "[--reliable] [--checkpoint-dir <uri>] " +
+          "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
           "[--pages-format auto|parquet|table] | " +
           "--state <dir-uri> --diagnose")
       sys.exit(2)

@@ -89,7 +89,14 @@ case class DedupConfig(
     // containment dups by design.
     fastPath: Boolean = false,
     fastPathBands: Int = 4,
-    fastPathMaxHamming: Int = 3) {
+    fastPathMaxHamming: Int = 3,
+    // the reference's thumbnail surface (`generate_thumbnails`/size,
+    // config.rs:54,106), re-imagined for text: when > 0, clusterEpoch also
+    // writes a `previews` table with the first N normalized chars of each
+    // cluster REPRESENTATIVE, so an operator reviewing a planned actions
+    // table can eyeball what every cluster is without fetching pages. 0
+    // (default) writes nothing — same opt-in posture as the reference.
+    previewChars: Int = 0) {
   require(bands * rowsPerBand <= numPerms,
     s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
   require(64 % fastPathBands == 0, "fastPathBands must divide 64")

@@ -30,6 +30,7 @@ object Checkpoints {
   def quarantinePath(stateDir: String) = s"$stateDir/quarantine"
   def metricsPath(stateDir: String) = s"$stateDir/metrics"
   def clustersPath(stateDir: String) = s"$stateDir/clusters"
+  def previewsPath(stateDir: String) = s"$stateDir/previews"
   def actionsPath(stateDir: String) = s"$stateDir/actions"
   def executedPath(stateDir: String) = s"$stateDir/executed"
   def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
@@ -255,6 +256,19 @@ object Checkpoints {
     clusters.write.mode("overwrite").parquet(clustersPath(stateDir))
     graft.actions.Actions.plan(clusters, action, dryRun = true)
       .write.mode("overwrite").parquet(actionsPath(stateDir))
+
+    // preview surface (reference generate_thumbnails, config.rs:54,106):
+    // one snippet row per cluster, from its representative's normalized
+    // text — clusters is eagerly checkpointed, so this join reads
+    // materialized rows, and the texts side is the already-built normTexts
+    // projection (capped at saMaxChars upstream)
+    if (cfg0.previewChars > 0)
+      clusters.filter(col("is_representative"))
+        .select(col("cluster_id"), col("id"))
+        .join(texts, "id")
+        .select(col("cluster_id"), col("id").as("representative_id"),
+          substring(col("norm_text"), 1, cfg0.previewChars).as("preview"))
+        .write.mode("overwrite").parquet(previewsPath(stateDir))
 
     val epoch = nextEpoch(spark, stateDir) - 1 // runEpoch already appended this epoch
     val persisted = spark.read.parquet(clustersPath(stateDir))

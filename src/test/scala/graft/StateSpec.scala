@@ -324,6 +324,27 @@ class StateSpec extends SparkTestBase {
       .filter(col("id") === someId).count() == 0)
   }
 
+  test("preview surface: clusterEpoch writes one representative snippet per cluster") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 3L, seed = 43L, tokensPerDoc = 80).toDF()
+    val (_, nClusters) = Checkpoints.clusterEpoch(spark, pages, "url", "text", dir,
+      DedupConfig(previewChars = 40))
+    val previews = spark.read.parquet(Checkpoints.previewsPath(dir))
+    assert(previews.count() == nClusters, "one preview row per cluster")
+    assert(previews.select("cluster_id").distinct().count() == nClusters)
+    // snippet respects the cap and comes from the representative's text
+    assert(previews.filter(length(col("preview")) > 40).count() == 0)
+    val reps = spark.read.parquet(Checkpoints.clustersPath(dir))
+      .filter(col("is_representative")).select("id")
+    assert(previews.select(col("representative_id").as("id"))
+      .except(reps).count() == 0)
+    // opt-in posture: the default config writes no previews table
+    val dir2 = tempDir()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir2)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Checkpoints.previewsPath(dir2))))
+  }
+
   test("diagnose stays drift-free after execute + re-cluster (live-view diff)") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 4L, seed = 29L, tokensPerDoc = 80).toDF().cache()
