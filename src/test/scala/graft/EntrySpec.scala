@@ -54,6 +54,11 @@ class EntrySpec extends SparkTestBase {
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s")).isRight)
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--extractor", "exotic")).isLeft)                                   // unknown strategy
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--preview-chars", "0")).isLeft)                                    // must be positive
+    val withPreview = Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--preview-chars", "120")).toOption.get
+    assert(Main.toConfig(withPreview).previewChars == 120)
   }
 
   test("CLI end-to-end: extract-from html, cluster, execute, diagnose") {
