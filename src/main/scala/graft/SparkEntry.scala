@@ -331,17 +331,21 @@ object SparkEntry {
     // coherence (rows sharing sha256(text) must share a cluster) is
     // derivable from the inputs, so a broken union-find flips real oracle
     // rows instead of a self-certified aggregate (round-2 review ask).
-    // Min-labeling (cluster_id = min member id) is NOT re-asserted here as
-    // a Spark-computed boolean: q_union_find oracles it END-TO-END — its
-    // DuckDB side recomputes every assignment as min-over-component via a
-    // recursive CTE, so a label that isn't the component minimum fails a
-    // REAL hash row there rather than a self-certified constant here.
+    // Min-labeling of the COMPONENT is oracled end-to-end by q_union_find
+    // (DuckDB recomputes every assignment via a recursive CTE); the
+    // cluster_id_is_min boolean here guards the other half of the path —
+    // run()'s dictionary DECODE: the order-preserving id dictionary makes
+    // "min coded member" ≡ "min original id", so a regression in the
+    // dict-join cluster_id remapping flips this internal-consistency bit
+    // on real rows (it compares cluster_id against the decoded member ids
+    // in the same output frame).
     "q_dedup_invariants" -> ((s, dir) => {
       // run() returns an eagerly checkpointed frame, so the joins below
       // read materialized rows, not the full DAG
       val c = DedupPipeline.run(s, t(s, dir, "documents"), "doc_id", "text", DedupConfig())
       val perCluster = c.groupBy("cluster_id").agg(
-        (sum(col("is_representative").cast("long")) === 1).as("one_rep_in_cluster"))
+        (sum(col("is_representative").cast("long")) === 1).as("one_rep_in_cluster"),
+        (min(col("id")) === first(col("cluster_id"))).as("cluster_id_is_min"))
       val hashes = t(s, dir, "documents")
         .select(col("doc_id").as("id"), FP.contentHash(col("text")).as("ch"))
       val perHash = c.join(hashes, "id").groupBy("ch")
@@ -349,7 +353,7 @@ object SparkEntry {
       c.join(perCluster, "cluster_id")
         .join(hashes, "id").join(perHash, "ch")
         .select(col("id"), col("one_rep_in_cluster"),
-          col("exact_group_coherent"))
+          col("exact_group_coherent"), col("cluster_id_is_min"))
     }),
 
     // the distributed union-find ORACLED END-TO-END on real data: the edge
@@ -760,7 +764,7 @@ object SparkEntry {
     // doc_id DuckDB enumerates.
     "q_dedup_invariants" ->
       """SELECT doc_id AS id, true AS one_rep_in_cluster,
-        |       true AS exact_group_coherent
+        |       true AS exact_group_coherent, true AS cluster_id_is_min
         |FROM documents""".stripMargin,
 
     "q_union_find" ->

@@ -105,7 +105,11 @@ object PngPixels {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) { inf.end(); return null } // truncated
+        // Output space is guaranteed by the loop condition, so n == 0 can only
+        // mean needsInput (truncated stream) or needsDictionary (FDICT preset
+        // dictionary, which PNG forbids and we cannot supply) — both are
+        // undecodable; looping again would spin forever on the FDICT case.
+        if (n == 0) { inf.end(); return null }
         got += n
       }
       inf.end()

@@ -74,6 +74,18 @@ object ExternalPipe {
 
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+
+        // The happy path (iterator drained to EOF) reaps the process above;
+        // every OTHER way a task ends — downstream failure, limit/take/show
+        // consuming only a prefix, task kill — must not leak the process or
+        // leave the writer thread parked on a full queue for the executor's
+        // lifetime. The completion listener fires on all of them.
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          proc.destroyForcibly()
+          writer.interrupt() // unblock a pending.put() that no one will poll
+          try reader.close() catch { case _: java.io.IOException => () }
+        }
         new Iterator[Row] {
           private var nextLine: String = null
           private var done = false

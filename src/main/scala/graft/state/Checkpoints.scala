@@ -262,6 +262,13 @@ object Checkpoints {
     // text — clusters is eagerly checkpointed, so this join reads
     // materialized rows, and the texts side is the already-built normTexts
     // projection (capped at saMaxChars upstream)
+    if (cfg0.previewChars == 0) {
+      // previews are per-epoch: a table left by a prior opt-in run would
+      // reference cluster_ids from an older epoch while clusters/ is fresh —
+      // remove it rather than serve a stale-but-current-looking surface
+      val (fs, pv) = fsFor(spark, previewsPath(stateDir))
+      if (fs.exists(pv)) fs.delete(pv, true)
+    }
     if (cfg0.previewChars > 0)
       clusters.filter(col("is_representative"))
         .select(col("cluster_id"), col("id"))

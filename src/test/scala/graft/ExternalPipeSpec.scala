@@ -43,6 +43,28 @@ class ExternalPipeSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("external pipe")))
   }
 
+  test("partial consumption (limit) reaps the filter process at task end") {
+    // a limit() consumes only a prefix of the partition iterator, so EOF
+    // cleanup never runs — the task-completion listener must reap the
+    // process (and unpark the writer) or every show/take leaks a sidecar
+    val marker = s"graft-pipe-leak-${System.nanoTime()}"
+    def markerProcs(): Seq[ProcessHandle] = {
+      import scala.jdk.CollectionConverters._
+      ProcessHandle.current().descendants().iterator().asScala
+        .filter(_.info().commandLine().map[Boolean](_.contains(marker)).orElse(false))
+        .toSeq
+    }
+    val df = (1 to 20000).map(i => (i.toLong, s"row $i")).toDF("id", "text").coalesce(1)
+    val piped = ExternalPipe.pipePartitions(df, "text", "out",
+      Seq("sh", "-c", s": $marker; exec cat"), queueCapacity = 16)
+    assert(piped.limit(5).collect().length == 5)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (markerProcs().exists(_.isAlive) && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(!markerProcs().exists(_.isAlive),
+      "filter process still alive after partially-consumed task completed")
+  }
+
   test("backpressure: partitions larger than the pending queue still stream") {
     // stdbuf -oL: the queue retains only 64 in-flight rows, so the filter
     // must be line-buffered (a block-buffered tr would wedge at this

@@ -176,6 +176,16 @@ class TextAndMultimodalSpec extends SparkTestBase {
     val bombIhdr = good.clone()
     bombIhdr(16) = 0x7F.toByte // width = huge
     assert(PngPixels.ahash(bombIhdr) == null)
+    // hostile FDICT stream: zlib header 0x78 0x20 (checksum-valid, FDICT bit
+    // set) makes Inflater return 0 with needsDictionary() — PNG forbids
+    // preset dictionaries, and an undecodable stream must return null in
+    // bounded time, not spin the task at 100% CPU
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.time.SpanSugar._
+    val fdict = good.clone()
+    fdict(idatData) = 0x78.toByte
+    fdict(idatData + 1) = 0x20.toByte
+    failAfter(10.seconds) { assert(PngPixels.ahash(fdict) == null) }
   }
 
   test("GifAHash goldens: real LZW decode matches the pinned kernel") {
