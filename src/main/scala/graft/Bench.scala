@@ -18,7 +18,26 @@ import graft.pipeline.{DedupConfig, DedupPipeline}
   */
 object Bench {
 
-  def sessionFor(cpus: String): SparkSession = {
+  /** Master specs the bench understands: `local[N]` (one JVM, N threads —
+    * the fat-executor shape) and `local-cluster[n,c,m]` (n REAL executor
+    * JVMs × c cores × m MB each — the multi-small-executor shape the
+    * round-4 heap diagnosis prescribes for production). Total cores drive
+    * shuffle width in both.
+    */
+  def coresOf(master: String): Int = {
+    val lc = """local-cluster\[(\d+),(\d+),(\d+)\]""".r
+    val l = """local\[(\d+)\]""".r
+    master match {
+      case lc(n, c, _) => n.toInt * c.toInt
+      case l(c)        => c.toInt
+      case other => throw new IllegalArgumentException(s"unsupported master: $other")
+    }
+  }
+
+  def sessionFor(cpus: String): SparkSession = sessionForMaster(s"local[$cpus]")
+
+  def sessionForMaster(master: String): SparkSession = {
+    val cores = coresOf(master)
     // AQE default ON (runtime skew-join splitting + partition coalescing —
     // the 100 TB posture). SPARK_GRAFT_AQE=false measures the trade: AQE
     // materializes every exchange as its own job (~91 jobs/run vs ~15), a
@@ -28,9 +47,9 @@ object Bench {
     // overrides for the partitions-per-core dial (a straggler in a
     // 1-task-per-core stage idles every other core until the stage barrier —
     // finer partitions trade scheduling overhead for occupancy)
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString)
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", aqe)
       // split parquet scans fine enough that the heaviest MAP stage
@@ -42,7 +61,28 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster: executors are SEPARATE JVMs launched by an in-process
+    // worker (needs SPARK_HOME); each gets its own G1 over its own capped
+    // heap — the dense regime by construction (BASELINE.md round-4
+    // diagnosis). The app classes reach them via spark.jars.
+    val withExec =
+      if (master.startsWith("local-cluster")) {
+        val jar = sys.env.get("SPARK_GRAFT_JAR").orElse {
+          val dir = new java.io.File("target/scala-2.13")
+          Option(dir.listFiles()).flatMap(
+            _.find(f => f.getName.endsWith(".jar") && !f.getName.contains("sources")))
+            .map(_.getAbsolutePath)
+        }.getOrElse(throw new IllegalStateException(
+          "local-cluster needs the app jar: run `sbt package` or set SPARK_GRAFT_JAR"))
+        // executor heap = the worker's full memory grant from the master
+        // spec (standalone workers refuse executors larger than their grant)
+        val workerMb = """local-cluster\[\d+,\d+,(\d+)\]""".r
+          .findFirstMatchIn(master).get.group(1)
+        b.config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", s"${workerMb}m"))
+          .config("spark.jars", jar)
+      } else b
+    val s = withExec.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -455,9 +455,12 @@ object SparkEntry {
 
     // ── multimodal plumbing (binary columns; decode stubbed) ────────────
 
-    // REAL image decode: synthesize a valid PNG signature + IHDR per doc
+    // REAL image decode: synthesize a valid container header per doc
     // (dimensions derived from doc_id), parse it back with the pure-JVM
     // header decoder; DuckDB recomputes the expected dimensions directly.
+    // Even doc_ids get a PNG (signature + IHDR); odd doc_ids get a
+    // big-endian TIFF (header + IFD0 with LONG tags 256/257) — the same
+    // dimensions, byte-built in SQL, so the IFD walk is oracled per row.
     "q_multimodal_meta" -> ((s, dir) => {
       val pngPrefix = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
         0, 0, 0, 13, 'I', 'H', 'D', 'R')
@@ -465,7 +468,14 @@ object SparkEntry {
       def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
       val w = (col("doc_id") % 640 + 16).cast("int")
       val h = ((col("doc_id") * 7) % 480 + 16).cast("int")
-      val blob = concat(lit(pngPrefix), be32(w), be32(h), lit(pngTail))
+      val pngBlob = concat(lit(pngPrefix), be32(w), be32(h), lit(pngTail))
+      // MM TIFF, IFD at 8: count=2, [256 LONG 1 w] [257 LONG 1 h], next=0
+      val tiffPrefix = Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8, 0, 2,
+        1, 0, 0, 4, 0, 0, 0, 1)
+      val tiffMid = Array[Byte](1, 1, 0, 4, 0, 0, 0, 1)
+      val tiffBlob = concat(lit(tiffPrefix), be32(w), lit(tiffMid), be32(h),
+        lit(Array[Byte](0, 0, 0, 0)))
+      val blob = when(col("doc_id") % 2 === 0, pngBlob).otherwise(tiffBlob)
       Multimodal.withMeta(
           t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
           "doc_id", "blob")
@@ -522,6 +532,23 @@ object SparkEntry {
       val blob = when(col("doc_id") % 3 === 0, lit(JpegSynth.OraclePatterns(0)))
         .when(col("doc_id") % 3 === 1, lit(JpegSynth.OraclePatterns(1)))
         .otherwise(lit(JpegSynth.OraclePatterns(2)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"),
+          Multimodal.imageAHash(col("blob")).as("ahash"),
+          Multimodal.imageMeta(col("blob")).getField("format").as("format"))
+    }),
+
+    // REAL TIFF pixel decode (pure-JVM IFD walk + uncompressed strip read
+    // → the same pinned kernel), same analytic oracle scheme; the three
+    // patterns rotate through little-endian RGB, big-endian RGB, and
+    // grayscale encodings so both byte orders and both photometric modes
+    // are on the oracle path (reference formats/tiff.rs:9-24).
+    "q_tiff_ahash" -> ((s, dir) => {
+      import graft.multimodal.TiffSynth
+      val blob = when(col("doc_id") % 3 === 0, lit(TiffSynth.OraclePatterns(0)))
+        .when(col("doc_id") % 3 === 1, lit(TiffSynth.OraclePatterns(1)))
+        .otherwise(lit(TiffSynth.OraclePatterns(2)))
       t(s, dir, "documents")
         .select(col("doc_id"), blob.as("blob"))
         .select(col("doc_id"),
@@ -845,8 +872,8 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
-        |       CAST(29 AS BIGINT) AS byte_len,
-        |       'png' AS format,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 38 END AS BIGINT) AS byte_len,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'tiff' END AS format,
         |       CAST(doc_id % 640 + 16 AS BIGINT) AS width,
         |       CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS height
         |FROM documents""".stripMargin,
@@ -888,6 +915,15 @@ object SparkEntry {
         |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
         |         ELSE CAST(0 AS BIGINT) END AS ahash,
         |       'gif' AS format
+        |FROM documents""".stripMargin,
+
+    "q_tiff_ahash" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN CAST(1085102592571150095 AS BIGINT)
+        |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ahash,
+        |       'tiff' AS format
         |FROM documents""".stripMargin,
 
     "q_jpeg_ahash" ->

@@ -26,6 +26,7 @@ object ImageHeader {
       else if (isGif(b)) parseGif(b)
       else if (isJpeg(b)) parseJpeg(b)
       else if (isBmp(b)) parseBmp(b)
+      else if (TiffPixels.isTiff(b)) parseTiff(b)
       else null
     } catch { case _: Exception => null }
   }
@@ -106,6 +107,15 @@ object ImageHeader {
   private def parseBmp(b: Array[Byte]): Meta = {
     val w = le32(b, 18); val h = math.abs(le32(b, 22))
     if (w <= 0 || h <= 0) null else Meta("bmp", w, h)
+  }
+
+  /** TIFF: IFD0 walk for tags 256/257 (either byte order) — valid for any
+    * compression scheme, since dimensions never touch pixel data
+    * (reference formats/tiff.rs:9-24).
+    */
+  private def parseTiff(b: Array[Byte]): Meta = {
+    val dims = TiffPixels.dimensions(b)
+    if (dims == null) null else Meta("tiff", dims._1, dims._2)
   }
 }
 

@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * Image DIMENSION decode is REAL: [[ImageHeader]] parses PNG/GIF/JPEG/BMP
-  * container headers in pure JVM bytes (dimensions never need a codec).
-  * Image PIXEL decode is REAL for BMP/PNG/GIF/JPEG ([[BmpAHash]],
-  * [[PngPixels]], [[GifPixels]] hand-rolled; [[JpegPixels]] via the JDK's
-  * own ImageIO plugin → [[PixelAHash]]); only video frame EXTRACTION
+  * Image DIMENSION decode is REAL: [[ImageHeader]] parses PNG/GIF/JPEG/BMP/
+  * TIFF container headers in pure JVM bytes (dimensions never need a codec).
+  * Image PIXEL decode is REAL for BMP/PNG/GIF/JPEG/TIFF ([[BmpAHash]],
+  * [[PngPixels]], [[GifPixels]], [[TiffPixels]] hand-rolled; [[JpegPixels]]
+  * via the JDK's own ImageIO plugin → [[PixelAHash]]); only video frame EXTRACTION
   * remains stubbed: `fakeDecodeMeta` derives
   * deterministic stand-in metadata from the byte stream, clearly marked,
   * and the frame-sampling plan runs on it. Everything around the stub — schema,
@@ -42,13 +42,14 @@ object Multimodal {
 
   /** Magic-byte content sniffing as pure column expressions — the real
     * thing, not a stub (reference `is_heic_format` / fixsuffix magics).
-    * Output: "png" | "jpeg" | "gif" | "riff" | "html" | "bin".
+    * Output: "png" | "jpeg" | "gif" | "tiff" | "riff" | "html" | "bin".
     */
   def sniffFormat(blob: Column): Column = {
     val head = hex(substring(blob, 1, 4))
     when(head.startsWith("89504E47"), "png")
       .when(head.startsWith("FFD8FF"), "jpeg")
       .when(head.startsWith("47494638"), "gif")
+      .when(head === "49492A00" || head === "4D4D002A", "tiff")
       .when(head.startsWith("52494646"), "riff")
       .when(head.startsWith("3C68746D") || head.startsWith("3C48544D") ||
         head.startsWith("3C21444F"), "html")

@@ -354,6 +354,7 @@ object PixelAHash {
     else if (PngPixels.isPng(b)) PngPixels.ahash(b)
     else if (GifPixels.isGif(b)) GifPixels.ahash(b)
     else if (JpegPixels.isJpeg(b)) JpegPixels.ahash(b)
+    else if (TiffPixels.isTiff(b)) TiffPixels.ahash(b)
     else null
   }
 }

@@ -188,6 +188,60 @@ class TextAndMultimodalSpec extends SparkTestBase {
     failAfter(10.seconds) { assert(PngPixels.ahash(fdict) == null) }
   }
 
+  test("TiffAHash goldens: IFD walk + uncompressed strip decode matches the pinned kernel") {
+    import graft.multimodal.{BmpSynth, TiffPixels, TiffSynth}
+    // analytic patterns (LE RGB / BE RGB / gray) are pixel-identical to the
+    // BMP goldens → identical closed-form hashes
+    TiffSynth.OraclePatterns.zip(BmpSynth.OracleHashes).foreach { case (b, h) =>
+      assert(TiffPixels.ahash(b) == h)
+    }
+    val leftRight: (Int, Int) => Int = (x, _) => if (x < 4) 0x000000 else 0xFFFFFF
+    // kernel is container-invariant across byte order, photometric mode,
+    // and strip organization
+    assert(TiffPixels.ahash(TiffSynth.tiff(8, 8, littleEndian = false)(leftRight)) ==
+      0x0F0F0F0F0F0F0F0FL)
+    assert(TiffPixels.ahash(TiffSynth.tiff(8, 8, gray = true)(leftRight)) ==
+      0x0F0F0F0F0F0F0F0FL)
+    assert(TiffPixels.ahash(TiffSynth.tiff(8, 8, rowsPerStrip = 3)(leftRight)) ==
+      0x0F0F0F0F0F0F0F0FL) // 3 strips of 3/3/2 rows
+    val big = TiffSynth.tiff(100, 60, rowsPerStrip = 7)((x, _) =>
+      if (x < 50) 0x101010 else 0xF0F0F0)
+    assert(TiffPixels.ahash(big) == 0x0F0F0F0F0F0F0F0FL)
+    // photometric 0 (WhiteIsZero) inverts samples: flip the tag on a gray
+    // encoding and the decode must equal the color-swapped image
+    def valueAt(b: Array[Byte], w: Int, h: Int, spp: Int, entryIdx: Int): Int =
+      8 + w * h * spp + 2 + 12 * entryIdx + 8
+    val gray = TiffSynth.tiff(8, 8, gray = true)(leftRight)
+    val inverted = gray.clone()
+    inverted(valueAt(inverted, 8, 8, 1, 4)) = 0 // tag 262 LE SHORT: 1 -> 0
+    val swapped = TiffSynth.tiff(8, 8, gray = true)((x, _) =>
+      if (x < 4) 0xFFFFFF else 0x000000)
+    assert(TiffPixels.ahash(inverted) == TiffPixels.ahash(swapped))
+    // header decode (any compression) vs pixel decode (uncompressed only):
+    // flipping tag 259 to LZW keeps dimensions but nulls the hash
+    import graft.multimodal.ImageHeader
+    val lzw = TiffSynth.OraclePatterns(0).clone()
+    lzw(valueAt(lzw, 8, 8, 3, 3)) = 5 // tag 259 LE SHORT: 1 -> 5
+    assert(ImageHeader.parse(lzw) == ImageHeader.Meta("tiff", 8, 8))
+    assert(TiffPixels.ahash(lzw) == null)
+    // corrupt-input contract: null, never throw
+    val good = TiffSynth.OraclePatterns(0)
+    assert(TiffPixels.ahash(null) == null)
+    assert(TiffPixels.ahash(good.take(6)) == null)           // truncated header
+    assert(TiffPixels.ahash(good.dropRight(10)) == null)     // truncated IFD tail
+    // 16-bit samples refused (gray encoding: tag 258 is inline, count 1)
+    val deep = gray.clone(); deep(valueAt(deep, 8, 8, 1, 2)) = 16
+    assert(TiffPixels.ahash(deep) == null)
+    val bomb = TiffSynth.tiff(8, 8)(leftRight).clone()
+    bomb(valueAt(bomb, 8, 8, 3, 0)) = 0xFF.toByte // width LONG LE low byte
+    bomb(valueAt(bomb, 8, 8, 3, 0) + 2) = 0x7F.toByte // width ≈ 2^23: over cap
+    assert(TiffPixels.ahash(bomb) == null)
+    assert(TiffPixels.ahash("II* but not really a tiff file".getBytes) == null)
+    // big-endian goldens decode identically through ImageHeader too
+    assert(ImageHeader.parse(TiffSynth.OraclePatterns(1)) ==
+      ImageHeader.Meta("tiff", 8, 8))
+  }
+
   test("GifAHash goldens: real LZW decode matches the pinned kernel") {
     import graft.multimodal.{BmpSynth, GifPixels, GifSynth}
     GifSynth.OraclePatterns.zip(BmpSynth.OracleHashes).foreach { case (b, h) =>
