@@ -27,20 +27,23 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** PER-VECTOR invariant frame for an ANN operator: one row per input
-    * vec_id carrying that vector's rank/count/cosine sanity booleans, plus
-    * the global recall@k bound vs the exact brute-force baseline. The
-    * DuckDB oracle independently enumerates the vec_id set and pins every
-    * boolean TRUE. Scope, precisely: an out-of-range rank, a >k neighbor
-    * count, or an unbounded cosine flips a REAL oracle row for that
-    * vector; a query vector the ANN operator DROPPED entirely does NOT
-    * flip its row (the left join coalesces absent-output to trivially
-    * valid — no per-vector output floor is analytically guaranteed, since
-    * a vector can legitimately be alone in its probe buckets). Drops are
-    * caught only in aggregate, by the recall@k bound vs brute force —
-    * the one Spark-computed value, which would need the ANN output inside
-    * DuckDB to pin row-wise.
+    * vec_id carrying that vector's rank/count/cosine booleans, plus the
+    * global recall@k bound vs the exact brute-force baseline. The DuckDB
+    * oracle independently enumerates the vec_id set and pins every boolean
+    * TRUE. The booleans are CROSS-IMPLEMENTATION checks: every reported
+    * (cos, rank) is recomputed from the raw vectors with plain SQL
+    * building blocks only — posexplode → quantized integer dot product →
+    * window re-rank — none of Ann.scala's column helpers participate, so a
+    * perturbed cosine, a mis-assigned rank, a duplicated output row, or a
+    * phantom neighbor id flips a REAL oracle row for that vector (proved
+    * by fault injection in AnnSpec). Scope limit, precisely: a query
+    * vector whose output the operator DROPPED entirely does not flip its
+    * own row (the left join coalesces absent-output to trivially valid —
+    * no per-vector output floor is analytically guaranteed, since a vector
+    * can legitimately be alone in its probe buckets); mass drops are
+    * caught by the recall@k bound, which flips EVERY row when breached.
     */
-  private def annInvariants(s: SparkSession, vecs: DataFrame,
+  private[graft] def annInvariants(s: SparkSession, vecs: DataFrame,
                             op: DataFrame => DataFrame,
                             recallBound: Double, recallCol: String): DataFrame = {
     // materialize both operator outputs ONCE instead of re-running the ANN
@@ -50,10 +53,39 @@ object SparkEntry {
       .localCheckpoint()
     val recall = knn.select("id", "nbr_id").intersect(bf.select("id", "nbr_id"))
       .count().toDouble / bf.count()
-    val perVec = knn.groupBy("id").agg(
-      (min(col("rank")) >= 1 && max(col("rank")) <= 3).as("ranks_valid"),
+
+    // independent recheck path: same quantization contract as the oracle
+    // (round(x*1000) integer dots, cos rounded to 6 decimals — exact and
+    // order-independent, so agreement is equality, not tolerance-fudging)
+    val q = vecs.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "idx", "v")
+      .select(col("vec_id"), col("idx"),
+        round(col("v").cast("double") * 1000).cast("long").as("qv"))
+    val norms = q.groupBy("vec_id")
+      .agg(sqrt(sum(col("qv") * col("qv")).cast("double")).as("nrm"))
+    val dots = knn
+      .join(q.select(col("vec_id").as("id"), col("idx"), col("qv").as("qa")), Seq("id"))
+      .join(q.select(col("vec_id").as("nbr_id"), col("idx"), col("qv").as("qb")),
+        Seq("nbr_id", "idx"))
+      .groupBy("id", "nbr_id", "cos", "rank")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val indep = dots
+      .join(norms.select(col("vec_id").as("id"), col("nrm").as("na")), "id")
+      .join(norms.select(col("vec_id").as("nbr_id"), col("nrm").as("nb")), "nbr_id")
+      .withColumn("cos_indep",
+        round(when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(col("dot").cast("double") / (col("na") * col("nb"))), 6))
+      .withColumn("rank_indep", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos_indep").desc, col("nbr_id").asc)))
+    // a phantom nbr_id (no matching raw vector) loses its rows in the
+    // joins above, leaving a hole in the surviving rank sequence that the
+    // re-rank then exposes as a mismatch
+    val perVec = indep.groupBy("id").agg(
+      (sum(when(col("rank") === col("rank_indep"), 0).otherwise(1)) === 0 &&
+        min(col("rank")) >= 1 && max(col("rank")) <= 3).as("ranks_valid"),
       (count(lit(1)) <= 3).as("per_id_le_k"),
-      (max(abs(col("cos"))) <= 1.000001).as("cos_bounded"))
+      (max(abs(col("cos") - col("cos_indep"))) < lit(1e-9) &&
+        max(abs(col("cos"))) <= 1.000001).as("cos_bounded"))
     vecs.select(col("vec_id").as("id"))
       .join(perVec, Seq("id"), "left") // vectors with no neighbors: trivially valid
       .select(col("id"),

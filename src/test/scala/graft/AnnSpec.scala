@@ -21,6 +21,46 @@ class AnnSpec extends SparkTestBase {
     rows.toDF("vec_id", "embedding").cache()
   }
 
+  test("annInvariants is a cross-implementation check: injected faults flip real rows") {
+    // the per-vector booleans must come from the independent SQL recheck,
+    // not from trusting the operator's own columns — prove it by tampering
+    // with a correct ANN output in four distinct ways and asserting the
+    // corresponding boolean flips on the affected vector's row
+    def invariants(tamper: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      SparkEntry.annInvariants(spark, vecs,
+        e => tamper(Ann.lshKnn(e, "vec_id", "embedding", k = 3, nPlanes = 48, bands = 16)),
+        recallBound = 0.5, recallCol = "recall_ok").cache()
+
+    val clean = invariants(identity)
+    assert(clean.filter(!col("ranks_valid") || !col("per_id_le_k") ||
+      !col("cos_bounded") || !col("recall_ok")).count() == 0)
+
+    // (1) perturbed cosine: reported cos disagrees with the recompute
+    val badCos = invariants(df => df.withColumn("cos",
+      when(col("id") === 0L && col("rank") === 1, col("cos") * 0.5 - 0.1)
+        .otherwise(col("cos"))))
+    assert(badCos.filter(col("id") === 0L && !col("cos_bounded")).count() == 1)
+    assert(badCos.filter(col("id") =!= 0L && !col("cos_bounded")).count() == 0)
+
+    // (2) swapped ranks: the window re-rank disagrees
+    val badRank = invariants(df => df.withColumn("rank",
+      when(col("id") === 1L, lit(4) - col("rank")).otherwise(col("rank")))) // reverse 1..3
+    assert(badRank.filter(col("id") === 1L && !col("ranks_valid")).count() == 1)
+
+    // (3) duplicated output row: neighbor count exceeds k (and the doubled
+    // dot sum breaks the cosine recompute)
+    val dup = invariants(df => df.union(df.filter(col("id") === 2L)))
+    assert(dup.filter(col("id") === 2L &&
+      (!col("per_id_le_k") || !col("cos_bounded"))).count() == 1)
+
+    // (4) phantom neighbor id: its rows vanish in the raw-vector join and
+    // the surviving rank sequence has a hole
+    val phantom = invariants(df => df.withColumn("nbr_id",
+      when(col("id") === 3L && col("rank") === 2, lit(999999L))
+        .otherwise(col("nbr_id"))))
+    assert(phantom.filter(col("id") === 3L && !col("ranks_valid")).count() == 1)
+  }
+
   test("brute-force knn: neighbors come from the same cluster") {
     val knn = Ann.bruteForceKnn(vecs, vecs, "vec_id", "embedding", k = 3)
     assert(knn.count() == 60 * 3)
