@@ -107,9 +107,10 @@ object Clustering {
 
   /** Distributed union-find: alternating large-star/small-star contraction
     * (Kiveris et al. 2014) over an edge list, iterated to fixpoint with one
-    * eager checkpoint per round that both cuts lineage (north_rule;
-    * SURVEY.md §4 custom-work item 3) and carries the fixpoint stats as
-    * observe metrics. Converges in O(log n) rounds on ANY
+    * eager checkpoint per TWO contraction rounds that both cuts lineage
+    * (north_rule; SURVEY.md §4 custom-work item 3) and carries the fixpoint
+    * stats as observe metrics — halving the blocking driver actions on deep
+    * topologies. Converges in O(log n) rounds on ANY
     * topology — including the chain-shaped components (successive
     * truncations/edits) that defeat O(diameter) label propagation — because
     * each round at least halves the height of every non-star component.
@@ -162,25 +163,41 @@ object Clustering {
           least(col("src"), col("dst")).as("v"))
         .distinct(),
       "uf_round_0")
-    var e = mat(e0)
-    var stats = statsOf(obs0)
+    // round-0 is NOT materialized on its own: the first round-pair's
+    // checkpoint job computes through it (one distinct + 4 star joins in a
+    // single adaptive execution), its CollectMetrics node rides that same
+    // job, and any lazy upstream checkpoints (enc, the verify edge set)
+    // materialize with it — one blocking action fewer per run
+    var e = e0
+    var stats: (Long, Long) = null // round-0 stats resolve after that job
 
+    // TWO contraction rounds ride each materialization: a blocking driver
+    // action per round was the remaining per-iteration floor cost, and both
+    // large-star/small-star pairs fuse into one job DAG (4 joins between
+    // checkpoints instead of 2 — still bounded lineage). At fixpoint the
+    // extra pair is idempotent, so the final star forest is byte-identical
+    // to the one-round-per-action schedule (chain/tree/clique fixtures and
+    // the recursive-CTE oracle gate this); convergence detection is
+    // unchanged — stats equal across consecutive materializations — at
+    // worst one extra (cheap, already-converged) materialization.
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      val (nextDf, obs) = observeStats(smallStar(largeStar(e)), s"uf_round_${iter + 1}")
+      val (nextDf, obs) = observeStats(
+        smallStar(largeStar(smallStar(largeStar(e)))), s"uf_round_${iter + 1}")
       val next = mat(nextDf)
+      if (stats == null) stats = statsOf(obs0) // completed with the job above
       val nextStats = statsOf(obs)
       converged = nextStats == stats
       stats = nextStats
       e = next
       iter += 1
       System.err.println(
-        f"[union-find] round $iter edges=${stats._1} " +
+        f"[union-find] round-pair $iter edges=${stats._1} " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
     }
-    require(converged, s"union-find did not converge within $maxIters rounds")
+    require(converged, s"union-find did not converge within $maxIters round-pairs")
 
     // fixpoint edge set is a star forest (child u → component-min root v):
     // read the labels straight off it — every non-root appears exactly once
