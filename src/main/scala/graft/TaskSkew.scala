@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
 final class TaskSkewListener extends SparkListener {
   val maxShuffleReadRecords = new AtomicLong(0)
   val maxTaskMillis = new AtomicLong(0)
+  // totals for run-to-run attribution (the r4 heap lesson: wall-time spread
+  // with FLAT task CPU is scheduling/co-tenancy; spread with INFLATED task
+  // CPU is the memory-stall regime)
+  val totalTaskCpuNs = new AtomicLong(0)
+  val totalGcMs = new AtomicLong(0)
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -20,6 +25,8 @@ final class TaskSkewListener extends SparkListener {
       maxShuffleReadRecords.getAndAccumulate(
         m.shuffleReadMetrics.recordsRead, math.max)
       maxTaskMillis.getAndAccumulate(m.executorRunTime, math.max)
+      totalTaskCpuNs.addAndGet(m.executorCpuTime)
+      totalGcMs.addAndGet(m.jvmGCTime)
     }
   }
 }
