@@ -176,6 +176,58 @@ object StreamOps {
       .select("band", "band_hash", "id", "simhash", "ts").as[BandedSig]
   }
 
+  /** Containment-candidate channel for the stream — the batch PREFIX-BAND
+    * discovery channel (`DedupPipeline.nearEdges`' asymmetric channel,
+    * P = 1 for prefix truncations at any Jaccard), stream-shaped: one
+    * band row per doc whose bucket hash covers its first
+    * `cfg.prefixBandShingles` shingle hashes. Pure projection — stream-
+    * safe. Band id 1000 keeps these buckets disjoint from the SimHash
+    * pigeonhole bands even if both streams are unioned into one state
+    * operator.
+    *
+    * Feed the result to [[streamingNearDupPairs]] with `maxHamming = 64`
+    * (containment pairs are EXEMPT from the SimHash gate — a small quote
+    * inside a large doc has low global similarity by construction, exactly
+    * like the batch exemption) and a TIGHT `maxBucket` (the batch
+    * containment cap posture: a prefix shared by b docs pairs b²/2 rows —
+    * past the cap it is boilerplate). The emitted pairs are CANDIDATES:
+    * the cadence batch pass (README "streaming + batch cadence") confirms
+    * or rejects them by exact Jaccard/suffix-array from persisted
+    * signatures, never re-fingerprinting — this channel only moves their
+    * DISCOVERY from batch cadence to stream latency.
+    */
+  def bandedPrefix(pages: DataFrame, idCol: String, textCol: String,
+                   tsCol: String, watermark: String = "1 hour",
+                   cfg: graft.pipeline.DedupConfig = graft.pipeline.DedupConfig())
+      : Dataset[BandedSig] = {
+    import pages.sparkSession.implicits._
+    val wm = if (pages.isStreaming) pages.withWatermark(tsCol, watermark) else pages
+    wm.select(col(idCol).cast("string").as("id"),
+        graft.fingerprint.Fingerprints.docSignature(col(textCol),
+          cfg.shingleK, cfg.numPerms, cfg.maxShingles).as("ds"),
+        col(tsCol).as("ts"))
+      .select(lit(1000).as("band"),
+        graft.lsh.LSH.prefixBandHash(col("ds.shingles"), cfg.prefixBandShingles)
+          .as("band_hash"),
+        col("id"), col("ds.simhash").as("simhash"), col("ts"))
+      .as[BandedSig]
+  }
+
+  /** Streaming containment candidates end-to-end: prefix-band bucketing →
+    * the same capped, event-time-TTL'd bucket state as the near-dup path,
+    * with the SimHash gate disabled (see [[bandedPrefix]]).
+    */
+  def streamingContainmentCandidates(pages: DataFrame, idCol: String,
+                                     textCol: String, tsCol: String,
+                                     watermark: String = "1 hour",
+                                     maxBucket: Int = 32,
+                                     stateTtlMs: Long = 60L * 60 * 1000,
+                                     cfg: graft.pipeline.DedupConfig =
+                                       graft.pipeline.DedupConfig()): Dataset[StreamPair] =
+    streamingNearDupPairs(
+      bandedPrefix(pages, idCol, textCol, tsCol, watermark, cfg),
+      maxHamming = 64, maxBucket = maxBucket, stateTtlMs = stateTtlMs)
+
   /** Streaming NEAR-dup detection: incremental fast-path LSH via
     * `flatMapGroupsWithState` keyed by (band, band_hash). Per-bucket state
     * holds the (id, simhash) members seen so far (hard-capped, mirroring

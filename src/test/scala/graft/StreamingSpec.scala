@@ -129,6 +129,40 @@ class StreamingSpec extends SparkTestBase {
       s"redelivery re-emitted pairs: $abEmissions rows for (a,b)")
   }
 
+  test("streaming containment candidates: prefix truncation discovered in-stream") {
+    // the batch prefix-band channel, stream-shaped: a 30%-truncation shares
+    // the original's leading shingles verbatim, so the pair surfaces as a
+    // containment CANDIDATE at stream latency (to be confirmed by the
+    // cadence batch verify) even though its SimHash distance would fail the
+    // near-dup gate — while unrelated docs never pair
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = new Timestamp(1700000000000L)
+    val stream = MemoryStream[(String, String, Timestamp)]
+    val q = StreamOps.streamingContainmentCandidates(
+        stream.toDF().toDF("url", "text", "ts"), "url", "text", "ts")
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("containment_out").start()
+    val words = (1 to 200).map(i => s"tok$i word$i item$i").mkString(" ")
+    val truncated = words.split(" ").take(180).mkString(" ") // ~30% gone
+    stream.addData(("orig", words, t0),
+      ("other", (500 to 700).map(i => s"zz$i qq$i yy$i").mkString(" "), t0))
+    q.processAllAvailable()
+    stream.addData(("trunc", truncated, t0)) // arrives a micro-batch later
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("containment_out")
+      .select("id_a", "id_b").distinct().as[(String, String)].collect().toSet
+    assert(pairs.contains(("orig", "trunc")), s"truncation candidate missed: $pairs")
+    assert(!pairs.exists(p => p._1 == "other" || p._2 == "other"),
+      s"unrelated doc paired: $pairs")
+    // sanity: the pair is genuinely beyond the near-dup SimHash gate, i.e.
+    // this channel found something streamingNearDupPairs cannot
+    val h = spark.table("containment_out")
+      .filter($"id_a" === "orig" && $"id_b" === "trunc")
+      .select("hamming").as[Int].head()
+    info(s"containment candidate at simhash hamming $h")
+  }
+
   test("streaming near-dup state expires by watermark TTL; in-horizon twins still pair") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Timestamp)]
