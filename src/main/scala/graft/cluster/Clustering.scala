@@ -180,17 +180,27 @@ object Clustering {
     // the recursive-CTE oracle gate this); convergence detection is
     // unchanged — stats equal across consecutive materializations — at
     // worst one extra (cheap, already-converged) materialization.
+    // Convergence is detected at BOTH the mid-pair and end-pair positions:
+    // two CollectMetrics nodes ride the one materializing job, so the
+    // per-round granularity of the old schedule is kept (stats equal
+    // between ANY two consecutive rounds ⇒ fixpoint) at half the blocking
+    // actions — and no trailing confirm pair is ever paid, since a
+    // fixpoint reached at an odd round shows up as mid == end inside the
+    // same pair.
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      val (nextDf, obs) = observeStats(
-        smallStar(largeStar(smallStar(largeStar(e)))), s"uf_round_${iter + 1}")
+      val (midDf, midObs) = observeStats(
+        smallStar(largeStar(e)), s"uf_round_${2 * iter + 1}")
+      val (nextDf, endObs) = observeStats(
+        smallStar(largeStar(midDf)), s"uf_round_${2 * iter + 2}")
       val next = mat(nextDf)
       if (stats == null) stats = statsOf(obs0) // completed with the job above
-      val nextStats = statsOf(obs)
-      converged = nextStats == stats
-      stats = nextStats
+      val midStats = statsOf(midObs)
+      val endStats = statsOf(endObs)
+      converged = midStats == stats || endStats == midStats
+      stats = endStats
       e = next
       iter += 1
       System.err.println(
