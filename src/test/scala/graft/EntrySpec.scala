@@ -143,4 +143,13 @@ class EntrySpec extends SparkTestBase {
     assert(Main.parse(Seq("--state", "/s", "--diagnose")).toOption.exists(_.diagnose))
     assert(Main.parse(Seq("--diagnose")).isLeft)
   }
+
+  test("bench master-shape parsing: total cores drive shuffle width") {
+    assert(Bench.coresOf("local[8]") == 8)
+    assert(Bench.coresOf("local[32]") == 32)
+    assert(Bench.coresOf("local-cluster[4,8,8192]") == 32) // n executors × c cores
+    assert(Bench.coresOf("local-cluster[1,8,8192]") == 8)
+    intercept[IllegalArgumentException] { Bench.coresOf("yarn") }
+    intercept[IllegalArgumentException] { Bench.coresOf("local[*]") }
+  }
 }
