@@ -11,10 +11,11 @@ package graft.multimodal
   * chain of IFDs: count, then 12-byte entries (tag, type, count,
   * value-or-offset), everything in the declared byte order. Dimension
   * decode (tags 256/257) works for ANY compression — it never touches
-  * pixel data. Pixel decode supports the baseline uncompressed profile:
-  * Compression=1, 8 bits per sample, PhotometricInterpretation 0/1
-  * (grayscale, either polarity) or 2 (RGB), chunky planar config,
-  * strip-organized (tags 273/278/279).
+  * pixel data. Pixel decode supports the baseline profile: Compression 1
+  * (none), 8/32946 (zlib Deflate, via the JDK Inflater per strip), or
+  * 32773 (PackBits RLE); 8 bits per sample; PhotometricInterpretation 0/1
+  * (grayscale, either polarity) or 2 (RGB); chunky planar config;
+  * strip-organized (tags 273/278/279), each strip independently encoded.
   *
   * Corrupt-input contract mirrors the other decoders (S9): malformed,
   * truncated, unsupported, or bomb-sized bytes return null, never throw.
@@ -125,7 +126,7 @@ object TiffPixels {
   }
 
   /** Decode to (width, height, row-major luma); null when not a supported,
-    * well-formed uncompressed baseline TIFF.
+    * well-formed baseline TIFF (uncompressed, Deflate, or PackBits strips).
     */
   def decodeLuma(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     try {
@@ -133,7 +134,8 @@ object TiffPixels {
       if (ifd == null) return null
       val w = ifd.width; val h = ifd.height
       if (w.toLong * h > MaxPixels) return null
-      if (ifd.compression != 1) return null          // uncompressed only
+      // 1 = uncompressed, 8/32946 = zlib Deflate, 32773 = PackBits RLE
+      if (!Set(1, 8, 32946, 32773).contains(ifd.compression)) return null
       if (ifd.planar != 1) return null               // chunky only
       val spp = ifd.samplesPerPixel
       val gray = ifd.photometric == 0 || ifd.photometric == 1
@@ -144,7 +146,8 @@ object TiffPixels {
       if (ifd.stripOffsets == null) return null
       val counts = if (ifd.stripByteCounts != null) ifd.stripByteCounts
         // spec requires 279, but a single uncompressed strip is recoverable
-        else if (ifd.stripOffsets.length == 1) Array(w.toLong * h * spp)
+        else if (ifd.stripOffsets.length == 1 && ifd.compression == 1)
+          Array(w.toLong * h * spp)
         else return null
       if (counts.length != ifd.stripOffsets.length) return null
       val rps = if (ifd.rowsPerStrip <= 0) return null
@@ -160,19 +163,37 @@ object TiffPixels {
       while (s < nStrips) {
         val y0 = s * rps
         val rows = math.min(rps, h - y0).toInt
+        val need = rows * rowBytes
         val off = ifd.stripOffsets(s)
-        if (off < 0 || off + rows.toLong * rowBytes > b.length) return null
-        if (counts(s) < rows.toLong * rowBytes) return null
+        val cnt = counts(s)
+        if (off < 0 || cnt < 0 || off + cnt > b.length) return null
+        // per-strip source bytes: direct view for compression 1, otherwise
+        // decompressed into a strip-sized buffer (strips are independently
+        // compressed per the spec)
+        val (data, base) = ifd.compression match {
+          case 1 =>
+            if (cnt < need) return null
+            (b, off.toInt)
+          case 8 | 32946 =>
+            val out = inflateExact(b, off.toInt, cnt.toInt, need)
+            if (out == null) return null
+            (out, 0)
+          case 32773 =>
+            val out = unpackBits(b, off.toInt, cnt.toInt, need)
+            if (out == null) return null
+            (out, 0)
+        }
         var r = 0
         while (r < rows) {
           val y = (y0 + r).toInt
-          val src = (off + r.toLong * rowBytes).toInt
+          val src = base + r * rowBytes
           var x = 0
           while (x < w) {
             val p = src + x * spp
             val lum =
-              if (spp == 1) u8(b, p)
-              else (299 * u8(b, p) + 587 * u8(b, p + 1) + 114 * u8(b, p + 2)) / 1000
+              if (spp == 1) u8(data, p)
+              else (299 * u8(data, p) + 587 * u8(data, p + 1) +
+                114 * u8(data, p + 2)) / 1000
             luma(y * w + x) = (if (invert) 255 - lum else lum).toByte
             x += 1
           }
@@ -184,7 +205,55 @@ object TiffPixels {
     } catch { case _: Exception => null }
   }
 
-  /** null (boxed) when not a decodable uncompressed baseline TIFF. */
+  /** Inflate exactly `need` bytes from b[off, off+len); null on anything
+    * else — truncated stream, FDICT preset dictionary (zero-progress
+    * guard, same rationale as the PNG decoder), or a strip that decodes
+    * short.
+    */
+  private def inflateExact(b: Array[Byte], off: Int, len: Int,
+                           need: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b, off, len)
+    val out = new Array[Byte](need)
+    var got = 0
+    while (got < need && !inf.finished()) {
+      val n = inf.inflate(out, got, need - got)
+      if (n == 0) { inf.end(); return null } // no progress: undecodable
+      got += n
+    }
+    inf.end()
+    if (got < need) null else out
+  }
+
+  /** TIFF PackBits (the spec's RLE): control n in [0,127] copies n+1
+    * literals, n in [-127,-1] repeats the next byte 1-n times, -128 is a
+    * noop. Exactly `need` output bytes or null.
+    */
+  private def unpackBits(b: Array[Byte], off: Int, len: Int,
+                         need: Int): Array[Byte] = {
+    val out = new Array[Byte](need)
+    var i = off; val end = off + len
+    var o = 0
+    while (o < need && i < end) {
+      val n = b(i); i += 1
+      if (n >= 0) {
+        val run = n + 1
+        if (i + run > end || o + run > need) return null
+        System.arraycopy(b, i, out, o, run)
+        i += run; o += run
+      } else if (n != -128) {
+        val run = 1 - n
+        if (i >= end || o + run > need) return null
+        java.util.Arrays.fill(out, o, o + run, b(i))
+        i += 1; o += run
+      } // -128: noop
+    }
+    if (o < need) null else out
+  }
+
+  /** null (boxed) when not a decodable baseline TIFF (uncompressed,
+    * Deflate, or PackBits).
+    */
   def ahash(b: Array[Byte]): java.lang.Long = {
     val img = decodeLuma(b)
     if (img == null) null
@@ -198,20 +267,79 @@ object TiffPixels {
   */
 object TiffSynth {
 
+  /** Per-strip Deflate encode (TIFF compression 8). */
+  private def deflate(chunk: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(chunk); d.finish()
+    val buf = new Array[Byte](chunk.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Per-strip PackBits encode (TIFF compression 32773): repeat runs ≥ 3
+    * become repeats, everything else literal chunks of ≤ 128.
+    */
+  private def packBits(chunk: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < chunk.length) {
+      var run = 1
+      while (i + run < chunk.length && run < 128 && chunk(i + run) == chunk(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run); out.write(chunk(i)); i += run
+      } else {
+        var lit = i + run // extend literal until the next ≥3 repeat
+        while (lit < chunk.length && lit - i < 128 &&
+          !(lit + 2 < chunk.length && chunk(lit) == chunk(lit + 1) &&
+            chunk(lit) == chunk(lit + 2))) lit += 1
+        out.write(lit - i - 1); out.write(chunk, i, lit - i); i = lit
+      }
+    }
+    out.toByteArray
+  }
+
   /** `rgb(x, y)` returns 0xRRGGBB. `gray = true` writes one Rec.601 luma
     * sample per pixel (photometric 1); otherwise chunky RGB (photometric
-    * 2). `rowsPerStrip` exercises the multi-strip path.
+    * 2). `rowsPerStrip` exercises the multi-strip path; `compression`
+    * ∈ {1 none, 8 Deflate, 32773 PackBits} encodes each strip
+    * independently, as the spec requires.
     */
   def tiff(w: Int, h: Int, gray: Boolean = false, littleEndian: Boolean = true,
-           rowsPerStrip: Int = Int.MaxValue)(rgb: (Int, Int) => Int): Array[Byte] = {
+           rowsPerStrip: Int = Int.MaxValue, compression: Int = 1)
+          (rgb: (Int, Int) => Int): Array[Byte] = {
+    require(Set(1, 8, 32773).contains(compression), "synth: none/deflate/packbits")
     val spp = if (gray) 1 else 3
     val rowBytes = w * spp
     val rps = math.min(rowsPerStrip, h)
     val nStrips = (h + rps - 1) / rps
-    // layout: 8-byte header | pixel strips | IFD | out-of-line arrays
+    // raw raster, then per-strip encode
+    val raw = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = rgb(x, y)
+      val p = y * rowBytes + x * spp
+      if (gray)
+        raw(p) = ((299 * ((c >> 16) & 0xFF) + 587 * ((c >> 8) & 0xFF) +
+          114 * (c & 0xFF)) / 1000).toByte
+      else {
+        raw(p) = ((c >> 16) & 0xFF).toByte
+        raw(p + 1) = ((c >> 8) & 0xFF).toByte
+        raw(p + 2) = (c & 0xFF).toByte
+      }
+    }
+    val strips: IndexedSeq[Array[Byte]] = (0 until nStrips).map { s =>
+      val chunk = java.util.Arrays.copyOfRange(raw, s * rps * rowBytes,
+        math.min((s + 1) * rps, h) * rowBytes)
+      compression match {
+        case 1 => chunk
+        case 8 => deflate(chunk)
+        case 32773 => packBits(chunk)
+      }
+    }
+    // layout: 8-byte header | encoded strips | IFD | out-of-line arrays
     val pixAt = 8
-    val pixBytes = rowBytes * h
-    val ifdAt = pixAt + pixBytes
+    val ifdAt = pixAt + strips.map(_.length).sum
     val tags = Seq(256, 257, 258, 259, 262, 273, 277, 278, 279)
     val nE = tags.length
     val ifdBytes = 2 + 12 * nE + 4
@@ -231,18 +359,10 @@ object TiffSynth {
     buf.write(if (littleEndian) 'I' else 'M'); buf.write(if (littleEndian) 'I' else 'M')
     if (littleEndian) { buf.write(42); buf.write(0) } else { buf.write(0); buf.write(42) }
     w32(ifdAt)
-    // pixels (strips are contiguous here; offsets address into this block)
-    for (y <- 0 until h; x <- 0 until w) {
-      val c = rgb(x, y)
-      if (gray)
-        buf.write((299 * ((c >> 16) & 0xFF) + 587 * ((c >> 8) & 0xFF) +
-          114 * (c & 0xFF)) / 1000)
-      else { buf.write((c >> 16) & 0xFF); buf.write((c >> 8) & 0xFF); buf.write(c & 0xFF) }
-    }
+    strips.foreach(buf.write)
     // IFD entries, ascending tag order as the spec requires
-    val stripOffs = (0 until nStrips).map(s => (pixAt + s.toLong * rps * rowBytes))
-    val stripCnts = (0 until nStrips).map(s =>
-      math.min(rps, h - s * rps).toLong * rowBytes)
+    val stripOffs = strips.scanLeft(pixAt.toLong)(_ + _.length).dropRight(1)
+    val stripCnts = strips.map(_.length.toLong)
     val extras = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long])]
     def entry(tag: Int, tpe: Int, vals: Seq[Long]): Unit = {
       w16(tag); w16(tpe); w32(vals.length)
@@ -257,7 +377,7 @@ object TiffSynth {
     entry(256, 4, Seq(w.toLong))
     entry(257, 4, Seq(h.toLong))
     entry(258, 3, Seq.fill(spp)(8L))
-    entry(259, 3, Seq(1L))
+    entry(259, 3, Seq(compression.toLong))
     entry(262, 3, Seq(if (gray) 1L else 2L))
     entry(273, 4, stripOffs)
     entry(277, 3, Seq(spp.toLong))
@@ -274,12 +394,14 @@ object TiffSynth {
 
   /** The three analytic 8×8 patterns shared with [[BmpSynth]] (identical
     * pixels → identical closed-form hashes; only the container differs).
-    * Encodings rotate through little-endian RGB, big-endian RGB, and
-    * grayscale so both byte orders and both supported photometric modes
-    * sit on the oracle path.
+    * Encodings rotate through little-endian RGB uncompressed, big-endian
+    * RGB Deflate-compressed, and grayscale PackBits so both byte orders,
+    * both photometric modes, and all three compression schemes sit on the
+    * oracle path.
     */
   val OraclePatterns: IndexedSeq[Array[Byte]] = IndexedSeq(
     tiff(8, 8)((x, _) => if (x < 4) 0x000000 else 0xFFFFFF),
-    tiff(8, 8, littleEndian = false)((_, y) => if (y < 4) 0x000000 else 0xFFFFFF),
-    tiff(8, 8, gray = true)((_, _) => 0x808080))
+    tiff(8, 8, littleEndian = false, compression = 8)(
+      (_, y) => if (y < 4) 0x000000 else 0xFFFFFF),
+    tiff(8, 8, gray = true, compression = 32773)((_, _) => 0x808080))
 }

@@ -46,6 +46,12 @@ object ExternalPipe {
       if (!rows.hasNext) Iterator.empty
       else {
         val pb = new ProcessBuilder(cmdList: _*)
+        // stderr goes to the executor's own stderr (diagnostics preserved in
+        // executor logs). NEVER leave it a pipe: nothing here drains it, so
+        // a filter that logs more than the ~64 KB pipe buffer would block on
+        // write and wedge the stream. Not redirectErrorStream — merging
+        // stderr into stdout would corrupt the one-line-per-row contract.
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         // pending rows awaiting their output line; capacity bounds the
         // rows held in memory AND provides stdin backpressure when the

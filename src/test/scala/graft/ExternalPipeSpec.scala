@@ -65,6 +65,18 @@ class ExternalPipeSpec extends SparkTestBase {
       "filter process still alive after partially-consumed task completed")
   }
 
+  test("a stderr-chatty filter never wedges (error stream is not a filling pipe)") {
+    // each row makes the filter write ~100 bytes of stderr; 2000 rows ≈
+    // 200 KB, several times the OS pipe buffer — with stderr left as a
+    // pipe and undrained, the child would block mid-stream and the test
+    // would hang instead of completing
+    val df = (1 to 2000).map(i => (i.toLong, s"row $i")).toDF("id", "text").coalesce(1)
+    val piped = ExternalPipe.pipePartitions(df, "text", "out",
+      Seq("sh", "-c",
+        """while IFS= read -r l; do echo "$l"; printf '%0100d\n' 7 >&2; done"""))
+    assert(piped.filter($"out" === $"text").count() == 2000)
+  }
+
   test("backpressure: partitions larger than the pending queue still stream") {
     // stdbuf -oL: the queue retains only 64 in-flight rows, so the filter
     // must be line-buffered (a block-buffered tr would wedge at this

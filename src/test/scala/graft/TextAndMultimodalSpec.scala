@@ -217,7 +217,26 @@ class TextAndMultimodalSpec extends SparkTestBase {
     val swapped = TiffSynth.tiff(8, 8, gray = true)((x, _) =>
       if (x < 4) 0xFFFFFF else 0x000000)
     assert(TiffPixels.ahash(inverted) == TiffPixels.ahash(swapped))
-    // header decode (any compression) vs pixel decode (uncompressed only):
+    // compressed strips (Deflate and PackBits, each strip independently
+    // encoded) decode to the same raster — and multi-strip + compression
+    // compose
+    val gradient: (Int, Int) => Int = (x, y) => {
+      val v = (x * 13 + y * 29) % 256; (v << 16) | (v << 8) | v
+    }
+    val plainHash = TiffPixels.ahash(TiffSynth.tiff(40, 40)(gradient))
+    for (comp <- Seq(8, 32773); strip <- Seq(Int.MaxValue, 7))
+      assert(TiffPixels.ahash(
+        TiffSynth.tiff(40, 40, rowsPerStrip = strip, compression = comp)(gradient))
+        == plainHash, s"compression $comp rowsPerStrip $strip")
+    assert(TiffPixels.ahash(TiffSynth.tiff(8, 8, gray = true, littleEndian = false,
+      compression = 8)(leftRight)) == 0x0F0F0F0F0F0F0F0FL)
+    // a corrupt Deflate strip nulls cleanly (and in bounded time — the
+    // zero-progress inflater guard)
+    val badZ = TiffSynth.tiff(8, 8, compression = 8)(leftRight)
+    val zStart = 8 // first strip begins right after the header
+    badZ(zStart) = 0x55
+    assert(TiffPixels.ahash(badZ) == null)
+    // header decode (any compression) vs pixel decode (supported set):
     // flipping tag 259 to LZW keeps dimensions but nulls the hash
     import graft.multimodal.ImageHeader
     val lzw = TiffSynth.OraclePatterns(0).clone()
