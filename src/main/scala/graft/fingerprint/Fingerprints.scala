@@ -185,4 +185,12 @@ object Fingerprints {
     when(minLen === 0.0, lit(1.0))
       .otherwise(saLcs(a, b).cast("double") / minLen)
   }
+
+  /** Decision form `saContainment(a,b) >= threshold` via the O(n+m)
+    * rolling-window scan instead of the O(n log² n) SA build — what the
+    * pipeline's verify stage uses (it only thresholds the score).
+    */
+  def saContainmentAtLeast(a: Column, b: Column, threshold: Double): Column =
+    shim.toColumn(SuffixArrayContainsAtLeast(
+      shim.toExpression(a), shim.toExpression(b), threshold))
 }

@@ -110,6 +110,17 @@ object SuffixArray {
     */
   def lcsLength(a: String, b: String): Int = {
     if (a.isEmpty || b.isEmpty) return 0
+    // verbatim-containment fast path: LCS == min(len) iff the shorter string
+    // occurs verbatim inside the longer, and String.contains (intrinsified
+    // indexOf) answers that ~100× cheaper than the generalized SA. True
+    // containment dups — truncations and quotes, the accept majority of the
+    // ambiguous verify slice — are verbatim in the normalized text by
+    // definition, so they all take this exit; only near-miss pairs (edits
+    // inside the quoted span, and rejects) pay the full SA+LCP build.
+    // Worst-case safe: even a pathological periodic 20k×20k indexOf costs
+    // about the same as the SA it would have fallen through to.
+    if (a.length <= b.length) { if (b.contains(a)) return a.length }
+    else if (a.contains(b)) return b.length
     val la = a.length
     val n = la + 1 + b.length
     val s = new Array[Int](n)
@@ -129,6 +140,84 @@ object SuffixArray {
       i += 1
     }
     best
+  }
+
+  /** Decision form of the substring pass: `LCS(a,b) / min(len) >= threshold`
+    * WITHOUT computing the LCS. LCS >= T iff the strings share some common
+    * substring of length exactly T (common substrings are closed under
+    * taking substrings), so the test reduces to one rolling-hash window
+    * scan: hash every T-window of the shorter string into a table
+    * (min-T+1 <= (1-threshold)*min + 1 windows — a few hundred at the
+    * verify-stage cap), roll the longer string through, and VERIFY every
+    * hash hit by direct comparison — hashing only prunes, equality decides,
+    * so the result is exact, not probabilistic. O(n+m) expected vs the
+    * O(n log^2 n) generalized-SA build; this is what the pipeline's verify
+    * stage calls (it only thresholds the score — the LCS value itself is
+    * never consumed there).
+    *
+    * T is chosen as the smallest integer whose DOUBLE quotient with min
+    * clears the threshold, replicating `lcsLength(a,b)/min >= threshold`
+    * bit-for-bit (floor/ceil of threshold*min can disagree with the
+    * floating-point division by one ulp — e.g. 18/20 >= 0.9 is true while
+    * ceil(0.9*20) = 19).
+    */
+  def lcsRatioAtLeast(a: String, b: String, threshold: Double): Boolean = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    val min = s.length
+    if (min == 0) return threshold <= 1.0 // saContainment: minLen 0 scores 1.0
+    var t = math.max(1, math.floor(threshold * min).toInt - 1)
+    while (t <= min && t.toDouble / min < threshold) t += 1
+    if (t > min) return false // threshold above 1.0 is unsatisfiable
+    val nWin = min - t + 1
+
+    // polynomial rolling hash over chars; collisions only cost a verify
+    val B = 0x100000001B3L
+    var pw = 1L // B^(t-1)
+    var i = 0
+    while (i < t - 1) { pw *= B; i += 1 }
+
+    // hash table over the shorter string's windows: open addressing on the
+    // hash, chaining equal hashes via a parallel next[] so a (vanishingly
+    // rare) intra-table collision cannot shadow a real match
+    var cap = 8
+    while (cap < nWin * 2) cap <<= 1
+    val mask = cap - 1
+    val slotHash = new Array[Long](cap)
+    val slotPos = new Array[Int](cap) // first window start + 1 (0 = empty)
+    val nextPos = new Array[Int](nWin) // chain of further starts + 1
+    val chainTail = new Array[Int](cap)
+    var h = 0L
+    i = 0
+    while (i < t) { h = h * B + s.charAt(i); i += 1 }
+    var w = 0
+    while (w < nWin) {
+      var idx = (HashKernels.avalanche(h) & 0x7fffffffL).toInt & mask
+      while (slotPos(idx) != 0 && slotHash(idx) != h) idx = (idx + 1) & mask
+      if (slotPos(idx) == 0) { slotHash(idx) = h; slotPos(idx) = w + 1; chainTail(idx) = w }
+      else { nextPos(chainTail(idx)) = w + 1; chainTail(idx) = w }
+      if (w + t < min) h = (h - s.charAt(w) * pw) * B + s.charAt(w + t)
+      w += 1
+    }
+
+    h = 0L
+    i = 0
+    while (i < t) { h = h * B + l.charAt(i); i += 1 }
+    w = 0
+    val lWin = l.length - t + 1
+    while (w < lWin) {
+      var idx = (HashKernels.avalanche(h) & 0x7fffffffL).toInt & mask
+      while (slotPos(idx) != 0 && slotHash(idx) != h) idx = (idx + 1) & mask
+      if (slotPos(idx) != 0) {
+        var p = slotPos(idx)
+        while (p != 0) {
+          if (l.regionMatches(w, s, p - 1, t)) return true
+          p = nextPos(p - 1)
+        }
+      }
+      if (w + t < l.length) h = (h - l.charAt(w) * pw) * B + l.charAt(w + t)
+      w += 1
+    }
+    false
   }
 }
 
@@ -166,4 +255,46 @@ case class SuffixArrayLCS(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "suffix_array_lcs"
+}
+
+/** Catalyst expression: `LCS(a,b) / min(len) >= threshold` as a boolean,
+  * via [[SuffixArray.lcsRatioAtLeast]]'s O(n+m) window scan — the decision
+  * form the verify stage consumes (it never reads the LCS value, and the
+  * generalized-SA build is the pipeline's single most CPU-dense kernel).
+  * Decision-equivalent to `SuffixArrayLCS(a,b) / least(length(a),
+  * length(b)) >= threshold` including the double-division edge cases
+  * (property-gated in SuffixArraySpec).
+  */
+case class SuffixArrayContainsAtLeast(left: Expression, right: Expression,
+                                      threshold: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"suffix_array_contains_at_least expects (string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Boolean.valueOf(SuffixArray.lcsRatioAtLeast(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
+      threshold))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("saThreshExpr", this,
+      classOf[SuffixArrayContainsAtLeast].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = ((java.lang.Boolean) $ref.nullSafeEval($l, $r)).booleanValue();")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SuffixArrayContainsAtLeast =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "suffix_array_contains_at_least"
 }

@@ -320,10 +320,28 @@ object DedupPipeline {
         ambiguous
           .join(t.select(col("id").as("id_a"), col("norm_text").as("nt_a")), Seq("id_a"), "left")
           .join(t.select(col("id").as("id_b"), col("norm_text").as("nt_b")), Seq("id_b"), "left")
-          .withColumn("sa_cont",
+          // EXPLICIT fixed-width exchange on the (unique) pair key before the
+          // SA kernel. The suffix-array build is the pipeline's only CPU-DENSE
+          // byte-light stage (~0.5 ms vs ~2 KB per row): left partitioned by
+          // the preceding join key, AQE coalesces the slice by BYTES into one
+          // or two tasks and the whole pass serializes into a stage-tail
+          // straggler (measured at 220k pages: a 49.5k-record / 25 MB task
+          // burning 21.7 s while 82 sibling tasks finish in ~5 s; wall 47 s →
+          // 33 s with the pass spread). Hashing the pair key distributes rows
+          // ~uniformly, and the explicit numPartitions opts this exchange out
+          // of byte-based coalescing — compute density is invisible to AQE.
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("id_a"), col("id_b"))
+          // decision form, not the LCS value: the filter only thresholds the
+          // score, and the O(n+m) window scan is ~15× cheaper per pair than
+          // the generalized-SA build (decision-equivalence property-gated in
+          // SuffixArraySpec). A missing side still falls back to the
+          // shingle-containment decision, as documented above.
+          .filter(
             when(col("nt_a").isNotNull && col("nt_b").isNotNull,
-              Fingerprints.saContainment(col("nt_a"), col("nt_b"))))
-          .filter(coalesce(col("sa_cont"), col("containment")) >= cfg.containmentThreshold)
+              Fingerprints.saContainmentAtLeast(col("nt_a"), col("nt_b"),
+                cfg.containmentThreshold))
+            .otherwise(col("containment") >= cfg.containmentThreshold))
           .select("id_a", "id_b")
       case None => // signature-only fallback: shingle containment decides
         scored.filter(!cheapAccept && col("containment") >= cfg.containmentThreshold)

@@ -47,6 +47,48 @@ class SuffixArraySpec extends SparkTestBase {
     }
   }
 
+  test("lcsRatioAtLeast is decision-equivalent to lcsLength/min >= t (property)") {
+    // random strings over a small alphabet (forces repeats and near-misses)
+    val gen = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')))
+      .map(_.mkString)
+    val pairs = samples(gen, 400, 1234L).grouped(2).collect { case Seq(a, b) => (a, b) }
+    val thresholds = Seq(0.3, 0.5, 0.9, 0.95, 1.0)
+    pairs.foreach { case (a, b) =>
+      val minLen = math.min(a.length, b.length)
+      val score =
+        if (minLen == 0) 1.0
+        else SuffixArray.lcsLength(a, b).toDouble / minLen
+      thresholds.foreach { t =>
+        assert(SuffixArray.lcsRatioAtLeast(a, b, t) == (score >= t),
+          s"a='$a' b='$b' t=$t score=$score")
+      }
+    }
+    // double-division ulp edges: 18/20 >= 0.9 is TRUE although
+    // ceil(0.9*20) = 19 — the integer-T derivation must reproduce the
+    // division's behavior, not a naive ceil
+    val a20 = "abcdefghijklmnopqrst" // len 20
+    val b18 = a20.take(18) + "XY"    // LCS 18, min 20
+    assert(SuffixArray.lcsLength(a20, b18) == 18)
+    assert(SuffixArray.lcsRatioAtLeast(a20, b18, 0.9) == (18.0 / 20 >= 0.9))
+    // pathological repetitive inputs stay exact (chained equal hashes)
+    assert(SuffixArray.lcsRatioAtLeast("aaaaaaaaaa", "aaaaab", 0.8))
+    assert(!SuffixArray.lcsRatioAtLeast("ababababab", "bbbbbb", 0.9))
+  }
+
+  test("saContainmentAtLeast column agrees with saContainment >= t on the ambiguous shapes") {
+    val rows = Seq(
+      ("the quick brown fox jumps over the lazy dog", "quick brown fox"), // verbatim quote
+      ("the quick brown fox jumps over the lazy dog", "quick brown cat"), // near miss
+      ("shared prefix words here then diverges completely", "shared prefix words here but other tail"),
+      ("", "anything"), ("same", "same")
+    ).toDF("a", "b")
+    val got = rows
+      .withColumn("dec", FP.saContainmentAtLeast(col("a"), col("b"), 0.9))
+      .withColumn("score_dec", FP.saContainment(col("a"), col("b")) >= 0.9)
+      .select("dec", "score_dec").as[(Boolean, Boolean)].collect()
+    got.foreach { case (dec, scoreDec) => assert(dec == scoreDec) }
+  }
+
   test("prefix containment: saContainment == 1.0 iff substring") {
     val df = Seq(
       ("full contains the middle part here", "the middle part", true),
