@@ -78,17 +78,45 @@ object ScalingBench {
 
     // one timed run in a fresh session (fresh JIT/executor state is
     // equalized by a 1/20-size warmup run first — in local-cluster mode the
-    // warmup also absorbs executor-JVM launch + class distribution)
-    def timeOne(master: String, i: Int): Double = {
+    // warmup also absorbs executor-JVM launch + class distribution).
+    // Each run carries its own attribution evidence (same discriminators as
+    // the Bench skew reps): total task CPU and GC from the listener bus, and
+    // box-wide other-process CPU across the run window — so a memory-bound
+    // regime (task CPU inflated at flat data) or a co-tenant burst (wall up
+    // at flat task CPU) is visible IN the recorded JSON, not inferred later.
+    final case class Run(sec: Double, taskCpuSec: Double, gcSec: Double,
+                         otherProcCpuSec: Double)
+    def procBusyTicks(): Long = {
+      val c = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).take(8).map(_.toLong)
+      c(0) + c(1) + c(2) + c(5) + c(6) // user+nice+system+irq+softirq
+    }
+    def ownCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => 0L
+      }
+    def timeOne(master: String, i: Int): Run = {
       val spark = Bench.sessionForMaster(master)
       Bench.runPipelineOn(spark, warmPath)
       Bench.dropPipelineState(spark)
+      // NOTE: in local-cluster mode ownCpuNs sees only the DRIVER process;
+      // executor CPU is attributed via the task metrics, and the "other
+      // proc" estimate legitimately includes the executor JVMs' overhead
+      // (GC threads, shuffle service) — read it as an upper bound there.
+      val busy0 = procBusyTicks(); val own0 = ownCpuNs()
       val t0 = System.nanoTime()
-      Bench.runPipelineOn(spark, fullPath)
+      val (_, l) = TaskSkewListener.measure(spark) {
+        Bench.runPipelineOn(spark, fullPath)
+      }
       val sec = (System.nanoTime() - t0) / 1e9
+      val taskCpu = l.totalTaskCpuNs.get() / 1e9
+      val other = math.max(0.0,
+        (procBusyTicks() - busy0) / 100.0 - (ownCpuNs() - own0) / 1e9 - taskCpu)
       spark.stop()
-      System.err.println(f"[scaling] $master run $i: $sec%.2f s")
-      sec
+      System.err.println(f"[scaling] $master run $i: $sec%.2f s " +
+        f"(taskCpu ${taskCpu}%.0f s, gc ${l.totalGcMs.get() / 1e3}%.0f s, other ${other}%.0f s)")
+      Run(sec, taskCpu, l.totalGcMs.get() / 1e3, other)
     }
 
     // INTERLEAVED medians: the sandbox VM's throughput drifts minute-to-
@@ -96,8 +124,9 @@ object ScalingBench {
     // next would let the drift masquerade as a scaling/shape effect.
     // Cycling through every shape per rep puts all shapes in the same
     // minutes; medians of N then cancel symmetric noise.
-    val runs: Seq[Seq[Double]] = // runs(shapeIdx)(rep)
+    val fullRuns: Seq[Seq[Run]] = // fullRuns(shapeIdx)(rep)
       (1 to reps).map(i => masters.map(m => timeOne(m, i))).transpose
+    val runs: Seq[Seq[Double]] = fullRuns.map(_.map(_.sec))
     def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val med = runs.map(medianOf)
     // co-tenant interference is strictly ADDITIVE, so the min over reps
@@ -123,9 +152,14 @@ object ScalingBench {
 
     val shapesJson = masters.indices.map { i =>
       val rs = runs(i).map(r => f"$r%.2f").mkString("[", ",", "]")
+      def arr(f2: Run => Double) =
+        fullRuns(i).map(r => f"${f2(r)}%.1f").mkString("[", ",", "]")
       f"""{"master":"${masters(i)}","cores":${Bench.coresOf(masters(i))},""" +
         f""""runs":$rs,"median_sec":${med(i)}%.2f,"best_sec":${best(i)}%.2f,""" +
-        f""""docs_per_sec":${tp(i)}%.1f,"cpu_ceiling_sec":${ceil(i)}%.2f}"""
+        f""""docs_per_sec":${tp(i)}%.1f,"cpu_ceiling_sec":${ceil(i)}%.2f,""" +
+        f""""task_cpu_sec_per_run":${arr(_.taskCpuSec)},""" +
+        f""""gc_sec_per_run":${arr(_.gcSec)},""" +
+        f""""other_proc_cpu_sec_per_run":${arr(_.otherProcCpuSec)}}"""
     }.mkString("[", ",", "]")
     val pairsJson = pairs.map { case (k, eff, effBest, ceiling, norm) =>
       f""""$k":{"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,""" +
