@@ -177,4 +177,27 @@ class PipelineSpec extends SparkTestBase {
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "no reliable checkpoint files were written")
   }
+
+  test("SA verify slice keeps its explicit fixed-width pair-key exchange (plan shape)") {
+    // The suffix-array pass is byte-light but CPU-dense; without an exchange
+    // carrying an EXPLICIT numPartitions, AQE's byte-based coalescing packs
+    // the slice into one or two tasks and the pass serializes into a
+    // stage-tail straggler (BASELINE.md round 5b: 21.7 s of CPU in one task
+    // at 220k pages). This pins the plan shape so a refactor cannot silently
+    // lose the repartition: the optimized plan of nearEdges-with-texts must
+    // contain a RepartitionByExpression over (id_a, id_b) with a DEFINED
+    // partition count — the variant AQE is contractually not allowed to
+    // coalesce (REPARTITION_BY_NUM).
+    val cfg = DedupConfig()
+    val sigs = DedupPipeline.signatures(pages, "url", "text", cfg)
+    val edges = DedupPipeline.nearEdges(spark, sigs, cfg,
+      texts = Some(DedupPipeline.normTexts(pages, "url", "text", cfg)))
+    val reparts = edges.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+          if r.optNumPartitions.isDefined =>
+        r.partitionExpressions.flatMap(_.references.map(_.name)).toSet
+    }
+    assert(reparts.exists(cols => cols == Set("id_a", "id_b")),
+      s"no fixed-width (id_a, id_b) repartition in the optimized plan: $reparts")
+  }
 }
