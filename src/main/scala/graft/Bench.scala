@@ -272,10 +272,59 @@ object Bench {
           "quadratic bucket escaped the salt/cap machinery")
     }
 
+    // resume-epoch lines: the incremental primitive (J1) timed end-to-end at
+    // the AT-SCALE join shape. Broadcast is disabled for these lines only:
+    // at the 10^12-doc posture the persisted state can never broadcast, so
+    // the regime that matters is the sort-merge one — which is exactly what
+    // DedupConfig.stateBuckets exists for (plain layout shuffles BOTH sides
+    // of the anti-join every epoch; bucketed state ships zero state-side
+    // bytes). Each layout's state is built once (untimed); every rep runs
+    // the epoch on a fresh COPY of the state dir so each rep discovers the
+    // same 10% new pages.
+    val resumeBatch = materializePages(spark, numBase * 11 / 10, s"$tmp/resume_batch")
+    def pagesFrame(path: String) = {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(path)
+        .select(col("url"),
+          graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
+    }
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val resumeResults = Seq(
+      ("state_resume_plain", DedupConfig()),
+      ("state_resume_bucketed", DedupConfig(stateBuckets = coresOf(spark.sparkContext.master)))
+    ).map { case (name, cfg) =>
+      val base = java.nio.file.Paths.get(tmp, s"st_$name")
+      graft.state.Checkpoints.runEpoch(
+        spark, pagesFrame(fullPath), "url", "text", base.toString, cfg)
+      val runs = (1 to reps).map { rep =>
+        dropPipelineState(spark)
+        val dir = java.nio.file.Paths.get(tmp, s"st_${name}_r$rep")
+        copyDir(base, dir)
+        val t0 = System.nanoTime()
+        val (nNew, _) = graft.state.Checkpoints.runEpoch(
+          spark, pagesFrame(resumeBatch), "url", "text", dir.toString, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(nNew == (numBase * 11 / 10 - numBase) * PagesGen.variantKinds.length,
+          s"$name rep $rep resumed wrong row count: $nNew")
+        sec
+      }
+      (name, runs.sorted.apply(runs.length / 2), runs)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
-      ("dedup_pipeline_skew" -> skewSec)
+      ("dedup_pipeline_skew" -> skewSec) :++
+      resumeResults.map { case (n, sec, _) => n -> sec }
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
@@ -284,7 +333,9 @@ object Bench {
       s""""sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps,""" +
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
-      s""""skew":${arr(skewRuns)}},""" +
+      s""""skew":${arr(skewRuns)},""" +
+      resumeResults.map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
+        .mkString(",") + "}," +
       s""""skew_max_task_records":$maxSkewRecords,""" +
       s""""skew_max_task_records_per_run":${skewPairs.map(_._2).mkString("[", ",", "]")},""" +
       s""""skew_quad_bound":${skewQuadBound / 2},""" +

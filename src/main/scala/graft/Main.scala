@@ -43,7 +43,8 @@ object Main {
       pagesFormat: String = "auto",
       containmentCap: Option[Int] = None,
       noEstimateTier: Boolean = false,
-      previewChars: Option[Int] = None)
+      previewChars: Option[Int] = None,
+      stateBuckets: Option[Int] = None)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -81,6 +82,12 @@ object Main {
       case "--preview-chars" :: v :: t =>
         v.toIntOption.toRight(s"--preview-chars: not an int: $v")
           .flatMap(p => loop(t, acc.copy(previewChars = Some(p))))
+      // bucketed state layout: N buckets on `id` so the per-epoch resume
+      // anti-join never re-shuffles the grown state side (sticky per state
+      // dir; takes effect at first write or with --force-rescan)
+      case "--state-buckets" :: v :: t =>
+        v.toIntOption.toRight(s"--state-buckets: not an int: $v")
+          .flatMap(b => loop(t, acc.copy(stateBuckets = Some(b))))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -102,6 +109,8 @@ object Main {
       Left("--containment-cap must be positive")
     else if (a.previewChars.exists(_ <= 0))
       Left("--preview-chars must be positive")
+    else if (a.stateBuckets.exists(_ <= 0))
+      Left("--state-buckets must be positive")
     else Right(a)
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
@@ -113,7 +122,8 @@ object Main {
     val withH = a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
     val withC = a.containmentCap.fold(withH)(c => withH.copy(containmentMaxBucket = c))
     val withP = a.previewChars.fold(withC)(p => withC.copy(previewChars = p))
-    if (a.noEstimateTier) withP.copy(estimateTier = false) else withP
+    val withB = a.stateBuckets.fold(withP)(b => withP.copy(stateBuckets = b))
+    if (a.noEstimateTier) withB.copy(estimateTier = false) else withB
   }
 
   def main(args: Array[String]): Unit = parse(args.toIndexedSeq) match {
@@ -126,6 +136,7 @@ object Main {
           "[--jaccard <0..1>] [--max-hamming <int>] " +
           "[--extract-from <binary-col>] [--extractor html|plaintext] " +
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
+          "[--state-buckets <n>] " +
           "[--pages-format auto|parquet|table] | " +
           "--state <dir-uri> --diagnose")
       sys.exit(2)

@@ -96,7 +96,23 @@ case class DedupConfig(
     // cluster REPRESENTATIVE, so an operator reviewing a planned actions
     // table can eyeball what every cluster is without fetching pages. 0
     // (default) writes nothing — same opt-in posture as the reference.
-    previewChars: Int = 0) {
+    previewChars: Int = 0,
+    // physical layout of the persisted signatures table (Checkpoints): when
+    // > 0, the state is written as a Spark BUCKETED table on `id` with this
+    // many buckets. The resume primitive (J1) anti-joins the ENTIRE
+    // persisted state against every new batch, every epoch — and the state
+    // side is the one that grows with corpus age. Plain parquet shuffles
+    // BOTH sides per epoch (at the 10^12-doc posture that is re-shuffling
+    // the whole corpus-to-date each night); the bucketed layout carries
+    // HashPartitioning(id, N) out of the scan, so only the incoming batch
+    // exchanges. Pinned by BucketedStateSpec's plan-shape test. The layout
+    // is a sticky property of the state dir (recorded in _layout.json at
+    // first write); changing it later requires forceRescan. 0 (default)
+    // keeps plain parquet — right for small states where a broadcast
+    // anti-join wins anyway. Size N so one bucket ≈ 100-300 MB at the
+    // target corpus (e.g. 4096 buckets per PB-scale signature table).
+    stateBuckets: Int = 0) {
+  require(stateBuckets >= 0, "stateBuckets must be >= 0")
   require(bands * rowsPerBand <= numPerms,
     s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
   require(64 % fastPathBands == 0, "fastPathBands must divide 64")

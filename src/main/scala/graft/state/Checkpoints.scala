@@ -35,6 +35,7 @@ object Checkpoints {
   def executedPath(stateDir: String) = s"$stateDir/executed"
   def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
   def lockPath(stateDir: String) = s"$stateDir/_lock"
+  def layoutPath(stateDir: String) = s"$stateDir/_layout.json"
 
   /** All state IO goes through the Hadoop FileSystem API so `stateDir` may
     * be any supported URI (file://, hdfs://, s3a://, …) — java.nio would
@@ -63,6 +64,81 @@ object Checkpoints {
 
   def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     if (exists(spark, path)) Some(spark.read.parquet(path)) else None
+
+  // ------------------------------------------------------------------
+  // Signatures physical layout (plain parquet vs bucketed table).
+  //
+  // The layout is a property of the STATE DIR, not of the caller's config:
+  // it is recorded in `_layout.json` at first write, and every later
+  // reader and writer — including fresh sessions and other drivers —
+  // discovers it from the marker, so all parties agree on the physical
+  // layout without coordinating configs. Spark's bucket metadata lives in
+  // the session catalog (in-memory, per-session), so each session
+  // re-registers the same deterministic table name over the same files on
+  // first touch; the files themselves carry the bucket ids in their names.
+  // ------------------------------------------------------------------
+
+  /** Buckets the persisted signatures were written with; 0 = plain parquet. */
+  private[graft] def signatureBuckets(spark: SparkSession, stateDir: String): Int = {
+    val (fs, p) = fsFor(spark, layoutPath(stateDir))
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"signature_buckets"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+    }
+  }
+
+  private def writeLayout(spark: SparkSession, stateDir: String, buckets: Int): Unit = {
+    val (fs, p) = fsFor(spark, layoutPath(stateDir))
+    val out = fs.create(p, true)
+    try out.write(s"""{"signature_buckets":$buckets}""".getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Deterministic per-state-dir catalog name (the in-memory catalog is
+    * per-session; every session derives the same name for the same dir).
+    */
+  private[graft] def sigTableName(spark: SparkSession, stateDir: String): String = {
+    val (_, root) = fsFor(spark, signaturesPath(stateDir))
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(root.toString.getBytes(UTF_8))
+    "graft_sigs_" + digest.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Register (if absent) the bucketed signatures table over the existing
+    * state files and return its name. Schema comes from the parquet footers
+    * so registration works in a session that has never written this state.
+    */
+  private def ensureSigTable(spark: SparkSession, stateDir: String, buckets: Int): String = {
+    val tbl = sigTableName(spark, stateDir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val schema = spark.read.parquet(signaturesPath(stateDir)).schema
+      val (_, root) = fsFor(spark, signaturesPath(stateDir))
+      spark.sql(
+        s"""CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET
+           |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
+           |LOCATION '${root.toString}'""".stripMargin)
+    }
+    // another driver may have appended an epoch since this session cached
+    // the file listing; the lease serializes writers, not readers
+    spark.catalog.refreshTable(tbl)
+    tbl
+  }
+
+  /** Layout-aware scan of the persisted signatures. In the bucketed layout
+    * the scan carries HashPartitioning(id, N), so the resume/tombstone/
+    * as-of anti-joins on `id` need no exchange on the state side — the
+    * side that grows with corpus age (see DedupConfig.stateBuckets).
+    */
+  def readSignatures(spark: SparkSession, stateDir: String): DataFrame = {
+    val b = signatureBuckets(spark, stateDir)
+    if (b > 0) spark.table(ensureSigTable(spark, stateDir, b))
+    else spark.read.parquet(signaturesPath(stateDir))
+  }
 
   /** Single-writer lease over a state dir. The reference's single-process
     * RocksDB handle made concurrent writers impossible (`db.rs` opens the
@@ -161,7 +237,9 @@ object Checkpoints {
     // resume primitive (J1): anti-join against persisted state + skip list.
     // force_rescan (reference config.rs:81 / reinitialise semantics) bypasses
     // both filters and OVERWRITES state instead of appending duplicates.
-    val seen = if (cfg.forceRescan) None else readIfExists(spark, sigPath)
+    val seen =
+      if (cfg.forceRescan || !exists(spark, sigPath)) None
+      else Some(readSignatures(spark, stateDir))
     val quarantined = if (cfg.forceRescan) None else readIfExists(spark, qPath)
     val unseen0 = seen match {
       case Some(s) => pages.join(s.select(col("id").as(idCol)), Seq(idCol), "left_anti")
@@ -193,7 +271,33 @@ object Checkpoints {
     val withPart = sigs
       .withColumn("part_id", spark_partition_id())
       .withColumn("epoch", lit(epoch))
-    withPart.write.mode(if (cfg.forceRescan) "overwrite" else "append").parquet(sigPath)
+    // Layout is sticky: once a state dir exists, later epochs follow its
+    // recorded layout regardless of the caller's config (mixing layouts in
+    // one table would corrupt the bucket invariant); forceRescan (which
+    // overwrites) is the documented way to re-layout.
+    val hadState = exists(spark, sigPath)
+    val buckets =
+      if (!cfg.forceRescan && hadState) signatureBuckets(spark, stateDir)
+      else cfg.stateBuckets
+    if (buckets != cfg.stateBuckets && cfg.stateBuckets > 0)
+      System.err.println(s"[state] stateBuckets=${cfg.stateBuckets} requested but " +
+        s"existing layout has $buckets bucket(s); keeping the existing layout " +
+        "(use forceRescan to re-layout)")
+    val writeMode = if (cfg.forceRescan) "overwrite" else "append"
+    if (buckets > 0) {
+      if (cfg.forceRescan)
+        spark.sql(s"DROP TABLE IF EXISTS ${sigTableName(spark, stateDir)}")
+      // one writer task per bucket: without the repartition every task
+      // writes up to `buckets` files (tasks × buckets small files)
+      withPart.repartition(buckets, col("id"))
+        .write.mode(writeMode).format("parquet")
+        .bucketBy(buckets, "id").sortBy("id")
+        .option("path", sigPath)
+        .saveAsTable(sigTableName(spark, stateDir))
+    } else {
+      withPart.write.mode(writeMode).parquet(sigPath)
+    }
+    if (!hadState || cfg.forceRescan) writeLayout(spark, stateDir, buckets)
 
     // quarantine count rides the write as an observe metric — one action,
     // no cache/count/write triple (an empty append just writes a footer)
@@ -205,7 +309,7 @@ object Checkpoints {
     // AND the row count: the total rides the lineage write as an observe
     // metric (sum over the already-grouped per-partition counts)
     val lObs = org.apache.spark.sql.Observation()
-    val lineage = spark.read.parquet(sigPath).filter(col("epoch") === epoch)
+    val lineage = readSignatures(spark, stateDir).filter(col("epoch") === epoch)
       .groupBy("part_id")
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("epoch", lit(epoch))
@@ -358,7 +462,7 @@ object Checkpoints {
         .withColumn("epoch", lit(math.max(0L, nextEpoch(spark, stateDir) - 1))))
 
     backupDir.foreach { bd =>
-      spark.read.parquet(signaturesPath(stateDir))
+      readSignatures(spark, stateDir)
         .join(graft.actions.Actions.tombstones(executed).select("id"), Seq("id"), "left_semi")
         .write.mode("append").parquet(bd)
     }
@@ -388,7 +492,7 @@ object Checkpoints {
 
   /** The live signature state: persisted signatures minus tombstoned rows. */
   def liveSignatures(spark: SparkSession, stateDir: String): DataFrame = {
-    val sigs = spark.read.parquet(signaturesPath(stateDir))
+    val sigs = readSignatures(spark, stateDir)
     readIfExists(spark, executedPath(stateDir)) match {
       case Some(ex) =>
         sigs.join(graft.actions.Actions.tombstones(ex).select("id"), Seq("id"), "left_anti")
@@ -405,7 +509,7 @@ object Checkpoints {
     * [[liveSignatures]].
     */
   def signaturesAsOf(spark: SparkSession, stateDir: String, epoch: Long): DataFrame = {
-    val sigs = spark.read.parquet(signaturesPath(stateDir))
+    val sigs = readSignatures(spark, stateDir)
       .filter(col("epoch") <= epoch)
     if (exists(spark, executedPath(stateDir))) {
       // mergeSchema: a store whose executed table mixes pre-time-travel
@@ -440,8 +544,10 @@ object Checkpoints {
   def diagnose(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val empty = spark.emptyDataset[String].toDF("id")
-    val sigs = readIfExists(spark, signaturesPath(stateDir))
-      .map(_.select("id")).getOrElse(empty)
+    val sigs =
+      if (exists(spark, signaturesPath(stateDir)))
+        readSignatures(spark, stateDir).select("id")
+      else empty
     val live =
       if (exists(spark, signaturesPath(stateDir)))
         liveSignatures(spark, stateDir).select("id")

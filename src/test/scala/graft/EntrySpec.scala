@@ -59,6 +59,11 @@ class EntrySpec extends SparkTestBase {
     val withPreview = Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--preview-chars", "120")).toOption.get
     assert(Main.toConfig(withPreview).previewChars == 120)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--state-buckets", "0")).isLeft)                                    // must be positive
+    val withBuckets = Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--state-buckets", "64")).toOption.get
+    assert(Main.toConfig(withBuckets).stateBuckets == 64)
   }
 
   test("CLI end-to-end: extract-from html, cluster, execute, diagnose") {
