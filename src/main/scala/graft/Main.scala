@@ -38,6 +38,7 @@ object Main {
       extractFrom: Option[String] = None,
       extractor: String = "html",
       diagnose: Boolean = false,
+      compact: Boolean = false,
       reliable: Boolean = false,
       checkpointDir: Option[String] = None,
       pagesFormat: String = "auto",
@@ -96,7 +97,8 @@ object Main {
 
   private def validate(a: CliArgs): Either[String, CliArgs] =
     if (a.state.isEmpty) Left("--state <dir-uri> is required")
-    else if (a.pages.isEmpty && !a.diagnose) Left("--pages <path-or-table> is required")
+    else if (a.pages.isEmpty && !a.diagnose && !a.compact)
+      Left("--pages <path-or-table> is required")
     else if (!graft.actions.Actions.ValidActions.contains(a.action))
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
     else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
@@ -138,7 +140,7 @@ object Main {
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
           "[--state-buckets <n>] " +
           "[--pages-format auto|parquet|table] | " +
-          "--state <dir-uri> --diagnose")
+          "--state <dir-uri> --diagnose | --state <dir-uri> --compact")
       sys.exit(2)
     case Right(a) =>
       // spark-submit provides the master (spark.master system property);
@@ -169,6 +171,11 @@ object Main {
       // report state consistency and exit without processing anything
       return Checkpoints.diagnose(spark, a.state).collect().toSeq.map(r =>
         s"""{"category":"${r.getString(0)}","n":${r.getLong(1)}}""")
+    if (a.compact) {
+      val (before, after) = Checkpoints.compactSignatures(spark, a.state)
+      return Seq(s"""{"compacted":"signatures","files_before":$before,""" +
+        s""""files_after":$after,"state":"${a.state}"}""")
+    }
     val cfg = toConfig(a)
     // S12 seam: derive the text column from a binary payload column with
     // the selected extractor strategy before the pipeline sees it

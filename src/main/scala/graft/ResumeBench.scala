@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.pipeline.DedupConfig
+import graft.state.Checkpoints
+
+/** Measures the resume primitive (J1) — `new batch LEFT ANTI persisted
+  * state` — at the AT-SCALE join shape, plain vs bucketed state layout
+  * (DedupConfig.stateBuckets), on the standard scaling corpus tier.
+  *
+  * Broadcast is disabled throughout: at the 10^12-doc posture the state
+  * can never broadcast, so the regime that matters is the sort-merge one.
+  * Two timed surfaces per layout, medians of `SPARK_GRAFT_BENCH_REPS`:
+  *
+  *  - `discover`: the pure read-only anti-join (scan batch → extract →
+  *    anti-join state → count). Apples-to-apples: both layouts pay the
+  *    identical batch-side work; the delta is the state-side exchange the
+  *    bucketed layout removes. Shuffle write/read byte totals from the
+  *    task listener are reported per rep as the direct ledger evidence.
+  *  - `epoch`: the full runEpoch (anti-join + fingerprint the 10% new +
+  *    bucketed/plain append + lineage) on a fresh COPY of the state dir
+  *    per rep, so each rep discovers the same new pages.
+  *
+  * Env: SPARK_GRAFT_RESUME_BASE (default 60000 bases ⇒ 660k-page state),
+  * SPARK_GRAFT_MASTER (default local[32]), SPARK_GRAFT_BENCH_REPS (3).
+  * Prints ONE JSON line.
+  */
+object ResumeBench {
+
+  def main(args: Array[String]): Unit = {
+    val numBase = sys.env.getOrElse("SPARK_GRAFT_RESUME_BASE", "60000").toLong
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = Bench.sessionForMaster(master)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    val fullPath = Bench.materializePages(spark, numBase, s"$tmp/full")
+    val batchPath = Bench.materializePages(spark, numBase * 11 / 10, s"$tmp/batch")
+    def pagesFrame(path: String) =
+      spark.read.parquet(path).select(col("url"),
+        graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
+
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+
+    val cores = Bench.coresOf(master)
+    case class Line(name: String, discover: Seq[Double], epoch: Seq[Double],
+                    shuffleWriteMb: Seq[Double], shuffleReadMb: Seq[Double])
+    val lines = Seq(
+      ("plain", DedupConfig()),
+      ("bucketed", DedupConfig(stateBuckets = cores))
+    ).map { case (name, cfg) =>
+      val base = java.nio.file.Paths.get(tmp, s"state_$name")
+      Checkpoints.runEpoch(spark, pagesFrame(fullPath), "url", "text",
+        base.toString, cfg)
+
+      // read-only discover: warmup once, then reps timed with the ledger
+      def discoverOnce(): (Double, Double, Double) = {
+        Bench.dropPipelineState(spark)
+        val t0 = System.nanoTime()
+        val (_, l) = TaskSkewListener.measure(spark) {
+          pagesFrame(batchPath)
+            .join(Checkpoints.readSignatures(spark, base.toString)
+              .select(col("id").as("url")), Seq("url"), "left_anti")
+            .count()
+        }
+        ((System.nanoTime() - t0) / 1e9,
+          l.totalShuffleWriteBytes.get() / 1e6, l.totalShuffleReadBytes.get() / 1e6)
+      }
+      discoverOnce() // warmup (codegen + file listing)
+      val disc = (1 to reps).map(_ => discoverOnce())
+
+      val epochs = (1 to reps).map { rep =>
+        Bench.dropPipelineState(spark)
+        val dir = java.nio.file.Paths.get(tmp, s"state_${name}_r$rep")
+        copyDir(base, dir)
+        val t0 = System.nanoTime()
+        val (nNew, _) = Checkpoints.runEpoch(spark, pagesFrame(batchPath),
+          "url", "text", dir.toString, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(nNew > 0, s"$name rep $rep resumed nothing")
+        sec
+      }
+      Line(name, disc.map(_._1), epochs, disc.map(_._2), disc.map(_._3))
+    }
+
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val nPages = numBase * graft.pages.PagesGen.variantKinds.length
+    val fields = lines.map { l =>
+      s""""${l.name}":{"discover_sec":${f"${med(l.discover)}%.2f"},""" +
+        s""""discover_runs":${arr(l.discover)},""" +
+        s""""epoch_sec":${f"${med(l.epoch)}%.2f"},"epoch_runs":${arr(l.epoch)},""" +
+        s""""shuffle_write_mb":${arr(l.shuffleWriteMb)},""" +
+        s""""shuffle_read_mb":${arr(l.shuffleReadMb)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"resume_bench","state_pages":$nPages,""" +
+      s""""master":"$master","reps":$reps,$fields}""")
+    spark.stop()
+  }
+}

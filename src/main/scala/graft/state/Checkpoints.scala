@@ -579,6 +579,95 @@ object Checkpoints {
       .select(col("category"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Compact the signatures table back to its minimal file count — the
+    * maintenance half of an append-only store's lifecycle (≙ Iceberg
+    * rewrite_data_files; reference flush/compact cadence, lib.rs:178-223).
+    * A nightly-epoch store accrues one file per bucket (bucketed layout)
+    * or per task (plain) PER EPOCH; after a year the per-bucket file
+    * count — open() round-trips and footer reads, not data volume —
+    * dominates scan planning on an object store. The rewrite preserves
+    * every row including the `epoch` column, so [[signaturesAsOf]] time
+    * travel is unaffected, and keeps the recorded layout (bucketed stays
+    * bucketed on the same N).
+    *
+    * Crash-safe swap: the rewrite lands in a sibling temp dir, the live
+    * dir renames to `.old`, the temp renames into place, then `.old` is
+    * deleted — a crash leaves either the old or the new table readable at
+    * the live path (plus at most a stale temp/`.old` that the next
+    * compact removes). Runs under the writer lease.
+    *
+    * @return (filesBefore, filesAfter)
+    */
+  def compactSignatures(spark: SparkSession, stateDir: String): (Long, Long) =
+    withStateLock(spark, stateDir) {
+      val sigPath = signaturesPath(stateDir)
+      val (fs, live) = fsFor(spark, sigPath)
+      require(fs.exists(live), s"no signatures table at $sigPath")
+      val tmp = new Path(sigPath + ".compact.tmp")
+      val old = new Path(sigPath + ".compact.old")
+      // leftovers from a crashed prior compact: the live path is
+      // authoritative, both siblings are safe to drop
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+
+      def countFiles(p: Path): Long = {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = countFiles(live)
+
+      val buckets = signatureBuckets(spark, stateDir)
+      if (buckets > 0) {
+        // SHUFFLE-FREE rewrite: force the bucketed scan on (the
+        // DisableUnnecessaryBucketedScan planner rule only credits joins/
+        // aggregates, not V1 writes — left to its default it re-reads the
+        // table as size-based splits that MIX buckets, and each write task
+        // then emits one file per bucket present: measured 19 files for 8
+        // buckets instead of 8). With the bucketed scan pinned, each task
+        // reads exactly one bucket's files and rewrites them as one file —
+        // zero exchange; the repartition below is elided as redundant and
+        // stands only as the correctness net if the scan loses its
+        // partitioning.
+        val autoBucketedKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prevAuto = spark.conf.get(autoBucketedKey)
+        val tmpTbl = sigTableName(spark, stateDir) + "_compact"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+        try {
+          spark.conf.set(autoBucketedKey, "false")
+          readSignatures(spark, stateDir)
+            .repartition(buckets, col("id"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(buckets, "id").sortBy("id")
+            .option("path", tmp.toString)
+            .saveAsTable(tmpTbl)
+        } finally spark.conf.set(autoBucketedKey, prevAuto)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      } else {
+        // plain layout: pack to ~128 MB files (object-store-friendly)
+        val bytes = fs.getContentSummary(live).getLength
+        val parts = math.max(1L, bytes / (128L << 20)).toInt
+        spark.read.parquet(sigPath).repartition(parts)
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"compact swap failed: rename $live -> $old")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live) // roll back; the rewrite is abandoned
+        throw new java.io.IOException(s"compact swap failed: rename $tmp -> $live")
+      }
+      fs.delete(old, true)
+      val after = countFiles(live)
+      if (buckets > 0) spark.catalog.refreshTable(ensureSigTable(spark, stateDir, buckets))
+      // no "new_signatures" key: compaction must not advance the epoch
+      // counter (nextEpoch counts signature-commit lines only)
+      appendManifest(spark, stateDir,
+        s"""{"compacted":"signatures","files_before":$before,"files_after":$after}""")
+      (before, after)
+    }
+
   /** Manifest lines, oldest first; empty if no manifest yet. Falls back to
     * the `.bak` copy if a crash interrupted a commit between its two
     * renames (see [[appendManifest]]) — at most the crashed commit's own

@@ -106,6 +106,67 @@ class BucketedStateSpec extends SparkTestBase {
     }
   }
 
+  test("compaction: files collapse to one per bucket; rows, epochs, resume intact") {
+    val dir = tempDir()
+    val epochs = Seq(4L, 7L, 9L).map { n =>
+      PagesGen.pages(spark, n, seed = 35L, tokensPerDoc = 60).toDF()
+    }
+    epochs.foreach(p => Checkpoints.runEpoch(spark, p, "url", "text", dir, bucketed))
+    def files() = new java.io.File(Checkpoints.signaturesPath(dir))
+      .listFiles().map(_.getName).count(_.endsWith(".parquet"))
+    // one file per NON-EMPTY bucket per epoch (small epochs can leave a
+    // bucket empty, so the pre-compact count is bounded, not exact)
+    assert(files() > 8 && files() <= 3 * 8,
+      s"expected one file per non-empty bucket per epoch, got ${files()}")
+    val before = Checkpoints.readSignatures(spark, dir)
+      .select("id", "content_hash", "epoch")
+      .as[(String, String, Long)].collect().toSet
+    val asOf1Before = Checkpoints.signaturesAsOf(spark, dir, 1L)
+      .select("id").as[String].collect().toSet
+
+    val (nb, na) = Checkpoints.compactSignatures(spark, dir)
+    assert(na <= 8 && na < nb, s"compact reported ($nb, $na)")
+    assert(files() == na)
+    // exactly one file per non-empty bucket — the shuffle-free per-bucket
+    // rewrite (a repeated bucket suffix means tasks mixed buckets again)
+    val bucketIds = new java.io.File(Checkpoints.signaturesPath(dir))
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.replaceAll(".*_(\\d{5})\\..*", "$1"))
+    assert(bucketIds.distinct.length == bucketIds.length,
+      s"multiple files for one bucket after compact: ${bucketIds.sorted.mkString(",")}")
+    val after = Checkpoints.readSignatures(spark, dir)
+      .select("id", "content_hash", "epoch")
+      .as[(String, String, Long)].collect().toSet
+    assert(after == before, "compaction changed the table content")
+    // epoch column survives → time travel unaffected; epoch counter did not
+    // advance; resume over the compacted store is still a no-op
+    val asOf1After = Checkpoints.signaturesAsOf(spark, dir, 1L)
+      .select("id").as[String].collect().toSet
+    assert(asOf1After == asOf1Before, "compaction broke time travel")
+    val (n3, _) = Checkpoints.runEpoch(spark, epochs.last, "url", "text", dir, bucketed)
+    assert(n3 == 0L, s"resume after compaction must be a no-op, got $n3")
+  }
+
+  test("compaction: plain layout packs files; crash leftovers are swept") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 6L, seed = 36L, tokensPerDoc = 60).toDF()
+    Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    Checkpoints.runEpoch(spark,
+      PagesGen.pages(spark, 9L, seed = 36L, tokensPerDoc = 60).toDF(),
+      "url", "text", dir)
+    // a stale temp dir from a crashed compact must not break the next one
+    val staleTmp = new java.io.File(Checkpoints.signaturesPath(dir) + ".compact.tmp")
+    staleTmp.mkdirs()
+    val before = Checkpoints.readSignatures(spark, dir)
+      .select("id", "epoch").as[(String, Long)].collect().toSet
+    val (nb, na) = Checkpoints.compactSignatures(spark, dir)
+    assert(na < nb, s"compact did not reduce files ($nb -> $na)")
+    assert(!staleTmp.exists(), "stale temp dir survived compaction")
+    val after = Checkpoints.readSignatures(spark, dir)
+      .select("id", "epoch").as[(String, Long)].collect().toSet
+    assert(after == before)
+  }
+
   test("layout is sticky per state dir; forceRescan re-layouts") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 4L, seed = 34L, tokensPerDoc = 60).toDF()
