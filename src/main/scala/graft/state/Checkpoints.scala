@@ -109,15 +109,26 @@ object Checkpoints {
     "graft_sigs_" + digest.take(6).map(b => f"$b%02x").mkString
   }
 
-  /** Register (if absent) the bucketed signatures table over the existing
-    * state files and return its name. Schema comes from the parquet footers
-    * so registration works in a session that has never written this state.
+  /** Companion table name for the executed-actions table (same naming
+    * scheme as [[sigTableName]]; both id-keyed tables share the store's
+    * one recorded bucket layout).
     */
-  private def ensureSigTable(spark: SparkSession, stateDir: String, buckets: Int): String = {
-    val tbl = sigTableName(spark, stateDir)
+  private[graft] def execTableName(spark: SparkSession, stateDir: String): String = {
+    val (_, root) = fsFor(spark, executedPath(stateDir))
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(root.toString.getBytes(UTF_8))
+    "graft_exec_" + digest.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Register (if absent) a bucketed table over existing state files and
+    * return its name. Schema comes from the parquet footers so
+    * registration works in a session that has never written this state.
+    */
+  private def ensureBucketedTable(spark: SparkSession, tbl: String, path: String,
+                                  buckets: Int): String = {
     if (!spark.catalog.tableExists(tbl)) {
-      val schema = spark.read.parquet(signaturesPath(stateDir)).schema
-      val (_, root) = fsFor(spark, signaturesPath(stateDir))
+      val schema = spark.read.parquet(path).schema
+      val (_, root) = fsFor(spark, path)
       spark.sql(
         s"""CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET
            |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
@@ -127,6 +138,27 @@ object Checkpoints {
     // the file listing; the lease serializes writers, not readers
     spark.catalog.refreshTable(tbl)
     tbl
+  }
+
+  private def ensureSigTable(spark: SparkSession, stateDir: String, buckets: Int): String =
+    ensureBucketedTable(spark, sigTableName(spark, stateDir),
+      signaturesPath(stateDir), buckets)
+
+  /** Layout-aware read of the executed-actions table; None if no action
+    * ever executed. The executed table shares the store's bucket layout:
+    * its hottest consumer is [[liveSignatures]]'s tombstone anti-join on
+    * `id` — with BOTH scans carrying HashPartitioning(id, N), the live
+    * view is computed with zero exchange (pinned by BucketedStateSpec).
+    */
+  def readExecuted(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    if (!exists(spark, executedPath(stateDir))) None
+    else {
+      val b = signatureBuckets(spark, stateDir)
+      if (b > 0)
+        Some(spark.table(ensureBucketedTable(spark,
+          execTableName(spark, stateDir), executedPath(stateDir), b)))
+      else readIfExists(spark, executedPath(stateDir))
+    }
   }
 
   /** Layout-aware scan of the persisted signatures. In the bucketed layout
@@ -440,7 +472,7 @@ object Checkpoints {
         cfg.copy(checkpointDir = s"$stateDir/_spark_checkpoints")
       else cfg
     val plan = spark.read.parquet(actionsPath(stateDir))
-    val pending = readIfExists(spark, executedPath(stateDir)) match {
+    val pending = readExecuted(spark, stateDir) match {
       case Some(prior) =>
         val settled = prior.filter(col("success") ||
           col("error").isin("missing_id", "missing_original"))
@@ -472,8 +504,18 @@ object Checkpoints {
       count(lit(1))).first()
     val nExecuted = r.getLong(0)
     val nFailed = r.getLong(1) - nExecuted
-    if (nExecuted + nFailed > 0)
-      executed.write.mode("append").parquet(executedPath(stateDir))
+    if (nExecuted + nFailed > 0) {
+      val b = signatureBuckets(spark, stateDir)
+      if (b > 0)
+        // the executed table follows the store's bucket layout (see
+        // [[readExecuted]]); one writer task per bucket, same as signatures
+        executed.repartition(b, col("id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(b, "id").sortBy("id")
+          .option("path", executedPath(stateDir))
+          .saveAsTable(execTableName(spark, stateDir))
+      else executed.write.mode("append").parquet(executedPath(stateDir))
+    }
     appendManifest(spark, stateDir,
       s"""{"executed":$nExecuted,"failed":$nFailed}""")
     (nExecuted, nFailed)
@@ -485,7 +527,7 @@ object Checkpoints {
     */
   def tombstones(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    readIfExists(spark, executedPath(stateDir))
+    readExecuted(spark, stateDir)
       .map(graft.actions.Actions.tombstones)
       .getOrElse(Seq.empty[(String, String, String)].toDF("id", "original_id", "action"))
   }
@@ -493,7 +535,7 @@ object Checkpoints {
   /** The live signature state: persisted signatures minus tombstoned rows. */
   def liveSignatures(spark: SparkSession, stateDir: String): DataFrame = {
     val sigs = readSignatures(spark, stateDir)
-    readIfExists(spark, executedPath(stateDir)) match {
+    readExecuted(spark, stateDir) match {
       case Some(ex) =>
         sigs.join(graft.actions.Actions.tombstones(ex).select("id"), Seq("id"), "left_anti")
       case None => sigs
@@ -512,13 +554,18 @@ object Checkpoints {
     val sigs = readSignatures(spark, stateDir)
       .filter(col("epoch") <= epoch)
     if (exists(spark, executedPath(stateDir))) {
-      // mergeSchema: a store whose executed table mixes pre-time-travel
-      // files (no epoch column) with epoch-stamped appends must see the
-      // union schema deterministically — and un-stamped rows must count as
-      // epoch 0 (all-history), not NULL (filtered out, which would silently
-      // resurrect their tombstoned rows in every snapshot)
-      val ex = spark.read.option("mergeSchema", "true")
-        .parquet(executedPath(stateDir))
+      // mergeSchema (plain layout): a store whose executed table mixes
+      // pre-time-travel files (no epoch column) with epoch-stamped appends
+      // must see the union schema deterministically — and un-stamped rows
+      // must count as epoch 0 (all-history), not NULL (filtered out, which
+      // would silently resurrect their tombstoned rows in every snapshot).
+      // Bucketed stores postdate time travel (every executed row is
+      // epoch-stamped), so the catalog read suffices there.
+      val ex =
+        if (signatureBuckets(spark, stateDir) > 0)
+          readExecuted(spark, stateDir).get
+        else spark.read.option("mergeSchema", "true")
+          .parquet(executedPath(stateDir))
       val inScope =
         if (ex.columns.contains("epoch"))
           ex.filter(coalesce(col("epoch"), lit(0L)) <= epoch)
@@ -579,11 +626,12 @@ object Checkpoints {
       .select(col("category"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
-  /** Compact the signatures table back to its minimal file count — the
-    * maintenance half of an append-only store's lifecycle (≙ Iceberg
-    * rewrite_data_files; reference flush/compact cadence, lib.rs:178-223).
-    * A nightly-epoch store accrues one file per bucket (bucketed layout)
-    * or per task (plain) PER EPOCH; after a year the per-bucket file
+  /** Compact the id-keyed state tables (signatures + executed, when
+    * present) back to their minimal file count — the maintenance half of
+    * an append-only store's lifecycle (≙ Iceberg rewrite_data_files;
+    * reference flush/compact cadence, lib.rs:178-223). A nightly-epoch
+    * store accrues one file per bucket (bucketed layout) or per task
+    * (plain) PER EPOCH AND TABLE; after a year the per-bucket file
     * count — open() round-trips and footer reads, not data volume —
     * dominates scan planning on an object store. The rewrite preserves
     * every row including the `epoch` column, so [[signaturesAsOf]] time
@@ -600,72 +648,93 @@ object Checkpoints {
     */
   def compactSignatures(spark: SparkSession, stateDir: String): (Long, Long) =
     withStateLock(spark, stateDir) {
-      val sigPath = signaturesPath(stateDir)
-      val (fs, live) = fsFor(spark, sigPath)
-      require(fs.exists(live), s"no signatures table at $sigPath")
-      val tmp = new Path(sigPath + ".compact.tmp")
-      val old = new Path(sigPath + ".compact.old")
-      // leftovers from a crashed prior compact: the live path is
-      // authoritative, both siblings are safe to drop
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(old)) fs.delete(old, true)
-
-      def countFiles(p: Path): Long = {
-        val it = fs.listFiles(p, true)
-        var n = 0L
-        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-        n
-      }
-      val before = countFiles(live)
-
+      require(exists(spark, signaturesPath(stateDir)),
+        s"no signatures table at ${signaturesPath(stateDir)}")
       val buckets = signatureBuckets(spark, stateDir)
-      if (buckets > 0) {
-        // SHUFFLE-FREE rewrite: force the bucketed scan on (the
-        // DisableUnnecessaryBucketedScan planner rule only credits joins/
-        // aggregates, not V1 writes — left to its default it re-reads the
-        // table as size-based splits that MIX buckets, and each write task
-        // then emits one file per bucket present: measured 19 files for 8
-        // buckets instead of 8). With the bucketed scan pinned, each task
-        // reads exactly one bucket's files and rewrites them as one file —
-        // zero exchange; the repartition below is elided as redundant and
-        // stands only as the correctness net if the scan loses its
-        // partitioning.
-        val autoBucketedKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-        val prevAuto = spark.conf.get(autoBucketedKey)
-        val tmpTbl = sigTableName(spark, stateDir) + "_compact"
-        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-        try {
-          spark.conf.set(autoBucketedKey, "false")
-          readSignatures(spark, stateDir)
-            .repartition(buckets, col("id"))
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(buckets, "id").sortBy("id")
-            .option("path", tmp.toString)
-            .saveAsTable(tmpTbl)
-        } finally spark.conf.set(autoBucketedKey, prevAuto)
-        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-      } else {
-        // plain layout: pack to ~128 MB files (object-store-friendly)
-        val bytes = fs.getContentSummary(live).getLength
-        val parts = math.max(1L, bytes / (128L << 20)).toInt
-        spark.read.parquet(sigPath).repartition(parts)
-          .write.mode("overwrite").parquet(tmp.toString)
+
+      def compactOne(path: String, read: => DataFrame, tmpTbl: String,
+                     refresh: => Unit): (Long, Long) = {
+        val (fs, live) = fsFor(spark, path)
+        val tmp = new Path(path + ".compact.tmp")
+        val old = new Path(path + ".compact.old")
+        // leftovers from a crashed prior compact: the live path is
+        // authoritative, both siblings are safe to drop
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        if (fs.exists(old)) fs.delete(old, true)
+
+        def countFiles(p: Path): Long = {
+          val it = fs.listFiles(p, true)
+          var n = 0L
+          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+          n
+        }
+        val before = countFiles(live)
+
+        if (buckets > 0) {
+          // SHUFFLE-FREE rewrite: force the bucketed scan on (the
+          // DisableUnnecessaryBucketedScan planner rule only credits joins/
+          // aggregates, not V1 writes — left to its default it re-reads the
+          // table as size-based splits that MIX buckets, and each write task
+          // then emits one file per bucket present: measured 19 files for 8
+          // buckets instead of 8). With the bucketed scan pinned, each task
+          // reads exactly one bucket's files and rewrites them as one file —
+          // zero exchange; the repartition below is elided as redundant and
+          // stands only as the correctness net if the scan loses its
+          // partitioning.
+          val autoBucketedKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+          val prevAuto = spark.conf.get(autoBucketedKey)
+          spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          try {
+            spark.conf.set(autoBucketedKey, "false")
+            read
+              .repartition(buckets, col("id"))
+              .write.mode("overwrite").format("parquet")
+              .bucketBy(buckets, "id").sortBy("id")
+              .option("path", tmp.toString)
+              .saveAsTable(tmpTbl)
+          } finally spark.conf.set(autoBucketedKey, prevAuto)
+          spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+        } else {
+          // plain layout: pack to ~128 MB files (object-store-friendly)
+          val bytes = fs.getContentSummary(live).getLength
+          val parts = math.max(1L, bytes / (128L << 20)).toInt
+          read.repartition(parts)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
+
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"compact swap failed: rename $live -> $old")
+        if (!fs.rename(tmp, live)) {
+          fs.rename(old, live) // roll back; the rewrite is abandoned
+          throw new java.io.IOException(s"compact swap failed: rename $tmp -> $live")
+        }
+        fs.delete(old, true)
+        val after = countFiles(live)
+        if (buckets > 0) refresh
+        (before, after)
       }
 
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(s"compact swap failed: rename $live -> $old")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(old, live) // roll back; the rewrite is abandoned
-        throw new java.io.IOException(s"compact swap failed: rename $tmp -> $live")
-      }
-      fs.delete(old, true)
-      val after = countFiles(live)
-      if (buckets > 0) spark.catalog.refreshTable(ensureSigTable(spark, stateDir, buckets))
+      val (sb, sa) = compactOne(signaturesPath(stateDir),
+        readSignatures(spark, stateDir),
+        sigTableName(spark, stateDir) + "_compact",
+        ensureSigTable(spark, stateDir, buckets))
+      // the executed table accrues files the same way (one per bucket per
+      // executed epoch) and is read by every liveSignatures call
+      val (eb, ea) =
+        if (exists(spark, executedPath(stateDir)))
+          compactOne(executedPath(stateDir),
+            readExecuted(spark, stateDir).get,
+            execTableName(spark, stateDir) + "_compact",
+            ensureBucketedTable(spark, execTableName(spark, stateDir),
+              executedPath(stateDir), buckets))
+        else (0L, 0L)
+
       // no "new_signatures" key: compaction must not advance the epoch
       // counter (nextEpoch counts signature-commit lines only)
       appendManifest(spark, stateDir,
-        s"""{"compacted":"signatures","files_before":$before,"files_after":$after}""")
-      (before, after)
+        s"""{"compacted":"signatures+executed","files_before":${sb + eb},""" +
+          s""""files_after":${sa + ea}}""")
+      (sb + eb, sa + ea)
     }
 
   /** Manifest lines, oldest first; empty if no manifest yet. Falls back to

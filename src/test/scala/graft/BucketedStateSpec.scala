@@ -106,6 +106,58 @@ class BucketedStateSpec extends SparkTestBase {
     }
   }
 
+  test("executed table shares the layout: liveSignatures is a ZERO-exchange join") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 6L, seed = 37L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, bucketed,
+      action = "delete")
+    val (nExec, nFail) = Checkpoints.executeEpoch(spark, dir, None, bucketed)
+    assert(nExec > 0 && nFail == 0, s"setup: executed $nExec, failed $nFail")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val live = Checkpoints.liveSignatures(spark, dir)
+      val exchanges = live.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"live view must join bucket-aligned with zero exchange:\n" +
+          live.queryExecution.executedPlan)
+      // and it still computes the right thing
+      val nSigs = Checkpoints.readSignatures(spark, dir).count()
+      assert(live.count() == nSigs - nExec)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    // cross-session: drop BOTH catalog entries; the marker re-registers both
+    spark.sql(s"DROP TABLE IF EXISTS ${Checkpoints.sigTableName(spark, dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${Checkpoints.execTableName(spark, dir)}")
+    assert(Checkpoints.liveSignatures(spark, dir).count() > 0)
+    // time travel still scopes bucketed-layout tombstones by epoch
+    val asOf = Checkpoints.signaturesAsOf(spark, dir, 0L)
+    assert(asOf.count() > 0)
+
+    // compaction covers the executed table too, and the live view (with
+    // its tombstone join over the compacted store) is unchanged
+    val liveBefore = Checkpoints.liveSignatures(spark, dir)
+      .select("id").as[String].collect().toSet
+    val (nb, na) = Checkpoints.compactSignatures(spark, dir)
+    // single-epoch store: already minimal, so compact must be a no-op in
+    // count (the multi-epoch reduction property is pinned by the dedicated
+    // compaction tests above)
+    assert(na <= nb, s"compact grew the file count ($nb -> $na)")
+    val execFiles = new java.io.File(Checkpoints.executedPath(dir))
+      .listFiles().map(_.getName).count(_.endsWith(".parquet"))
+    assert(execFiles <= 8, s"executed table not compacted: $execFiles files")
+    val liveAfter = Checkpoints.liveSignatures(spark, dir)
+      .select("id").as[String].collect().toSet
+    assert(liveAfter == liveBefore, "compaction changed the live view")
+  }
+
   test("compaction: files collapse to one per bucket; rows, epochs, resume intact") {
     val dir = tempDir()
     val epochs = Seq(4L, 7L, 9L).map { n =>
