@@ -43,6 +43,28 @@ object PlanAudit {
     show("id_dictionary (encode plan)",
       graft.pipeline.DedupPipeline.idDictionaryPlan(
         docs.select(org.apache.spark.sql.functions.col("doc_id").cast("string"))))
+
+    // bucketed state layout (round 5c): the resume anti-join must show ONE
+    // exchange (incoming side only; state scan carries its bucketing) and
+    // the live view ZERO (both id-keyed tables bucket-aligned). Audited at
+    // the at-scale shape: broadcast off (a 10^12-doc state never
+    // broadcasts), AQE off so the compile-time plan is the visible one.
+    {
+      import org.apache.spark.sql.functions.col
+      val stateDir = java.nio.file.Files.createTempDirectory("plan-audit-state").toString
+      val pages = graft.pages.PagesGen.pages(spark, 20L, seed = 5L, tokensPerDoc = 60).toDF()
+      val cfg = graft.pipeline.DedupConfig(stateBuckets = 8)
+      graft.state.Checkpoints.clusterEpoch(spark, pages, "url", "text", stateDir, cfg,
+        action = "delete")
+      graft.state.Checkpoints.executeEpoch(spark, stateDir, None, cfg)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      show("bucketed_resume_anti_join (one exchange, incoming side)",
+        pages.join(graft.state.Checkpoints.readSignatures(spark, stateDir)
+          .select(col("id").as("url")), Seq("url"), "left_anti"))
+      show("bucketed_live_view (zero exchange)",
+        graft.state.Checkpoints.liveSignatures(spark, stateDir))
+    }
     spark.stop()
   }
 }
