@@ -161,6 +161,20 @@ object Checkpoints {
     }
   }
 
+  /** Point lookup over the signature store — the reference's
+    * `find_new_images` chunked RocksDB point-lookups (db.rs:132-164)
+    * re-expressed for the bucketed layout: an id equality/IN predicate
+    * prunes the scan to the matching buckets (`SelectedBucketsCount:
+    * k out of N` in the plan), reading ~k/N of the store's files — the
+    * closest a distributed columnar store gets to an O(1) keyed get, and
+    * what makes "inspect these 50 urls" interactive on a 10^12-row store.
+    * Plain layout falls back to a full scan with the filter pushed to
+    * parquet. Pruning is pinned by BucketedStateSpec.
+    */
+  def signaturesFor(spark: SparkSession, stateDir: String,
+                    ids: Seq[String]): DataFrame =
+    readSignatures(spark, stateDir).filter(col("id").isin(ids: _*))
+
   /** Layout-aware scan of the persisted signatures. In the bucketed layout
     * the scan carries HashPartitioning(id, N), so the resume/tombstone/
     * as-of anti-joins on `id` need no exchange on the state side — the

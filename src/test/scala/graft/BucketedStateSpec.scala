@@ -219,6 +219,27 @@ class BucketedStateSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("point lookup prunes to the id's bucket (SelectedBucketsCount)") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 8L, seed = 38L, tokensPerDoc = 60).toDF()
+    Checkpoints.runEpoch(spark, pages, "url", "text", dir, bucketed)
+    val anyId = Checkpoints.readSignatures(spark, dir)
+      .select("id").orderBy("id").limit(1).as[String].collect().head
+    val hit = Checkpoints.signaturesFor(spark, dir, Seq(anyId))
+    assert(hit.count() == 1L)
+    // the scan must read ONE bucket of eight, not the whole store: the
+    // pruning bitmap (optionalBucketSet) drives file skipping whether or
+    // not the plan keeps the bucketed output shape
+    val scans = hit.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pruned = scans.head.optionalBucketSet
+    assert(pruned.exists(_.cardinality() == 1),
+      s"expected a 1-of-8 bucket pruning bitmap, got " +
+        pruned.map(b => s"${b.cardinality()} bucket(s)").getOrElse("no bitmap"))
+  }
+
   test("layout is sticky per state dir; forceRescan re-layouts") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 4L, seed = 34L, tokensPerDoc = 60).toDF()
