@@ -45,7 +45,8 @@ object Main {
       containmentCap: Option[Int] = None,
       noEstimateTier: Boolean = false,
       previewChars: Option[Int] = None,
-      stateBuckets: Option[Int] = None)
+      stateBuckets: Option[Int] = None,
+      deltaCluster: Boolean = false)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -71,6 +72,7 @@ object Main {
       case "--fast-path" :: t        => loop(t, acc.copy(fastPath = true))
       case "--force-rescan" :: t     => loop(t, acc.copy(forceRescan = true))
       case "--diagnose" :: t         => loop(t, acc.copy(diagnose = true))
+      case "--compact" :: t          => loop(t, acc.copy(compact = true))
       // preemptible-cluster posture: reliable checkpoint() instead of
       // executor-local blocks (dir defaults to <state>/_spark_checkpoints)
       case "--reliable" :: t          => loop(t, acc.copy(reliable = true))
@@ -89,6 +91,10 @@ object Main {
       case "--state-buckets" :: v :: t =>
         v.toIntOption.toRight(s"--state-buckets: not an int: $v")
           .flatMap(b => loop(t, acc.copy(stateBuckets = Some(b))))
+      // delta-incremental clustering: near-pair discovery runs only over
+      // this epoch's re-verify frontier; prior connectivity enters
+      // union-find as assignment edges (epoch cost scales with the delta)
+      case "--delta-cluster" :: t     => loop(t, acc.copy(deltaCluster = true))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -125,7 +131,8 @@ object Main {
     val withC = a.containmentCap.fold(withH)(c => withH.copy(containmentMaxBucket = c))
     val withP = a.previewChars.fold(withC)(p => withC.copy(previewChars = p))
     val withB = a.stateBuckets.fold(withP)(b => withP.copy(stateBuckets = b))
-    if (a.noEstimateTier) withB.copy(estimateTier = false) else withB
+    val withD = if (a.deltaCluster) withB.copy(deltaCluster = true) else withB
+    if (a.noEstimateTier) withD.copy(estimateTier = false) else withD
   }
 
   def main(args: Array[String]): Unit = parse(args.toIndexedSeq) match {
@@ -138,7 +145,7 @@ object Main {
           "[--jaccard <0..1>] [--max-hamming <int>] " +
           "[--extract-from <binary-col>] [--extractor html|plaintext] " +
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
-          "[--state-buckets <n>] " +
+          "[--state-buckets <n>] [--delta-cluster] " +
           "[--pages-format auto|parquet|table] | " +
           "--state <dir-uri> --diagnose | --state <dir-uri> --compact")
       sys.exit(2)

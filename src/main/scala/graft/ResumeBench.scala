@@ -93,6 +93,31 @@ object ResumeBench {
       Line(name, disc.map(_._1), epochs, disc.map(_._2), disc.map(_._3))
     }
 
+    // delta-vs-full epoch CLUSTERING at the same tier — the flagship
+    // incremental claim (epoch cost scales with the delta, not the
+    // corpus). Production join defaults here (broadcast back on): the
+    // delta machinery's semi-joins are delta-sized, and broadcasting them
+    // IS the at-scale plan.
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val clusterBase = java.nio.file.Paths.get(tmp, "state_cluster")
+    Checkpoints.clusterEpoch(spark, pagesFrame(fullPath), "url", "text",
+      clusterBase.toString)
+    val clusterLines = Seq(
+      ("cluster_full", DedupConfig()),
+      ("cluster_delta", DedupConfig(deltaCluster = true))
+    ).map { case (name, cfg) =>
+      val runs = (1 to reps).map { rep =>
+        Bench.dropPipelineState(spark)
+        val dir = java.nio.file.Paths.get(tmp, s"state_${name}_r$rep")
+        copyDir(clusterBase, dir)
+        val t0 = System.nanoTime()
+        Checkpoints.clusterEpoch(spark, pagesFrame(batchPath), "url", "text",
+          dir.toString, cfg)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, runs)
+    }
+
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val nPages = numBase * graft.pages.PagesGen.variantKinds.length
@@ -103,8 +128,18 @@ object ResumeBench {
         s""""shuffle_write_mb":${arr(l.shuffleWriteMb)},""" +
         s""""shuffle_read_mb":${arr(l.shuffleReadMb)}}"""
     }.mkString(",")
+    val clusterFields = clusterLines.map { case (name, runs) =>
+      s""""$name":{"epoch_sec":${f"${med(runs)}%.2f"},"epoch_runs":${arr(runs)}}"""
+    }.mkString(",")
     println(s"""{"metric":"resume_bench","state_pages":$nPages,""" +
-      s""""master":"$master","reps":$reps,$fields}""")
+      s""""master":"$master","reps":$reps,$fields,$clusterFields}""")
     spark.stop()
+    // a 660k-tier run leaves ~10-16 GB of corpora + state copies; repeated
+    // sessions fill the disk if the tool doesn't clean up after itself
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    } catch { case e: Exception => System.err.println(s"[resume-bench] cleanup: $e") }
   }
 }

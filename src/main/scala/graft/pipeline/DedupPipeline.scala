@@ -111,7 +111,20 @@ case class DedupConfig(
     // keeps plain parquet — right for small states where a broadcast
     // anti-join wins anyway. Size N so one bucket ≈ 100-300 MB at the
     // target corpus (e.g. 4096 buckets per PB-scale signature table).
-    stateBuckets: Int = 0) {
+    stateBuckets: Int = 0,
+    // delta-incremental clustering (Checkpoints.clusterEpoch): near-pair
+    // discovery + verify run only over the re-verify frontier — docs new
+    // this epoch, members of clusters invalidated by executed removals,
+    // and their bucket mates — while the prior epoch's connectivity enters
+    // union-find as assignment edges. Epoch clustering cost then scales
+    // with the DELTA, not the corpus: at the 10^12-doc posture a full
+    // re-cluster re-bands and re-pairs the whole corpus nightly, which is
+    // exactly the cost curve an append-mostly crawl cannot afford.
+    // Component-equivalent to the full re-cluster while thresholds stay
+    // unchanged (DeltaClusterSpec); after changing similarity knobs run
+    // one full epoch (deltaCluster = false) — same cadence discipline as
+    // any compaction. Ignored on the first epoch (nothing to delta from).
+    deltaCluster: Boolean = false) {
   require(stateBuckets >= 0, "stateBuckets must be >= 0")
   require(bands * rowsPerBand <= numPerms,
     s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
@@ -184,17 +197,14 @@ object DedupPipeline {
     *              absent, shingle-set containment decides alone (weaker:
     *              can over-accept reordered-block pairs).
     */
-  def nearEdges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
-                texts: Option[DataFrame] = None,
-                mat: Materializer = Materializer.local): DataFrame = {
-    // Rows without shingles cannot be banded or verified: they are
-    // fast-path-persisted state (fastPath stores empty arrays). Empty
-    // arrays must NEVER enter banding — they'd share constant band keys
-    // and ShingleOverlap on two empty sets reads as jaccard 1.0, mass-
-    // merging every fast-path row. Genuine empty TEXT never reaches here
-    // (quarantined upstream; and even "" yields one whole-doc shingle);
-    // clusterFromParts routes the excluded rows through the simhash tier.
-    val banded = sigs.filter(size(col("shingles")) > 0)
+  /** All discovery-channel band rows for SHINGLED signatures — minhash
+    * bands [0, bands), the prefix band (= bands) and anchor bands
+    * (= bands+1): (id, simhash, band, band_hash). One shared definition so
+    * pair generation ([[nearEdges]]) and the delta-cluster frontier
+    * selection ([[bucketMates]]) always agree on the bucket space — a
+    * channel added here is automatically part of both.
+    */
+  private[graft] def fullBandRows(banded: DataFrame, cfg: DedupConfig): DataFrame = {
     val slim = banded.select("id", "minhash", "simhash")
     val minhashBands = LSH.explodeBands(slim, "id", "minhash",
       cfg.bands, cfg.rowsPerBand, carry = Seq("simhash"))
@@ -214,8 +224,64 @@ object DedupPipeline {
         lit(cfg.bands + 1).as("band"),
         explode(LSH.anchorBandHashes(col("shingles"), cfg.anchorModulus))
           .as("band_hash")))
-    val exploded = anchorBands
-      .foldLeft(minhashBands.unionByName(prefixBand))(_ unionByName _)
+    anchorBands.foldLeft(minhashBands.unionByName(prefixBand))(_ unionByName _)
+  }
+
+  /** Ids sharing ANY discovery bucket — every full channel plus the
+    * fast-tier SimHash slices — with the focus set: the delta-cluster
+    * re-verify frontier. Both semi-joins broadcast (focus and the hot
+    * bucket keys are delta-sized), so selecting the frontier never
+    * shuffles the corpus-wide banding projection — the whole point of the
+    * delta mode at the 10^12-doc posture.
+    */
+  def bucketMates(spark: SparkSession, sigs: DataFrame, focusIds: DataFrame,
+                  cfg: DedupConfig, includeFastChannel: Boolean = false): DataFrame = {
+    // all-channel band rows of a frame: full channels for shingled rows,
+    // plus — ONLY when the store mixes in fast-path rows, mirroring the
+    // pairing tiers exactly — the fast-tier simhash slices (offset past
+    // every full channel so the bucket spaces stay disjoint). The fast
+    // channel must stay out of pure-full stores: a 16-bit slice holds
+    // ~n/65536 docs, so at 726k docs unconditional inclusion pulled ~44
+    // mates per focus slice and the frontier engulfed the corpus
+    // (measured: delta near-edges 42 s ≈ full's 45 s, win erased).
+    def channels(df: DataFrame): DataFrame = {
+      val full = fullBandRows(df.filter(size(col("shingles")) > 0), cfg)
+        .select("id", "band", "band_hash")
+      if (!includeFastChannel && !cfg.fastPath) full
+      else {
+        val fast = df.select(col("id"), col("simhash"))
+          .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
+          .withColumn("band_hash",
+            LSH.slicedBandHash("simhash", "band", 64 / cfg.fastPathBands))
+          .withColumn("band", col("band") + lit(1000))
+          .select("id", "band", "band_hash")
+        full.unionByName(fast)
+      }
+    }
+    val focus = focusIds.toDF("id")
+    // hot buckets from the FOCUS subset only — banding hashes (anchor
+    // winnowing in particular scans each doc's whole shingle array) are
+    // the dominant cost of this function, so the store-wide pass must
+    // happen exactly once, below, not twice (measured: the unrestricted
+    // two-pass variant cost as much as the pair generation it replaced)
+    val hot = channels(sigs.join(focus, Seq("id"), "left_semi"))
+      .select("band", "band_hash").distinct()
+    channels(sigs).join(hot, Seq("band", "band_hash"), "left_semi")
+      .select("id").distinct()
+  }
+
+  def nearEdges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
+                texts: Option[DataFrame] = None,
+                mat: Materializer = Materializer.local): DataFrame = {
+    // Rows without shingles cannot be banded or verified: they are
+    // fast-path-persisted state (fastPath stores empty arrays). Empty
+    // arrays must NEVER enter banding — they'd share constant band keys
+    // and ShingleOverlap on two empty sets reads as jaccard 1.0, mass-
+    // merging every fast-path row. Genuine empty TEXT never reaches here
+    // (quarantined upstream; and even "" yields one whole-doc shingle);
+    // clusterFromParts routes the excluded rows through the simhash tier.
+    val banded = sigs.filter(size(col("shingles")) > 0)
+    val exploded = fullBandRows(banded, cfg)
     // cheap prefilter pushed INSIDE pair generation: 64-bit SimHash Hamming
     // (reference PHash::is_similar, processing/types.rs:47-58) runs on each
     // bucket self-join's output BEFORE the cross-band distinct, so the pair
@@ -570,6 +636,93 @@ object DedupPipeline {
     result
   }
 
+  /** Delta-incremental variant of [[clusterSignatures]]: epoch clustering
+    * cost scales with the DELTA, not the corpus.
+    *
+    *  - Near-pair discovery + verify run only over the re-verify
+    *    frontier: `focusSids` (docs new this epoch plus members of
+    *    clusters invalidated by executed removals), lifted to their
+    *    content-hash representatives, plus every doc sharing ANY
+    *    discovery bucket with one of them ([[bucketMates]] — all LSH
+    *    channels, fast tier included, so a channel added later is
+    *    automatically covered).
+    *  - The prior epoch's connectivity enters union-find as `assignEdges`
+    *    (member ↔ cluster_id pairs in string-id space; cluster labels are
+    *    themselves min-ids of live docs, so the dictionary covers them).
+    *    Union-find over (exact ∪ frontier-near ∪ assignment) edges yields
+    *    the same connected components as the full re-derivation: old-old
+    *    connectivity is the transitive closure the assignments already
+    *    encode, and any pair involving a changed doc is re-derived.
+    *  - Exact edges, kind labeling and representative selection recompute
+    *    over the full universe — single-exchange aggregates, the cheap
+    *    part — so kinds and representatives stay EXACTLY equivalent.
+    *
+    * Equivalence holds while similarity thresholds are unchanged since
+    * the epoch that produced `assignEdges` (induction: every old-old pair
+    * was discoverable then and is folded into its cluster's closure).
+    * After changing knobs, run one full epoch — the same cadence
+    * discipline as compaction. Pinned by DeltaClusterSpec.
+    */
+  def clusterSignaturesDelta(spark: SparkSession, stateSigs: DataFrame,
+                             focusSids: DataFrame, assignEdges: DataFrame,
+                             texts: Option[DataFrame],
+                             cfg: DedupConfig = DedupConfig(),
+                             orderCols: Seq[org.apache.spark.sql.Column] =
+                               Seq(col("order_len").desc, col("id").asc)): DataFrame = {
+    val mat = cfg.materializer(spark)
+    val dict = idDictionary(stateSigs.select(col("id")))
+    val keyed = stateSigs
+      .select(col("id").as("sid"), col("order_len"), col("content_hash"),
+        col("simhash"), col("minhash"), col("shingles"))
+      .join(dict, "sid")
+    val slim = keyed.select("id", "order_len", "content_hash").cache()
+    val hashGroups = hashGroupsOf(slim)
+    val repSigs = keyed
+      .select("id", "simhash", "minhash", "shingles")
+      .join(hashGroups.select("id"), Seq("id"), "left_semi")
+      .cache()
+    // focus → coded → content-hash representatives: a focus doc that is
+    // not its hash group's rep reaches the rep by an exact edge, and the
+    // rep's near neighbourhood is already encoded in the assignments
+    val focusCoded = focusSids.toDF("sid").join(dict, "sid").select("id")
+    val focusReps = slim.join(focusCoded, Seq("id"), "left_semi")
+      .select("id", "content_hash")
+      .join(hashGroups.select(col("content_hash"), col("id").as("rep_id")),
+        "content_hash")
+      .select(col("rep_id").as("id")).distinct()
+    // CACHE the frontier and the banded subset: nearEdges consumes its
+    // input in ~10 places (banding, estimate-tier joins, shingle fetch,
+    // pair-gen internals) and each re-evaluation would otherwise re-run
+    // the whole mates DAG — measured 10x the full path at bench scale
+    // before these two materializations
+    val hasFastRows =
+      repSigs.filter(size(col("shingles")) === 0).limit(1).count() > 0
+    val frontier = bucketMates(spark, repSigs, focusReps, cfg,
+      includeFastChannel = hasFastRows)
+      .union(focusReps).distinct().cache()
+    // MATERIALIZE the subset (not just cache): a live semi-join plan
+    // carries a near-zero size estimate into nearEdges' internal joins and
+    // flips them to pathological broadcasts; the checkpointed frame gets
+    // honest stats, same as the full path's materialization points
+    val subsetReps = mat(repSigs.join(frontier, Seq("id"), "left_semi"))
+    val codedAssign = assignEdges.toDF("sid_a", "sid_b")
+      .join(dict.select(col("sid").as("sid_a"), col("id").as("a")), "sid_a")
+      .join(dict.select(col("sid").as("sid_b"), col("id").as("b")), "sid_b")
+      .select("a", "b")
+    val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
+      .select("id", "norm_text"))
+    val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,
+      cfg, orderCols, mat, mayHaveFastRows = true,
+      bandSigsOverride = Some(subsetReps), extraEdges = Some(codedAssign))
+    val result = decode(coded, dict, mat)
+    frontier.unpersist()
+    repSigs.unpersist()
+    hashGroups.unpersist()
+    slim.unpersist()
+    dict.unpersist()
+    result
+  }
+
   /** Shared pipeline tail: exact edges from the slim universe, near edges
     * from rep signatures, union-find, kind labeling, representative window.
     *
@@ -583,7 +736,16 @@ object DedupPipeline {
                                texts: Option[DataFrame], cfg: DedupConfig,
                                orderCols: Seq[org.apache.spark.sql.Column],
                                mat: Materializer = Materializer.local,
-                               mayHaveFastRows: Boolean = true): DataFrame = {
+                               mayHaveFastRows: Boolean = true,
+                               // delta mode (clusterSignaturesDelta): band
+                               // and verify only this (CACHED) subset of
+                               // repSigs — nearEdges consumes its input
+                               // ~10 times, so the caller must materialize
+                               // the subset, never pass a live semi-join...
+                               bandSigsOverride: Option[DataFrame] = None,
+                               // ...and splice the prior epoch's
+                               // connectivity in as ready-made (a, b) edges
+                               extraEdges: Option[DataFrame] = None): DataFrame = {
     def tick[T](name: String)(f: => T): T =
       if (sys.env.contains("GRAFT_TIMING")) {
         val t0 = System.nanoTime()
@@ -593,11 +755,12 @@ object DedupPipeline {
       } else f
 
     val exact = Clustering.exactEdges(slim, "id", "content_hash")
+    val bandSigs = bandSigsOverride.getOrElse(repSigs)
     val near = tick("near edges (LSH+verify)") {
       val edges =
-        if (cfg.fastPath) nearEdgesFast(spark, repSigs, cfg, mat)
+        if (cfg.fastPath) nearEdgesFast(spark, bandSigs, cfg, mat)
         else {
-          val full = nearEdges(spark, repSigs, cfg, texts, mat)
+          val full = nearEdges(spark, bandSigs, cfg, texts, mat)
           // MIXED state: rows persisted by a fast-path epoch carry no
           // shingles and are excluded from minhash banding (see nearEdges);
           // when any exist, ALL rows additionally go through the simhash
@@ -607,12 +770,12 @@ object DedupPipeline {
           // fresh full-path runs skip it statically (driver-job floor).
           val hasFastRows = mayHaveFastRows &&
             repSigs.filter(size(col("shingles")) === 0).limit(1).count() > 0
-          if (hasFastRows) full.union(nearEdgesFast(spark, repSigs, cfg, mat))
+          if (hasFastRows) full.union(nearEdgesFast(spark, bandSigs, cfg, mat))
           else full
         }
       mat(edges, eager = false)
     }
-    val edges = exact.union(near)
+    val edges = extraEdges.foldLeft(exact.union(near))(_ union _)
 
     val clustered = tick("union-find") {
       Clustering.clusters(spark, slim, "id", edges, cfg.maxUnionFindIters, mat)

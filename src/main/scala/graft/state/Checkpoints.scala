@@ -401,7 +401,34 @@ object Checkpoints {
     // and direct new duplicates at originals that no longer exist)
     val stateSigs = liveSignatures(spark, stateDir)
     val texts = DedupPipeline.normTexts(pages, idCol, textCol, cfg0)
-    val clusters = DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg0)
+    // delta-incremental clustering (cfg.deltaCluster): re-derive near
+    // edges only for the re-verify frontier — this epoch's new docs plus
+    // members of clusters invalidated by executed removals (a removal can
+    // sever the only path connecting surviving members, so those clusters
+    // cannot trust their old assignment edges) — and splice the stable
+    // clusters' connectivity in as assignment edges. Falls back to the
+    // full re-cluster on the first epoch or under forceRescan.
+    val clusters =
+      if (cfg0.deltaCluster && !cfg0.forceRescan &&
+          exists(spark, clustersPath(stateDir))) {
+        val epoch = nextEpoch(spark, stateDir) - 1 // runEpoch just committed it
+        val newSids = readSignatures(spark, stateDir)
+          .filter(col("epoch") === epoch).select(col("id").as("sid"))
+        val prior = spark.read.parquet(clustersPath(stateDir))
+        val tombs = tombstones(spark, stateDir).select("id")
+        val affected = prior.join(tombs, Seq("id"), "left_semi")
+          .select("cluster_id").distinct()
+        val liveMembers = prior.join(tombs, Seq("id"), "left_anti")
+        val invalidated = liveMembers
+          .join(affected, Seq("cluster_id"), "left_semi")
+          .select(col("id").as("sid"))
+        val stable = liveMembers.join(affected, Seq("cluster_id"), "left_anti")
+        val focus = newSids.union(invalidated).distinct()
+        val assigns = stable.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("sid_a"), col("cluster_id").as("sid_b"))
+        DedupPipeline.clusterSignaturesDelta(
+          spark, stateSigs, focus, assigns, Some(texts), cfg0)
+      } else DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg0)
 
     clusters.write.mode("overwrite").parquet(clustersPath(stateDir))
     graft.actions.Actions.plan(clusters, action, dryRun = true)

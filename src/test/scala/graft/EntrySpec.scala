@@ -64,6 +64,12 @@ class EntrySpec extends SparkTestBase {
     val withBuckets = Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--state-buckets", "64")).toOption.get
     assert(Main.toConfig(withBuckets).stateBuckets == 64)
+    val withDelta = Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--delta-cluster")).toOption.get
+    assert(Main.toConfig(withDelta).deltaCluster)
+    // maintenance modes need no --pages
+    assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
+    assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state
   }
 
   test("CLI end-to-end: extract-from html, cluster, execute, diagnose") {
