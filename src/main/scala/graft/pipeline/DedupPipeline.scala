@@ -234,30 +234,41 @@ object DedupPipeline {
     * shuffles the corpus-wide banding projection — the whole point of the
     * delta mode at the 10^12-doc posture.
     */
+  /** All-channel band rows of a signatures frame: full channels for
+    * shingled rows, plus — when `includeFast` — the fast-tier SimHash
+    * slices for EVERY row, offset past every full channel (band >= 1000)
+    * so the bucket spaces stay disjoint. One shared definition serves live
+    * frontier selection ([[bucketMates]]) and the persisted band index
+    * ([[graft.state.Checkpoints.ensureBandIndex]]); band hashes are pure
+    * functions of the signature columns, never of the id, so rows computed
+    * in string-id space and dictionary-code space agree.
+    */
+  private[graft] def allChannelBandRows(df: DataFrame, cfg: DedupConfig,
+                                        includeFast: Boolean): DataFrame = {
+    val full = fullBandRows(df.filter(size(col("shingles")) > 0), cfg)
+      .select("id", "band", "band_hash")
+    if (!includeFast) full
+    else {
+      val fast = df.select(col("id"), col("simhash"))
+        .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
+        .withColumn("band_hash",
+          LSH.slicedBandHash("simhash", "band", 64 / cfg.fastPathBands))
+        .withColumn("band", col("band") + lit(1000))
+        .select("id", "band", "band_hash")
+      full.unionByName(fast)
+    }
+  }
+
   def bucketMates(spark: SparkSession, sigs: DataFrame, focusIds: DataFrame,
                   cfg: DedupConfig, includeFastChannel: Boolean = false): DataFrame = {
-    // all-channel band rows of a frame: full channels for shingled rows,
-    // plus — ONLY when the store mixes in fast-path rows, mirroring the
-    // pairing tiers exactly — the fast-tier simhash slices (offset past
-    // every full channel so the bucket spaces stay disjoint). The fast
-    // channel must stay out of pure-full stores: a 16-bit slice holds
+    // the fast channel joins in ONLY when the store mixes in fast-path
+    // rows (or the run itself is fast-path), mirroring the pairing tiers
+    // exactly. It must stay out of pure-full stores: a 16-bit slice holds
     // ~n/65536 docs, so at 726k docs unconditional inclusion pulled ~44
     // mates per focus slice and the frontier engulfed the corpus
     // (measured: delta near-edges 42 s ≈ full's 45 s, win erased).
-    def channels(df: DataFrame): DataFrame = {
-      val full = fullBandRows(df.filter(size(col("shingles")) > 0), cfg)
-        .select("id", "band", "band_hash")
-      if (!includeFastChannel && !cfg.fastPath) full
-      else {
-        val fast = df.select(col("id"), col("simhash"))
-          .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
-          .withColumn("band_hash",
-            LSH.slicedBandHash("simhash", "band", 64 / cfg.fastPathBands))
-          .withColumn("band", col("band") + lit(1000))
-          .select("id", "band", "band_hash")
-        full.unionByName(fast)
-      }
-    }
+    def channels(df: DataFrame): DataFrame =
+      allChannelBandRows(df, cfg, includeFastChannel || cfg.fastPath)
     val focus = focusIds.toDF("id")
     // hot buckets from the FOCUS subset only — banding hashes (anchor
     // winnowing in particular scans each doc's whole shingle array) are
@@ -614,14 +625,21 @@ object DedupPipeline {
     val dict = idDictionary(stateSigs.select(col("id")))
     val keyed = stateSigs
       .select(col("id").as("sid"), col("order_len"), col("content_hash"),
-        col("simhash"), col("minhash"), col("shingles"))
+        col("n_shingles"), col("simhash"), col("minhash"), col("shingles"))
       .join(dict, "sid")
-    val slim = keyed.select("id", "order_len", "content_hash").cache()
-    val hashGroups = hashGroupsOf(slim)
+    // n_shingles rides the slim cache so the mixed-state probe below never
+    // touches the wide shingle column (a size(shingles)==0 probe over a
+    // pure-full store short-circuits NOTHING — it reads every array before
+    // concluding there are no fast rows)
+    val slim = keyed.select("id", "order_len", "content_hash", "n_shingles").cache()
+    val hashGroups = hashGroupsOf(slim.select("id", "order_len", "content_hash"))
+    // NOT cached: in index mode the wide columns are read exactly once (the
+    // frontier-subset fetch); a corpus-wide cache fill of KB-scale shingle
+    // rows was the delta epoch's single biggest fixed cost (~8 s at the
+    // 220k tier, measured) and amortizes nothing
     val repSigs = keyed
       .select("id", "simhash", "minhash", "shingles")
       .join(hashGroups.select("id"), Seq("id"), "left_semi")
-      .cache()
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
     // persisted state MAY mix fast-path (shingle-less) and full epochs —
@@ -668,19 +686,33 @@ object DedupPipeline {
                              texts: Option[DataFrame],
                              cfg: DedupConfig = DedupConfig(),
                              orderCols: Seq[org.apache.spark.sql.Column] =
-                               Seq(col("order_len").desc, col("id").asc)): DataFrame = {
+                               Seq(col("order_len").desc, col("id").asc),
+                             // persisted (sid, band, band_hash) rows
+                             // (Checkpoints.ensureBandIndex): mates come
+                             // from a slim index semi-join instead of
+                             // re-banding the corpus — the frontier pass
+                             // stops re-winnowing every doc's shingle
+                             // array every epoch
+                             bandIndex: Option[DataFrame] = None): DataFrame = {
     val mat = cfg.materializer(spark)
     val dict = idDictionary(stateSigs.select(col("id")))
     val keyed = stateSigs
       .select(col("id").as("sid"), col("order_len"), col("content_hash"),
-        col("simhash"), col("minhash"), col("shingles"))
+        col("n_shingles"), col("simhash"), col("minhash"), col("shingles"))
       .join(dict, "sid")
-    val slim = keyed.select("id", "order_len", "content_hash").cache()
-    val hashGroups = hashGroupsOf(slim)
+    // n_shingles rides the slim cache so the mixed-state probe below never
+    // touches the wide shingle column (a size(shingles)==0 probe over a
+    // pure-full store short-circuits NOTHING — it reads every array before
+    // concluding there are no fast rows)
+    val slim = keyed.select("id", "order_len", "content_hash", "n_shingles").cache()
+    val hashGroups = hashGroupsOf(slim.select("id", "order_len", "content_hash"))
+    // NOT cached: in index mode the wide columns are read exactly once (the
+    // frontier-subset fetch); a corpus-wide cache fill of KB-scale shingle
+    // rows was the delta epoch's single biggest fixed cost (~8 s at the
+    // 220k tier, measured) and amortizes nothing
     val repSigs = keyed
       .select("id", "simhash", "minhash", "shingles")
       .join(hashGroups.select("id"), Seq("id"), "left_semi")
-      .cache()
     // focus → coded → content-hash representatives: a focus doc that is
     // not its hash group's rep reaches the rep by an exact edge, and the
     // rep's near neighbourhood is already encoded in the assignments
@@ -695,24 +727,62 @@ object DedupPipeline {
     // pair-gen internals) and each re-evaluation would otherwise re-run
     // the whole mates DAG — measured 10x the full path at bench scale
     // before these two materializations
+    def tick[T](name: String)(f: => T): T =
+      if (sys.env.contains("GRAFT_TIMING")) {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[run] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      } else f
     val hasFastRows =
-      repSigs.filter(size(col("shingles")) === 0).limit(1).count() > 0
-    val frontier = bucketMates(spark, repSigs, focusReps, cfg,
-      includeFastChannel = hasFastRows)
-      .union(focusReps).distinct().cache()
+      slim.filter(col("n_shingles") === 0).limit(1).count() > 0
+    val frontier = tick("delta frontier (mates)") {
+      val includeFast = hasFastRows || cfg.fastPath
+      val mates = bandIndex match {
+        case Some(ix) =>
+          // the frontier never touches a wide column OR a hash kernel: the
+          // focus docs' hot bucket keys are READ from the index (their rows
+          // are, by the index invariant, exactly allChannelBandRows of
+          // their signatures — and a non-rep focus doc has identical text,
+          // hence identical rows, to its hash-group rep), and mates are the
+          // index rows sharing those keys. Two passes over a ~20 B/row
+          // table replace a corpus-wide shingle-winnowing pass AND a
+          // corpus-wide wide-column cache fill. Index rows of tombstoned
+          // docs and of non-representatives only widen the frontier
+          // (dropped at the subset semi-join below).
+          val ixc = if (includeFast) ix else ix.filter(col("band") < 1000)
+          val hot = ixc.join(
+            broadcast(focusSids.toDF("id")), Seq("id"), "left_semi")
+            .select("band", "band_hash").distinct()
+          ixc.join(hot, Seq("band", "band_hash"), "left_semi")
+            .select(col("id").as("sid")).distinct()
+            .join(dict, "sid").select("id")
+        case None =>
+          bucketMates(spark, repSigs, focusReps, cfg,
+            includeFastChannel = hasFastRows)
+      }
+      val f = mates.union(focusReps).distinct().cache()
+      // force the cache only when attributing time; production defers it
+      // into the subset materialization below
+      if (sys.env.contains("GRAFT_TIMING")) f.count()
+      f
+    }
     // MATERIALIZE the subset (not just cache): a live semi-join plan
     // carries a near-zero size estimate into nearEdges' internal joins and
     // flips them to pathological broadcasts; the checkpointed frame gets
     // honest stats, same as the full path's materialization points
-    val subsetReps = mat(repSigs.join(frontier, Seq("id"), "left_semi"))
+    val subsetReps = tick("delta subset mat") {
+      mat(repSigs.join(frontier, Seq("id"), "left_semi")) }
     val codedAssign = assignEdges.toDF("sid_a", "sid_b")
       .join(dict.select(col("sid").as("sid_a"), col("id").as("a")), "sid_a")
       .join(dict.select(col("sid").as("sid_b"), col("id").as("b")), "sid_b")
       .select("a", "b")
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
+    // pass the already-computed fast-row answer down: when false,
+    // clusterFromParts skips its own blocking mixed-state probe statically
     val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,
-      cfg, orderCols, mat, mayHaveFastRows = true,
+      cfg, orderCols, mat, mayHaveFastRows = hasFastRows,
       bandSigsOverride = Some(subsetReps), extraEdges = Some(codedAssign))
     val result = decode(coded, dict, mat)
     frontier.unpersist()

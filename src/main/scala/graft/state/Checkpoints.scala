@@ -33,6 +33,8 @@ object Checkpoints {
   def previewsPath(stateDir: String) = s"$stateDir/previews"
   def actionsPath(stateDir: String) = s"$stateDir/actions"
   def executedPath(stateDir: String) = s"$stateDir/executed"
+  def bandsPath(stateDir: String) = s"$stateDir/bands"
+  def bandsMarkerPath(stateDir: String) = s"$stateDir/_bands.json"
   def manifestPath(stateDir: String) = s"$stateDir/_manifest.jsonl"
   def lockPath(stateDir: String) = s"$stateDir/_lock"
   def layoutPath(stateDir: String) = s"$stateDir/_layout.json"
@@ -427,8 +429,16 @@ object Checkpoints {
         val assigns = stable.filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("sid_a"), col("cluster_id").as("sid_b"))
         DedupPipeline.clusterSignaturesDelta(
-          spark, stateSigs, focus, assigns, Some(texts), cfg0)
-      } else DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg0)
+          spark, stateSigs, focus, assigns, Some(texts), cfg0,
+          bandIndex = Some(ensureBandIndex(spark, stateDir, cfg0)))
+      } else {
+        // keep the index warm on full/first epochs too (when the flag is
+        // set): the NEXT delta epoch then starts from a delta-sized append
+        // instead of a corpus-wide bootstrap pass
+        if (cfg0.deltaCluster && !cfg0.forceRescan)
+          ensureBandIndex(spark, stateDir, cfg0)
+        DedupPipeline.clusterSignatures(spark, stateSigs, Some(texts), cfg0)
+      }
 
     clusters.write.mode("overwrite").parquet(clustersPath(stateDir))
     graft.actions.Actions.plan(clusters, action, dryRun = true)
@@ -583,6 +593,83 @@ object Checkpoints {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Persisted band index — the delta-cluster frontier's slim lookup table.
+  //
+  // (id, band, band_hash) for every discovery channel of every persisted
+  // signature (~tens of bytes/row vs the KB-scale shingle arrays they
+  // derive from). Without it, every delta epoch re-winnows every doc's
+  // shingle array just to FIND the frontier — measured 10.5 s of the
+  // 42 s delta epoch at the 220k tier, erasing the mode's win; with it,
+  // frontier selection is a slim scan + broadcast semi-join. The index is
+  // maintained append-only per epoch and is a pure function of the
+  // signatures table + the channel knobs, so it can always be rebuilt.
+  // ------------------------------------------------------------------
+
+  /** The channel-shape knobs the index rows depend on; a mismatch with a
+    * later run's config invalidates the index (it is rebuilt, same cadence
+    * discipline as delta clustering itself after knob changes).
+    */
+  private def channelKnobsJson(cfg: DedupConfig): String =
+    s"""{"bands":${cfg.bands},"rows_per_band":${cfg.rowsPerBand},""" +
+      s""""prefix_band_shingles":${cfg.prefixBandShingles},""" +
+      s""""anchor_modulus":${cfg.anchorModulus},""" +
+      s""""fast_path_bands":${cfg.fastPathBands}}"""
+
+  /** Band index covering every committed epoch, building or repairing as
+    * needed; returns the index frame (id, band, band_hash).
+    *
+    *  - no marker / knob mismatch → full rebuild from the signatures table
+    *    (bootstrap, or the documented post-knob-change full pass);
+    *  - marker behind the epoch counter (an interleaved non-delta epoch, or
+    *    a crash between the signature commit and the index append) → append
+    *    just the missing epochs' rows. The repair is idempotent: a replayed
+    *    append only duplicates rows, and every consumer is a semi-join.
+    *
+    * Tombstoned docs keep their index rows (they only widen the frontier;
+    * live-state semi-joins drop them downstream) — [[compactSignatures]]
+    * prunes them during maintenance. The marker is written AFTER the data,
+    * so a crash can only leave the index behind, never ahead.
+    */
+  def ensureBandIndex(spark: SparkSession, stateDir: String,
+                      cfg: DedupConfig): DataFrame = {
+    val lastEpoch = nextEpoch(spark, stateDir) - 1
+    val knobs = channelKnobsJson(cfg)
+    val (fs, mp) = fsFor(spark, bandsMarkerPath(stateDir))
+    val marker: Option[(String, Long)] =
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        for {
+          k <- """"knobs":(\{[^}]*\})""".r.findFirstMatchIn(txt).map(_.group(1))
+          e <- """"through_epoch":(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        } yield (k, e)
+      }
+    def rows(sigs: DataFrame) =
+      DedupPipeline.allChannelBandRows(sigs, cfg, includeFast = true)
+    def writeMarker(): Unit = {
+      val out = fs.create(mp, true)
+      try out.write(
+        s"""{"knobs":$knobs,"through_epoch":$lastEpoch}""".getBytes(UTF_8))
+      finally out.close()
+    }
+    marker match {
+      case Some((k, through)) if k == knobs && through >= lastEpoch => ()
+      case Some((k, through)) if k == knobs =>
+        rows(readSignatures(spark, stateDir).filter(col("epoch") > through))
+          .write.mode("append").parquet(bandsPath(stateDir))
+        writeMarker()
+      case _ =>
+        rows(readSignatures(spark, stateDir))
+          .write.mode("overwrite").parquet(bandsPath(stateDir))
+        writeMarker()
+    }
+    spark.read.parquet(bandsPath(stateDir))
+  }
+
   /** SNAPSHOT read — the signature state exactly as of `epoch`, inclusive
     * (Iceberg-style time travel over the epoch manifest, which is this
     * store's snapshot log: every row carries the epoch that committed it,
@@ -694,7 +781,7 @@ object Checkpoints {
       val buckets = signatureBuckets(spark, stateDir)
 
       def compactOne(path: String, read: => DataFrame, tmpTbl: String,
-                     refresh: => Unit): (Long, Long) = {
+                     refresh: => Unit, tableBuckets: Int): (Long, Long) = {
         val (fs, live) = fsFor(spark, path)
         val tmp = new Path(path + ".compact.tmp")
         val old = new Path(path + ".compact.old")
@@ -711,7 +798,7 @@ object Checkpoints {
         }
         val before = countFiles(live)
 
-        if (buckets > 0) {
+        if (tableBuckets > 0) {
           // SHUFFLE-FREE rewrite: force the bucketed scan on (the
           // DisableUnnecessaryBucketedScan planner rule only credits joins/
           // aggregates, not V1 writes — left to its default it re-reads the
@@ -728,9 +815,9 @@ object Checkpoints {
           try {
             spark.conf.set(autoBucketedKey, "false")
             read
-              .repartition(buckets, col("id"))
+              .repartition(tableBuckets, col("id"))
               .write.mode("overwrite").format("parquet")
-              .bucketBy(buckets, "id").sortBy("id")
+              .bucketBy(tableBuckets, "id").sortBy("id")
               .option("path", tmp.toString)
               .saveAsTable(tmpTbl)
           } finally spark.conf.set(autoBucketedKey, prevAuto)
@@ -751,14 +838,14 @@ object Checkpoints {
         }
         fs.delete(old, true)
         val after = countFiles(live)
-        if (buckets > 0) refresh
+        if (tableBuckets > 0) refresh
         (before, after)
       }
 
       val (sb, sa) = compactOne(signaturesPath(stateDir),
         readSignatures(spark, stateDir),
         sigTableName(spark, stateDir) + "_compact",
-        ensureSigTable(spark, stateDir, buckets))
+        ensureSigTable(spark, stateDir, buckets), buckets)
       // the executed table accrues files the same way (one per bucket per
       // executed epoch) and is read by every liveSignatures call
       val (eb, ea) =
@@ -767,15 +854,26 @@ object Checkpoints {
             readExecuted(spark, stateDir).get,
             execTableName(spark, stateDir) + "_compact",
             ensureBucketedTable(spark, execTableName(spark, stateDir),
-              executedPath(stateDir), buckets))
+              executedPath(stateDir), buckets), buckets)
+        else (0L, 0L)
+      // the band index accrues files per epoch too, and keeps rows for
+      // tombstoned docs (they only widen the delta frontier): maintenance
+      // prunes both. Plain-parquet rewrite — the index is a semi-join-only
+      // surface, so no layout to preserve.
+      val (ib, ia) =
+        if (exists(spark, bandsPath(stateDir)))
+          compactOne(bandsPath(stateDir),
+            spark.read.parquet(bandsPath(stateDir)).join(
+              tombstones(spark, stateDir).select("id"), Seq("id"), "left_anti"),
+            "unused_bands_compact", (), 0)
         else (0L, 0L)
 
       // no "new_signatures" key: compaction must not advance the epoch
       // counter (nextEpoch counts signature-commit lines only)
       appendManifest(spark, stateDir,
-        s"""{"compacted":"signatures+executed","files_before":${sb + eb},""" +
-          s""""files_after":${sa + ea}}""")
-      (sb + eb, sa + ea)
+        s"""{"compacted":"signatures+executed+bands","files_before":${sb + eb + ib},""" +
+          s""""files_after":${sa + ea + ia}}""")
+      (sb + eb + ib, sa + ea + ia)
     }
 
   /** Manifest lines, oldest first; empty if no manifest yet. Falls back to

@@ -88,6 +88,126 @@ class DeltaClusterSpec extends SparkTestBase {
       "an empty delta epoch must reproduce the clusters table exactly")
   }
 
+  test("fast-path delta epoch ≡ fast-path full re-cluster") {
+    val base = tempDir()
+    val fast = DedupConfig(fastPath = true)
+    val all = PagesGen.pages(spark, 8L, seed = 45L, tokensPerDoc = 120).toDF().cache()
+    val half = all.filter(xxhash64($"url") % 2 === 0)
+    Checkpoints.clusterEpoch(spark, half, "url", "text", base, fast)
+    val fullDir = tempDir() + "/s"
+    val deltaDir = tempDir() + "/s"
+    copyDir(base, fullDir)
+    copyDir(base, deltaDir)
+    Checkpoints.clusterEpoch(spark, all, "url", "text", fullDir, fast)
+    Checkpoints.clusterEpoch(spark, all, "url", "text", deltaDir,
+      fast.copy(deltaCluster = true))
+    assert(clustersOf(deltaDir) == clustersOf(fullDir),
+      "fast-path delta clustering diverged from the fast-path full re-cluster")
+    all.unpersist()
+  }
+
+  test("frontier-selection plan: delta-sized sides broadcast, corpus side never sort-merges") {
+    import graft.pipeline.DedupPipeline
+    val cfg = DedupConfig()
+    val sigs = DedupPipeline.signatures(
+      PagesGen.pages(spark, 8L, seed = 46L, tokensPerDoc = 120).toDF(),
+      "url", "text", cfg)
+    val focus = sigs.select("id").limit(3)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // compile-time plan must already be the at-scale one: the corpus-wide
+      // banding projection joins the (delta-sized) focus and hot-bucket sets
+      // as BROADCAST semi-joins — a sort-merge join here would shuffle the
+      // full corpus's band rows every delta epoch, erasing the mode's point
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val mates = DedupPipeline.bucketMates(spark, sigs, focus, cfg)
+      val plan = mates.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty, s"corpus-side band rows must never sort-merge:\n$plan")
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.length >= 2, s"expected broadcast semi-joins (focus + hot):\n$plan")
+      // only delta-sized rows may exchange on the band keys: every
+      // (band, band_hash)-partitioned shuffle must live INSIDE a broadcast
+      // (hot-side) subtree — a band-keyed shuffle in the main lineage would
+      // be the corpus-wide banding projection repartitioning every epoch.
+      // (Catalyst pushes the semi-join through the channel union, so the
+      // small hot set legitimately re-shuffles once per broadcast branch.)
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      val inBroadcast = plan.collect { case b: BroadcastExchangeExec => b }
+        .flatMap(_.collect { case e: ShuffleExchangeExec => e }).toSet
+      val mainLineage = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(inBroadcast)
+      val bandKeyed = mainLineage.filter(
+        _.outputPartitioning.toString.contains("band"))
+      assert(bandKeyed.isEmpty,
+        s"corpus-wide band rows must never repartition in the main lineage:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("band index: built, gap-repaired across non-delta epochs, rebuilt on knob change") {
+    import graft.pipeline.DedupPipeline
+    val dir = tempDir()
+    val cfg = DedupConfig(deltaCluster = true)
+    val p1 = PagesGen.pages(spark, 5L, seed = 47L, tokensPerDoc = 80).toDF()
+    val p2 = PagesGen.pages(spark, 8L, seed = 47L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, p1, "url", "text", dir, cfg)
+    // first delta epoch bootstraps the index over ALL committed epochs
+    Checkpoints.clusterEpoch(spark, p2, "url", "text", dir, cfg)
+    def indexRows(): Set[(String, Int, Long)] =
+      spark.read.parquet(Checkpoints.bandsPath(dir))
+        .as[(String, Int, Long)].collect().toSet
+    def freshRows(c: DedupConfig): Set[(String, Int, Long)] =
+      DedupPipeline.allChannelBandRows(
+        Checkpoints.readSignatures(spark, dir), c, includeFast = true)
+        .as[(String, Int, Long)].collect().toSet
+    assert(indexRows() == freshRows(cfg),
+      "index after bootstrap must equal freshly computed channel rows")
+
+    // an interleaved NON-delta epoch leaves the index behind; the next
+    // delta epoch's ensure call repairs exactly the gap
+    val p3 = PagesGen.pages(spark, 11L, seed = 47L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, p3, "url", "text", dir) // full mode
+    val p4 = PagesGen.pages(spark, 13L, seed = 47L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, p4, "url", "text", dir, cfg)
+    assert(indexRows() == freshRows(cfg),
+      "gap repair must cover epochs committed while delta mode was off")
+
+    // changing a channel knob invalidates the marker: full rebuild
+    val recfg = cfg.copy(anchorModulus = cfg.anchorModulus + 2)
+    val idx = Checkpoints.ensureBandIndex(spark, dir, recfg)
+    assert(idx.count() == freshRows(recfg).size)
+    assert(indexRows() == freshRows(recfg),
+      "knob change must rebuild the index under the new channel shapes")
+  }
+
+  test("compaction prunes tombstoned docs from the band index") {
+    val dir = tempDir()
+    val cfg = DedupConfig(deltaCluster = true)
+    val pages = PagesGen.pages(spark, 6L, seed = 48L, tokensPerDoc = 80).toDF()
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, cfg, action = "delete")
+    Checkpoints.clusterEpoch(spark, pages, "url", "text", dir, cfg) // builds index
+    val (nExec, _) = Checkpoints.executeEpoch(spark, dir, None)
+    assert(nExec > 0)
+    val tombIds = Checkpoints.tombstones(spark, dir).select("id")
+      .as[String].collect().toSet
+    val before = spark.read.parquet(Checkpoints.bandsPath(dir))
+      .select("id").as[String].collect().toSet
+    assert(tombIds.subsetOf(before), "setup: tombstoned ids were indexed")
+    Checkpoints.compactSignatures(spark, dir)
+    val after = spark.read.parquet(Checkpoints.bandsPath(dir))
+      .select("id").as[String].collect().toSet
+    assert(after.intersect(tombIds).isEmpty, "tombstoned ids must be pruned")
+    assert(after == before.diff(tombIds), "live ids must survive compaction")
+    // and the next delta epoch still works over the compacted index
+    val more = PagesGen.pages(spark, 9L, seed = 48L, tokensPerDoc = 80).toDF()
+    val (_, nc) = Checkpoints.clusterEpoch(spark, more, "url", "text", dir, cfg)
+    assert(nc > 0)
+  }
+
   test("first epoch with deltaCluster set falls back to the full path") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 5L, seed = 44L, tokensPerDoc = 120).toDF()
