@@ -320,11 +320,35 @@ object Bench {
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
 
+    // delta-vs-full epoch clustering at the same +10% batch — the
+    // incremental-clustering headline, per-round. Production join defaults
+    // (broadcast on): the delta machinery's frontier sides are delta-sized
+    // and broadcasting them IS the at-scale plan.
+    val clusterBase = java.nio.file.Paths.get(tmp, "st_cluster")
+    graft.state.Checkpoints.clusterEpoch(spark, pagesFrame(fullPath),
+      "url", "text", clusterBase.toString, DedupConfig(deltaCluster = true))
+    val clusterResults = Seq(
+      ("cluster_epoch_full", DedupConfig()),
+      ("cluster_epoch_delta", DedupConfig(deltaCluster = true))
+    ).map { case (name, cfg) =>
+      val runs = (1 to reps).map { rep =>
+        dropPipelineState(spark)
+        val dir = java.nio.file.Paths.get(tmp, s"st_${name}_r$rep")
+        copyDir(clusterBase, dir)
+        val t0 = System.nanoTime()
+        graft.state.Checkpoints.clusterEpoch(
+          spark, pagesFrame(resumeBatch), "url", "text", dir.toString, cfg)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, runs.sorted.apply(runs.length / 2), runs)
+    }
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
       ("dedup_pipeline_skew" -> skewSec) :++
-      resumeResults.map { case (n, sec, _) => n -> sec }
+      resumeResults.map { case (n, sec, _) => n -> sec } :++
+      clusterResults.map { case (n, sec, _) => n -> sec }
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
@@ -334,7 +358,8 @@ object Bench {
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
       s""""skew":${arr(skewRuns)},""" +
-      resumeResults.map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
+      (resumeResults ++ clusterResults)
+        .map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
         .mkString(",") + "}," +
       s""""skew_max_task_records":$maxSkewRecords,""" +
       s""""skew_max_task_records_per_run":${skewPairs.map(_._2).mkString("[", ",", "]")},""" +

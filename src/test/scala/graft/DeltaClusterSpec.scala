@@ -208,6 +208,25 @@ class DeltaClusterSpec extends SparkTestBase {
     assert(nc > 0)
   }
 
+  test("delta composes with the bucketed state layout") {
+    val base = tempDir()
+    val cfg = DedupConfig(deltaCluster = true, stateBuckets = 8)
+    val all = PagesGen.pages(spark, 8L, seed = 49L, tokensPerDoc = 120).toDF().cache()
+    val half = all.filter(xxhash64($"url") % 2 === 0)
+    Checkpoints.clusterEpoch(spark, half, "url", "text", base, cfg)
+    val fullDir = tempDir() + "/s"
+    val deltaDir = tempDir() + "/s"
+    copyDir(base, fullDir)
+    copyDir(base, deltaDir)
+    // the full control keeps the (sticky) bucket layout but clusters fully
+    Checkpoints.clusterEpoch(spark, all, "url", "text", fullDir,
+      DedupConfig(stateBuckets = 8))
+    Checkpoints.clusterEpoch(spark, all, "url", "text", deltaDir, cfg)
+    assert(clustersOf(deltaDir) == clustersOf(fullDir),
+      "delta clustering diverged from full under the bucketed layout")
+    all.unpersist()
+  }
+
   test("first epoch with deltaCluster set falls back to the full path") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 5L, seed = 44L, tokensPerDoc = 120).toDF()
