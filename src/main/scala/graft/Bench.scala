@@ -327,17 +327,27 @@ object Bench {
     val clusterBase = java.nio.file.Paths.get(tmp, "st_cluster")
     graft.state.Checkpoints.clusterEpoch(spark, pagesFrame(fullPath),
       "url", "text", clusterBase.toString, DedupConfig(deltaCluster = true))
+    // the slice (batch minus corpus), materialized once outside timing —
+    // the slice-fed line's input IS just the new pages; the batch table
+    // rides textsOf as the authoritative text side-channel
+    val slicePath = s"$tmp/resume_slice"
+    spark.read.parquet(resumeBatch)
+      .join(spark.read.parquet(fullPath).select("url"), Seq("url"), "left_anti")
+      .write.mode("overwrite").parquet(slicePath)
     val clusterResults = Seq(
-      ("cluster_epoch_full", DedupConfig()),
-      ("cluster_epoch_delta", DedupConfig(deltaCluster = true))
-    ).map { case (name, cfg) =>
+      ("cluster_epoch_full", DedupConfig(), resumeBatch, None),
+      ("cluster_epoch_delta", DedupConfig(deltaCluster = true), resumeBatch, None),
+      ("cluster_epoch_slice", DedupConfig(deltaCluster = true), slicePath,
+        Some(resumeBatch))
+    ).map { case (name, cfg, inPath, textsPath) =>
       val runs = (1 to reps).map { rep =>
         dropPipelineState(spark)
         val dir = java.nio.file.Paths.get(tmp, s"st_${name}_r$rep")
         copyDir(clusterBase, dir)
         val t0 = System.nanoTime()
         graft.state.Checkpoints.clusterEpoch(
-          spark, pagesFrame(resumeBatch), "url", "text", dir.toString, cfg)
+          spark, pagesFrame(inPath), "url", "text", dir.toString, cfg,
+          textsOf = textsPath.map(pagesFrame))
         (System.nanoTime() - t0) / 1e9
       }
       (name, runs.sorted.apply(runs.length / 2), runs)

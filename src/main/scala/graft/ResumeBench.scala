@@ -111,20 +111,39 @@ object ResumeBench {
     val pctBatches = Seq(
       (10, batchPath),
       (1, Bench.materializePages(spark, numBase * 101 / 100, s"$tmp/batch1")))
+    // the slice (batch minus corpus) per fraction, materialized outside
+    // timing: the slice-fed line feeds ONLY the new pages as input and the
+    // batch table as the authoritative textsOf side-channel — the
+    // 10^12-doc posture, where the full corpus is never re-fed
+    val sliceOf = pctBatches.map { case (pct, path) =>
+      val sp = s"$tmp/slice_$pct"
+      spark.read.parquet(path)
+        .join(spark.read.parquet(fullPath).select("url"), Seq("url"), "left_anti")
+        .write.parquet(sp)
+      pct -> sp
+    }.toMap
     val clusterLines = pctBatches.flatMap { case (pct, path) =>
-      Seq((s"cluster_full_$pct", DedupConfig()),
-          (s"cluster_delta_$pct", DedupConfig(deltaCluster = true)))
-        .map { case (name, cfg) =>
-          val runs = (1 to reps).map { rep =>
+      Seq((s"cluster_full_$pct", DedupConfig(), path, Option.empty[String]),
+          (s"cluster_delta_$pct", DedupConfig(deltaCluster = true), path, None),
+          (s"cluster_slice_$pct", DedupConfig(deltaCluster = true),
+            sliceOf(pct), Some(path)))
+        .map { case (name, cfg, inPath, textsPath) =>
+          // shuffle write bytes ride the task listener per rep: the ledger
+          // evidence that the slice-fed delta epoch stops shuffling the
+          // corpus (batch rows, text bytes) and ships only delta-sized sides
+          val runsL = (1 to reps).map { rep =>
             Bench.dropPipelineState(spark)
             val dir = java.nio.file.Paths.get(tmp, s"state_${name}_r$rep")
             copyDir(clusterBase, dir)
             val t0 = System.nanoTime()
-            Checkpoints.clusterEpoch(spark, pagesFrame(path), "url", "text",
-              dir.toString, cfg)
-            (System.nanoTime() - t0) / 1e9
+            val (_, l) = TaskSkewListener.measure(spark) {
+              Checkpoints.clusterEpoch(spark, pagesFrame(inPath), "url", "text",
+                dir.toString, cfg, textsOf = textsPath.map(pagesFrame))
+            }
+            ((System.nanoTime() - t0) / 1e9,
+              l.totalShuffleWriteBytes.get() / 1e6)
           }
-          (name, runs)
+          (name, runsL.map(_._1), runsL.map(_._2))
         }
     }
 
@@ -138,8 +157,9 @@ object ResumeBench {
         s""""shuffle_write_mb":${arr(l.shuffleWriteMb)},""" +
         s""""shuffle_read_mb":${arr(l.shuffleReadMb)}}"""
     }.mkString(",")
-    val clusterFields = clusterLines.map { case (name, runs) =>
-      s""""$name":{"epoch_sec":${f"${med(runs)}%.2f"},"epoch_runs":${arr(runs)}}"""
+    val clusterFields = clusterLines.map { case (name, runs, shuffleMb) =>
+      s""""$name":{"epoch_sec":${f"${med(runs)}%.2f"},"epoch_runs":${arr(runs)},""" +
+        s""""shuffle_write_mb":${arr(shuffleMb)}}"""
     }.mkString(",")
     println(s"""{"metric":"resume_bench","state_pages":$nPages,""" +
       s""""master":"$master","reps":$reps,$fields,$clusterFields}""")

@@ -777,8 +777,20 @@ object DedupPipeline {
       .join(dict.select(col("sid").as("sid_a"), col("id").as("a")), "sid_a")
       .join(dict.select(col("sid").as("sid_b"), col("id").as("b")), "sid_b")
       .select("a", "b")
-    val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
-      .select("id", "norm_text"))
+    // The SA verify fetch only ever needs FRONTIER rows in delta mode
+    // (every candidate pair is confined to the banded subset), so the text
+    // table is pruned with a frontier-sized (sid, id) slice of the
+    // dictionary — one materialized broadcast-able side doing prune + code
+    // in a single join. Under the slice-fed posture `texts` is the full
+    // authoritative pages table; this join is the ONLY thing that touches
+    // it, as a scan + broadcast hash join — never an O(corpus) shuffle of
+    // text bytes (the unpruned dict join sort-merged the whole text column
+    // every delta epoch, measured in the ResumeBench shuffle ledger).
+    val codedTexts = texts.map { t =>
+      val frontierDict = mat(dict.join(frontier, Seq("id"), "left_semi"))
+      t.toDF("sid", "norm_text").join(frontierDict, "sid")
+        .select("id", "norm_text")
+    }
     // pass the already-computed fast-row answer down: when false,
     // clusterFromParts skips its own blocking mixed-state probe statically
     val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,

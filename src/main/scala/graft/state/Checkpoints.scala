@@ -381,14 +381,30 @@ object Checkpoints {
     * re-cluster from the PERSISTED signature state (fingerprints are never
     * recomputed — clustering alone is re-derived, which is the cheap part)
     * and overwrite the clusters + actions tables. The suffix-array verify
-    * pass fetches normalized text for its ambiguous slice from `pages`,
-    * the authoritative input table.
+    * pass fetches normalized text for its ambiguous slice from `textsOf`
+    * when given, else from `pages`.
+    *
+    * SLICE-FED posture (the 10^12-doc operating mode): pass only the crawl
+    * slice as `pages` — the anti-join, extraction and fingerprinting then
+    * cost O(slice), not O(corpus) — and the authoritative pages table
+    * (e.g. the full lazily-scanned catalog table) as `textsOf`, so the
+    * verify pass can still fetch text for FRONTIER docs from earlier
+    * epochs (a new page's near-mates are old pages whose text is not in
+    * the slice). Under `deltaCluster` the fetch prunes that table to the
+    * frontier before any shuffle, so feeding the full table costs one
+    * column scan, never a corpus shuffle. Without `textsOf`, old-doc
+    * text is simply absent and ambiguous pairs with a missing side fall
+    * back to the shingle-containment decision (documented in
+    * [[DedupPipeline.nearEdges]]) — convergent, but not bit-identical to
+    * the full-fed epoch; DeltaClusterSpec pins that the textsOf route IS
+    * bit-identical.
     *
     * @return (numNewSignatures, numClusters)
     */
   def clusterEpoch(spark: SparkSession, pages: DataFrame, idCol: String, textCol: String,
                    stateDir: String, cfg: DedupConfig = DedupConfig(),
-                   action: String = "symlink"): (Long, Long) =
+                   action: String = "symlink",
+                   textsOf: Option[DataFrame] = None): (Long, Long) =
       withStateLock(spark, stateDir) {
     // reliable-checkpoint mode defaults its dir to live beside the state
     // tables — same filesystem, one tree to clean up
@@ -402,7 +418,8 @@ object Checkpoints {
     // must not re-enter clusters (or worse, win representative selection
     // and direct new duplicates at originals that no longer exist)
     val stateSigs = liveSignatures(spark, stateDir)
-    val texts = DedupPipeline.normTexts(pages, idCol, textCol, cfg0)
+    val texts =
+      DedupPipeline.normTexts(textsOf.getOrElse(pages), idCol, textCol, cfg0)
     // delta-incremental clustering (cfg.deltaCluster): re-derive near
     // edges only for the re-verify frontier — this epoch's new docs plus
     // members of clusters invalidated by executed removals (a removal can

@@ -227,6 +227,30 @@ class DeltaClusterSpec extends SparkTestBase {
     all.unpersist()
   }
 
+  test("slice-fed delta epoch ≡ full-fed full re-cluster (textsOf side-channel)") {
+    val base = tempDir()
+    val cfg = DedupConfig(deltaCluster = true)
+    val all = PagesGen.pages(spark, 8L, seed = 51L, tokensPerDoc = 120).toDF().cache()
+    val half = all.filter(xxhash64($"url") % 2 === 0)
+    val slice = all.filter(xxhash64($"url") % 2 =!= 0)
+    Checkpoints.clusterEpoch(spark, half, "url", "text", base, cfg)
+    val fullDir = tempDir() + "/s"
+    val sliceDir = tempDir() + "/s"
+    copyDir(base, fullDir)
+    copyDir(base, sliceDir)
+    // control: the whole corpus re-fed, full re-cluster
+    Checkpoints.clusterEpoch(spark, all, "url", "text", fullDir)
+    // slice-fed: ONLY the new pages enter as input; the authoritative
+    // table rides textsOf so the verify pass can fetch old-doc text for
+    // frontier pairs — the 10^12-doc posture, where re-feeding the corpus
+    // every epoch is not an option
+    Checkpoints.clusterEpoch(spark, slice, "url", "text", sliceDir, cfg,
+      textsOf = Some(all))
+    assert(clustersOf(sliceDir) == clustersOf(fullDir),
+      "slice-fed delta epoch diverged from the full-fed full re-cluster")
+    all.unpersist()
+  }
+
   test("first epoch with deltaCluster set falls back to the full path") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 5L, seed = 44L, tokensPerDoc = 120).toDF()
