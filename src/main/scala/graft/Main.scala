@@ -46,7 +46,8 @@ object Main {
       noEstimateTier: Boolean = false,
       previewChars: Option[Int] = None,
       stateBuckets: Option[Int] = None,
-      deltaCluster: Boolean = false)
+      deltaCluster: Boolean = false,
+      textsFrom: Option[String] = None)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -95,6 +96,11 @@ object Main {
       // this epoch's re-verify frontier; prior connectivity enters
       // union-find as assignment edges (epoch cost scales with the delta)
       case "--delta-cluster" :: t     => loop(t, acc.copy(deltaCluster = true))
+      // slice-fed posture: --pages carries ONLY the crawl slice; the
+      // authoritative pages table named here serves the verify pass's
+      // text fetch for frontier docs from earlier epochs (pruned to the
+      // frontier before any shuffle under --delta-cluster)
+      case "--texts-from" :: v :: t   => loop(t, acc.copy(textsFrom = Some(v)))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -145,7 +151,7 @@ object Main {
           "[--jaccard <0..1>] [--max-hamming <int>] " +
           "[--extract-from <binary-col>] [--extractor html|plaintext] " +
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
-          "[--state-buckets <n>] [--delta-cluster] " +
+          "[--state-buckets <n>] [--delta-cluster] [--texts-from <path-or-table>] " +
           "[--pages-format auto|parquet|table] | " +
           "--state <dir-uri> --diagnose | --state <dir-uri> --compact")
       sys.exit(2)
@@ -186,15 +192,19 @@ object Main {
     val cfg = toConfig(a)
     // S12 seam: derive the text column from a binary payload column with
     // the selected extractor strategy before the pipeline sees it
-    val raw = PagesIO.read(spark, a.pages, a.pagesFormat)
-    val pages = a.extractFrom match {
-      case Some(src) => raw.withColumn(a.textCol,
-        graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
-          org.apache.spark.sql.functions.col(src)))
-      case None => raw
+    def load(src: String) = {
+      val raw = PagesIO.read(spark, src, a.pagesFormat)
+      a.extractFrom match {
+        case Some(bin) => raw.withColumn(a.textCol,
+          graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
+            org.apache.spark.sql.functions.col(bin)))
+        case None => raw
+      }
     }
+    val pages = load(a.pages)
     val (nNew, nClusters) =
-      Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action)
+      Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action,
+        textsOf = a.textsFrom.map(load))
     val (nExec, nFail) =
       if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir, cfg)
       else (0L, 0L)

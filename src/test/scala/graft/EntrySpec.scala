@@ -67,6 +67,11 @@ class EntrySpec extends SparkTestBase {
     val withDelta = Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--delta-cluster")).toOption.get
     assert(Main.toConfig(withDelta).deltaCluster)
+    val withTexts = Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--texts-from", "/corpus")).toOption.get
+    assert(withTexts.textsFrom.contains("/corpus"))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--texts-from")).isLeft)                                            // valueless
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state
@@ -91,6 +96,29 @@ class EntrySpec extends SparkTestBase {
     val diag = Main.run(spark, Main.parse(Seq(
       "--state", s"$tmp/state", "--diagnose")).toOption.get)
     assert(diag.exists(_.contains("\"category\":\"signature_without_cluster\",\"n\":0")))
+  }
+
+  test("CLI slice-fed epoch: --pages carries the slice, --texts-from the corpus") {
+    import graft.pages.PagesGen
+    import org.apache.spark.sql.functions.xxhash64
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cli-slice").toString
+    val all = PagesGen.pages(spark, 4L, seed = 22L, tokensPerDoc = 100).toDF()
+    all.write.parquet(s"$tmp/corpus")
+    all.filter(xxhash64(org.apache.spark.sql.functions.col("url")) % 2 === 0)
+      .write.parquet(s"$tmp/seed")
+    all.filter(xxhash64(org.apache.spark.sql.functions.col("url")) % 2 =!= 0)
+      .write.parquet(s"$tmp/slice")
+    Main.run(spark, Main.parse(Seq("--pages", s"$tmp/seed",
+      "--state", s"$tmp/state", "--delta-cluster")).toOption.get)
+    val out = Main.run(spark, Main.parse(Seq("--pages", s"$tmp/slice",
+      "--state", s"$tmp/state", "--delta-cluster",
+      "--texts-from", s"$tmp/corpus")).toOption.get)
+    val nSlice = spark.read.parquet(s"$tmp/slice").count()
+    assert(out.exists(_.contains("\"new_signatures\":" + nSlice)))
+    // every corpus row is clustered even though the epoch only FED the slice
+    val clustered = spark.read
+      .parquet(graft.state.Checkpoints.clustersPath(s"$tmp/state")).count()
+    assert(clustered == all.count())
   }
 
   test("PagesIO routing: paths, table names and namespaced catalog identifiers") {
