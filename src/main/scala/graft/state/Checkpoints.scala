@@ -430,10 +430,17 @@ object Checkpoints {
     val clusters =
       if (cfg0.deltaCluster && !cfg0.forceRescan &&
           exists(spark, clustersPath(stateDir))) {
-        val epoch = nextEpoch(spark, stateDir) - 1 // runEpoch just committed it
-        val newSids = readSignatures(spark, stateDir)
-          .filter(col("epoch") === epoch).select(col("id").as("sid"))
         val prior = spark.read.parquet(clustersPath(stateDir))
+        // "new" = every live doc the prior clusters table has never seen —
+        // NOT just the epoch runEpoch committed above: signature epochs
+        // accrue WITHOUT clustering under the streaming-ingest cadence and
+        // under repeated runEpoch calls, and an epoch filter would silently
+        // skip those docs' near-pair discovery (they are absent from the
+        // assignment edges too, so nothing else re-derives them; pinned by
+        // the accrued-epochs DeltaClusterSpec case). One slim id-column
+        // anti-join per epoch — corpus-sized but 2 columns wide.
+        val newSids = stateSigs.select(col("id").as("sid"))
+          .join(prior.select(col("id").as("sid")), Seq("sid"), "left_anti")
         val tombs = tombstones(spark, stateDir).select("id")
         val affected = prior.join(tombs, Seq("id"), "left_semi")
           .select("cluster_id").distinct()

@@ -251,6 +251,31 @@ class DeltaClusterSpec extends SparkTestBase {
     all.unpersist()
   }
 
+  test("epochs accrued between cluster passes (streamed cadence): delta still matches full") {
+    // the streaming posture commits SIGNATURE epochs without clustering
+    // (streamingIngest per micro-batch, or repeated runEpoch); the next
+    // cadence clusterEpoch must re-verify EVERY never-clustered doc, not
+    // just the one epoch its own runEpoch committed
+    val base = tempDir()
+    val cfg = DedupConfig(deltaCluster = true)
+    val all = PagesGen.pages(spark, 9L, seed = 53L, tokensPerDoc = 120).toDF().cache()
+    val third = all.filter(xxhash64($"url") % 3 === 0)
+    val twoThirds = all.filter(xxhash64($"url") % 3 <= 1)
+    Checkpoints.clusterEpoch(spark, third, "url", "text", base, cfg)
+    // two un-clustered signature epochs accrue on the SAME state
+    Checkpoints.runEpoch(spark, twoThirds, "url", "text", base, cfg)
+    Checkpoints.runEpoch(spark, all, "url", "text", base, cfg)
+    val fullDir = tempDir() + "/s"
+    val deltaDir = tempDir() + "/s"
+    copyDir(base, fullDir)
+    copyDir(base, deltaDir)
+    Checkpoints.clusterEpoch(spark, all, "url", "text", fullDir)
+    Checkpoints.clusterEpoch(spark, all, "url", "text", deltaDir, cfg)
+    assert(clustersOf(deltaDir) == clustersOf(fullDir),
+      "delta clustering lost near edges for docs from accrued epochs")
+    all.unpersist()
+  }
+
   test("first epoch with deltaCluster set falls back to the full path") {
     val dir = tempDir()
     val pages = PagesGen.pages(spark, 5L, seed = 44L, tokensPerDoc = 120).toDF()
