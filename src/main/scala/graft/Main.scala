@@ -117,8 +117,8 @@ object Main {
       Left("--jaccard must be in (0, 1]")
     else if (!Set("html", "plaintext").contains(a.extractor))
       Left("--extractor must be html or plaintext")
-    else if (!Set("auto", "parquet", "table").contains(a.pagesFormat))
-      Left("--pages-format must be auto, parquet or table")
+    else if (!Set("auto", "parquet", "table", "warc").contains(a.pagesFormat))
+      Left("--pages-format must be auto, parquet, table or warc")
     else if (a.containmentCap.exists(_ <= 0))
       Left("--containment-cap must be positive")
     else if (a.previewChars.exists(_ <= 0))
@@ -152,7 +152,7 @@ object Main {
           "[--extract-from <binary-col>] [--extractor html|plaintext] " +
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
           "[--state-buckets <n>] [--delta-cluster] [--texts-from <path-or-table>] " +
-          "[--pages-format auto|parquet|table] | " +
+          "[--pages-format auto|parquet|table|warc] | " +
           "--state <dir-uri> --diagnose | --state <dir-uri> --compact")
       sys.exit(2)
     case Right(a) =>
@@ -194,7 +194,12 @@ object Main {
     // the selected extractor strategy before the pipeline sees it
     def load(src: String) = {
       val raw = PagesIO.read(spark, src, a.pagesFormat)
-      a.extractFrom match {
+      // WARC containers carry no text column — extraction from the HTTP
+      // payload is implied unless the caller picked a binary column
+      val extractFrom =
+        if (a.pagesFormat == "warc" && a.extractFrom.isEmpty) Some("html")
+        else a.extractFrom
+      extractFrom match {
         case Some(bin) => raw.withColumn(a.textCol,
           graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
             org.apache.spark.sql.functions.col(bin)))

@@ -163,6 +163,43 @@ object SparkEntry {
         .select(col("doc_id"), FP.extractText(html.cast("binary")).as("extracted"))
     }),
 
+    // S1/S5 crawl-native ingest: documents → WARC containers (gzip member
+    // per record, Common-Crawl layout) → DSv2 `format("warc")` read-back.
+    // Proves byte-exact payload transport through container + gzip + HTTP
+    // framing: the oracle recomputes sha/byte-length/epoch straight from
+    // the source table. The fixture BUILD is driver-side (500 rows at
+    // verify scale — fixture construction, not the operator); the READ is
+    // the distributed operator under test, one partition per container.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-warc-oracle")
+      if (java.nio.file.Files.exists(out))
+        java.nio.file.Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(out)
+      val nFiles = 8
+      (0 until nFiles).foreach { part =>
+        val recs = docs.filter(_._1 % nFiles == part).sortBy(_._1).map {
+          case (id, text) =>
+            (s"https://corpus.test/doc/$id",
+              java.time.Instant.ofEpochSecond(1700000000L + id),
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toSeq
+        val f = new java.io.FileOutputStream(
+          out.resolve(f"part-$part%02d.warc.gz").toFile)
+        try graft.sources.warc.Warc.write(f, recs, gzipPerRecord = true)
+        finally f.close()
+      }
+      s.read.format("warc").load(out.toString)
+        .select(col("url"),
+          unix_timestamp(col("warc_ts")).as("epoch_sec"),
+          sha2(col("html"), 256).as("payload_sha"),
+          length(col("html")).cast("long").as("n_bytes"),
+          col("http_status"))
+    }),
+
     // §2.7: multi-root union (discovery fan-out)
     "q_union_multiroot" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -641,6 +678,14 @@ object SparkEntry {
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
         |                           '\s+', ' ', 'g')) AS extracted
+        |FROM documents""".stripMargin,
+
+    "q_warc_roundtrip" ->
+      """SELECT 'https://corpus.test/doc/' || doc_id AS url,
+        |       CAST(1700000000 + doc_id AS BIGINT) AS epoch_sec,
+        |       sha256(text) AS payload_sha,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(200 AS INTEGER) AS http_status
         |FROM documents""".stripMargin,
 
     "q_union_multiroot" ->

@@ -47,11 +47,12 @@ object PagesIO {
     case "table"   => false
     case "auto"    => isPathLike(s)
     case other     => throw new IllegalArgumentException(
-      s"pages format must be auto/parquet/table, got $other")
+      s"pages format must be auto/parquet/table/warc, got $other")
   }
 
   def read(spark: SparkSession, pathOrTable: String, format: String = "auto"): DataFrame =
-    if (asPath(pathOrTable, format)) spark.read.parquet(pathOrTable)
+    if (format == "warc") graft.sources.warc.WarcIO.pages(spark, pathOrTable)
+    else if (asPath(pathOrTable, format)) spark.read.parquet(pathOrTable)
     else spark.read.table(pathOrTable)
 
   def append(df: DataFrame, pathOrTable: String, format: String = "auto"): Unit =

@@ -1,0 +1,247 @@
+package graft.sources.warc
+
+import java.io.{EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** WARC/1.0 (ISO 28500) record stream parser + fixture writer.
+  *
+  * This is the crawl-native ingest seam: Common Crawl publishes its pages
+  * as `.warc.gz` files where EVERY record is its own gzip member, so a
+  * whole-file `GZIPInputStream` (which transparently chains concatenated
+  * members) decodes the file as one continuous record stream. The parser
+  * is pure JVM and pure function-of-bytes — no Spark types — so it is
+  * unit-testable without a session and reusable from any partition reader.
+  *
+  * Reference analog: the filesystem discovery + per-format decode front
+  * door (image-deduper `crates/core/src/discovery/mod.rs:16-109`,
+  * `file_processing.rs:15-41`) — there the corpus arrives as image files
+  * on disk; for Common-Crawl-style web text it arrives as WARC containers,
+  * and this module plays the same "bytes on storage → typed rows" role.
+  *
+  * Corrupt-input posture matches the engine's decoders (S9): in lenient
+  * mode a structurally broken record stops the FILE's iteration (returning
+  * every record parsed before the corruption) rather than throwing — a
+  * mid-stream length corruption leaves no trustworthy resync point inside
+  * a decompressed gzip stream, and one bad container must never kill a
+  * 100k-file ingest job. `strict = true` throws instead, for validation
+  * runs.
+  */
+object Warc {
+
+  /** One parsed WARC record. `block` is the raw record block (for
+    * `response` records: the full HTTP response message, status line +
+    * headers + body).
+    */
+  final case class Record(
+      recType: String,
+      targetUri: String,
+      dateMicros: java.lang.Long,
+      contentType: String,
+      block: Array[Byte],
+      index: Long)
+
+  /** HTTP response message split out of a response record's block. */
+  final case class HttpPayload(status: java.lang.Integer, contentType: String, body: Array[Byte])
+
+  private[warc] def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  private def readFully(in: InputStream, buf: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) return false
+      off += n
+    }
+    true
+  }
+
+  /** Streaming record iterator over one (already decompression-wrapped)
+    * WARC byte stream. Not thread-safe; single-pass.
+    */
+  final class RecordIterator(in: InputStream, strict: Boolean) extends Iterator[Record] {
+    private var nextRec: Record = _
+    private var done = false
+    private var idx = 0L
+
+    private def fail(msg: String): Null = {
+      if (strict) throw new EOFException(msg)
+      done = true
+      null
+    }
+
+    private def advance(): Record = {
+      // skip inter-record blank lines (the record terminator CRLFCRLF)
+      var line = readLine(in)
+      while (line != null && line.isEmpty) line = readLine(in)
+      if (line == null) { done = true; return null }
+      if (!line.startsWith("WARC/"))
+        return fail(s"expected WARC version line, got: ${line.take(64)}")
+      var recType: String = null
+      var uri: String = null
+      var date: java.lang.Long = null
+      var ctype: String = null
+      var len = -1L
+      line = readLine(in)
+      while (line != null && line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val k = line.substring(0, colon).trim.toLowerCase
+          val v = line.substring(colon + 1).trim
+          k match {
+            case "warc-type"       => recType = v.toLowerCase
+            case "warc-target-uri" =>
+              // pre-1.1 writers angle-bracket the URI
+              uri = if (v.length >= 2 && v.charAt(0) == '<' && v.charAt(v.length - 1) == '>')
+                v.substring(1, v.length - 1) else v
+            case "warc-date" =>
+              date = try {
+                val inst = Instant.parse(v)
+                java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+              } catch { case _: Exception => if (strict) throw new EOFException(s"bad WARC-Date: $v") else null }
+            case "content-type"   => ctype = v
+            case "content-length" =>
+              len = try java.lang.Long.parseLong(v) catch { case _: Exception => -1L }
+            case _ => ()
+          }
+        }
+        line = readLine(in)
+      }
+      if (line == null) return fail("EOF inside WARC header block")
+      if (len < 0 || len > Int.MaxValue)
+        return fail(s"missing/invalid Content-Length ($len)")
+      val block = new Array[Byte](len.toInt)
+      if (!readFully(in, block)) return fail("EOF inside record block")
+      val rec = Record(if (recType == null) "" else recType, uri, date, ctype, block, idx)
+      idx += 1
+      rec
+    }
+
+    override def hasNext: Boolean = {
+      if (done) return false
+      if (nextRec == null) nextRec = advance()
+      nextRec != null
+    }
+
+    override def next(): Record = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = nextRec; nextRec = null; r
+    }
+  }
+
+  /** Open a record iterator over a raw file stream, applying gzip if the
+    * name says so. `GZIPInputStream` chains concatenated members, which is
+    * exactly Common Crawl's record-per-member layout.
+    */
+  def records(raw: InputStream, fileName: String, strict: Boolean): RecordIterator = {
+    val in = if (fileName.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw
+    new RecordIterator(in, strict)
+  }
+
+  /** Split a response record's block into (status, Content-Type, body).
+    * A block that is not an HTTP message (resource records, exotic
+    * crawlers) comes back whole as the body with null status/type —
+    * never throws (S9 posture).
+    */
+  def parseHttp(block: Array[Byte]): HttpPayload = {
+    if (block.length < 8 || !(block(0) == 'H' && block(1) == 'T' && block(2) == 'T' && block(3) == 'P'))
+      return HttpPayload(null, null, block)
+    // status line + headers are ASCII; find the header/body split
+    var split = -1
+    var i = 0
+    val max = block.length - 3
+    while (split < 0 && i < max) {
+      if (block(i) == '\r' && block(i + 1) == '\n' && block(i + 2) == '\r' && block(i + 3) == '\n')
+        split = i
+      i += 1
+    }
+    if (split < 0) return HttpPayload(null, null, block)
+    val head = new String(block, 0, split, StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status: java.lang.Integer = {
+      val parts = lines(0).split(" ")
+      if (parts.length >= 2) try java.lang.Integer.valueOf(parts(1).toInt) catch { case _: Exception => null }
+      else null
+    }
+    var ctype: String = null
+    var j = 1
+    while (j < lines.length) {
+      val l = lines(j)
+      val c = l.indexOf(':')
+      if (c > 0 && l.substring(0, c).trim.equalsIgnoreCase("content-type"))
+        ctype = l.substring(c + 1).trim
+      j += 1
+    }
+    HttpPayload(status, ctype, java.util.Arrays.copyOfRange(block, split + 4, block.length))
+  }
+
+  // ---- fixture writer ------------------------------------------------
+
+  private def warcHeaders(recType: String, uri: String, date: Instant,
+                          contentType: String, blockLen: Int): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(recType).append("\r\n")
+    if (uri != null) sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    sb.append("WARC-Date: ").append(date.toString).append("\r\n")
+    sb.append("WARC-Record-ID: <urn:graft:").append(recType).append(':')
+      .append(java.lang.Long.toHexString(date.toEpochMilli)).append(">\r\n")
+    if (contentType != null) sb.append("Content-Type: ").append(contentType).append("\r\n")
+    sb.append("Content-Length: ").append(blockLen).append("\r\n\r\n")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Serialize one record (headers + block + CRLFCRLF terminator). */
+  def encodeRecord(recType: String, uri: String, date: Instant,
+                   contentType: String, block: Array[Byte]): Array[Byte] = {
+    val head = warcHeaders(recType, uri, date, contentType, block.length)
+    val out = new Array[Byte](head.length + block.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(block, 0, out, head.length, block.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Wrap an HTTP 200 response message around a body (the block of a
+    * `response` record).
+    */
+  def httpResponseBlock(body: Array[Byte], contentType: String = "text/html"): Array[Byte] = {
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out
+  }
+
+  /** Write records to `out`, Common-Crawl style when `gzipPerRecord`:
+    * each record its own gzip member. A leading `warcinfo` record is
+    * emitted (readers must skip non-kept types).
+    */
+  def write(out: OutputStream, records: Seq[(String, Instant, Array[Byte])],
+            gzipPerRecord: Boolean): Unit = {
+    def emit(bytes: Array[Byte]): Unit =
+      if (gzipPerRecord) {
+        val gz = new GZIPOutputStream(out, 64 * 1024)
+        gz.write(bytes); gz.finish()
+      } else out.write(bytes)
+    val info = "software: graft-warc-fixture\r\nformat: WARC File Format 1.0\r\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    emit(encodeRecord("warcinfo", null, Instant.EPOCH, "application/warc-fields", info))
+    records.foreach { case (uri, date, body) =>
+      emit(encodeRecord("response", uri, date,
+        "application/http; msgtype=response", httpResponseBlock(body)))
+    }
+    out.flush()
+  }
+}

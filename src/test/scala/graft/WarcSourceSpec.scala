@@ -1,0 +1,141 @@
+package graft
+
+import java.io.{ByteArrayInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.sources.warc.{Warc, WarcIO}
+
+class WarcSourceSpec extends SparkTestBase {
+
+  private def body(i: Int): Array[Byte] =
+    s"<html><body>doc $i body ${"x" * (i % 7)}</body></html>".getBytes(UTF_8)
+
+  private def recs(n: Int, off: Int = 0): Seq[(String, Instant, Array[Byte])] =
+    (0 until n).map { i =>
+      (s"https://example.test/p/${off + i}", Instant.ofEpochSecond(1700000000L + off + i),
+        body(off + i))
+    }
+
+  private def writeDir(name: String, gz: Boolean): String = {
+    val dir = Files.createDirectories(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft-warc-spec", name))
+    dir.toFile.listFiles().foreach(_.delete())
+    val ext = if (gz) ".warc.gz" else ".warc"
+    Seq(0, 3).foreach { off =>
+      val f = dir.resolve(s"part-$off$ext")
+      val out = new FileOutputStream(f.toFile)
+      try Warc.write(out, recs(3, off), gzipPerRecord = gz) finally out.close()
+    }
+    dir.toString
+  }
+
+  test("gz roundtrip: urls, timestamps, payload bytes, status, file lineage") {
+    val dir = writeDir("gz", gz = true)
+    val df = spark.read.format("warc").load(dir)
+    val rows = df.orderBy("url").collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[String]("url")).toSeq ===
+      (0 until 6).map(i => s"https://example.test/p/$i"))
+    val r0 = rows(0)
+    assert(r0.getAs[java.sql.Timestamp]("warc_ts").toInstant ===
+      Instant.ofEpochSecond(1700000000L))
+    assert(r0.getAs[Array[Byte]]("html").toSeq === body(0).toSeq)
+    assert(r0.getAs[Int]("http_status") === 200)
+    assert(r0.getAs[String]("content_type") === "text/html")
+    assert(r0.getAs[String]("rec_type") === "response")
+    assert(r0.getAs[String]("warc_file").endsWith("part-0.warc.gz"))
+    // warcinfo records were type-filtered, so rec_index of kept rows starts at 1
+    assert(rows.map(_.getAs[Long]("rec_index")).min === 1L)
+  }
+
+  test("plain (uncompressed) container reads identically") {
+    val dir = writeDir("plain", gz = false)
+    val a = spark.read.format("warc").load(dir)
+      .selectExpr("url", "sha2(html, 256) AS h").orderBy("url").collect()
+    val gzDir = writeDir("gz2", gz = true)
+    val b = spark.read.format("warc").load(gzDir)
+      .selectExpr("url", "sha2(html, 256) AS h").orderBy("url").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("column pruning reaches the scan and payload-free projection works") {
+    val dir = writeDir("prune", gz = true)
+    val df = spark.read.format("warc").load(dir).select("url")
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("url"))
+    assert(df.count() === 6)
+  }
+
+  test("keepTypes opens non-response records; warcinfo visible when asked") {
+    val dir = writeDir("types", gz = true)
+    val all = spark.read.format("warc").option("keepTypes", "response,warcinfo").load(dir)
+    assert(all.where("rec_type = 'warcinfo'").count() === 2) // one per file
+    // warcinfo block is not an HTTP message: body = raw block, no status
+    val info = all.where("rec_type = 'warcinfo'").selectExpr("http_status", "html").head()
+    assert(info.isNullAt(0))
+    assert(new String(info.getAs[Array[Byte]](1), UTF_8).contains("graft-warc-fixture"))
+  }
+
+  test("lenient mode: truncated tail yields the intact prefix; strict throws") {
+    val dir = Files.createDirectories(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft-warc-spec", "trunc"))
+    dir.toFile.listFiles().foreach(_.delete())
+    // build an UNCOMPRESSED container and chop it mid-record-block
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.write(bos, recs(3), gzipPerRecord = false)
+    val bytes = bos.toByteArray
+    val cut = bytes.length - body(2).length / 2 - 4
+    Files.write(dir.resolve("t.warc"), java.util.Arrays.copyOf(bytes, cut))
+    val lenient = spark.read.format("warc").load(dir.toString)
+    assert(lenient.count() === 2)
+    val strict = spark.read.format("warc").option("strict", "true").load(dir.toString)
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    assert(e.getMessage != null)
+  }
+
+  test("parser: angle-bracketed URIs and non-HTTP resource blocks") {
+    val block = "raw resource bytes".getBytes(UTF_8)
+    val rec = Warc.encodeRecord("resource", "<https://a.test/r>",
+      Instant.ofEpochSecond(1700000001L), "text/plain", block)
+    val it = Warc.records(new ByteArrayInputStream(rec), "x.warc", strict = true)
+    val r = it.next()
+    assert(r.targetUri === "https://a.test/r")
+    assert(r.recType === "resource")
+    val http = Warc.parseHttp(r.block)
+    assert(http.status == null)
+    assert(http.body.toSeq === block.toSeq)
+    assert(!it.hasNext)
+  }
+
+  test("--pages-format warc parses and a warc-fed epoch clusters end-to-end") {
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--pages-format", "warc")).isRight)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--pages-format", "nope")).isLeft)
+    val dir = writeDir("epoch", gz = true)
+    val state = Files.createTempDirectory("graft-warc-state").toString
+    val pages = graft.pages.PagesIO.read(spark, dir, "warc")
+      .withColumn("text", graft.fingerprint.Fingerprints.extractText(
+        org.apache.spark.sql.functions.col("html")))
+    val (nNew, nClusters) = graft.state.Checkpoints.clusterEpoch(
+      spark, pages, "url", "text", state, graft.pipeline.DedupConfig())
+    assert(nNew === 6)
+    assert(nClusters === 6) // fixture docs are all distinct
+  }
+
+  test("WarcIO.pages projects the engine input shape") {
+    val dir = writeDir("pages", gz = true)
+    val pages = WarcIO.pages(spark, dir)
+    assert(pages.columns.toSeq === Seq("url", "warc_ts", "html"))
+    assert(pages.count() === 6)
+    // the extraction path downstream of the seam runs unchanged
+    val txt = pages.select(
+      graft.fingerprint.Fingerprints.extractText(org.apache.spark.sql.functions.col("html"))
+        .as("text"))
+    assert(txt.where("text LIKE '%doc 0 body%'").count() === 1)
+  }
+}
