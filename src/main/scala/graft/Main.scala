@@ -47,7 +47,8 @@ object Main {
       previewChars: Option[Int] = None,
       stateBuckets: Option[Int] = None,
       deltaCluster: Boolean = false,
-      textsFrom: Option[String] = None)
+      textsFrom: Option[String] = None,
+      canonUrls: Boolean = false)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -79,6 +80,11 @@ object Main {
       case "--reliable" :: t          => loop(t, acc.copy(reliable = true))
       case "--checkpoint-dir" :: v :: t => loop(t, acc.copy(checkpointDir = Some(v)))
       case "--pages-format" :: v :: t => loop(t, acc.copy(pagesFormat = v))
+      // web-native identity: canonicalize the id column (scheme/host case,
+      // default ports, dup slashes, tracking params, param order, fragments)
+      // before the pipeline sees it — trivially-respelled re-crawls of the
+      // same page stop minting fresh ids
+      case "--canon-urls" :: t        => loop(t, acc.copy(canonUrls = true))
       case "--containment-cap" :: v :: t =>
         v.toIntOption.toRight(s"--containment-cap: not an int: $v")
           .flatMap(c => loop(t, acc.copy(containmentCap = Some(c))))
@@ -199,12 +205,14 @@ object Main {
       val extractFrom =
         if (a.pagesFormat == "warc" && a.extractFrom.isEmpty) Some("html")
         else a.extractFrom
-      extractFrom match {
+      val extracted = extractFrom match {
         case Some(bin) => raw.withColumn(a.textCol,
           graft.fingerprint.Fingerprints.extractorByName(a.extractor)(
             org.apache.spark.sql.functions.col(bin)))
         case None => raw
       }
+      if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
+      else extracted
     }
     val pages = load(a.pages)
     val (nNew, nClusters) =

@@ -200,6 +200,24 @@ object SparkEntry {
           col("http_status"))
     }),
 
+    // web-native identity (X-class scalar, round 5): canonicalization +
+    // SURT over four planted respelling shapes (casing, default ports,
+    // userinfo, trailing host dot, dup slashes, tracking params, param
+    // order, fragments); the oracle states the expected canonical/SURT
+    // form per shape in closed form
+    "q_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val messy = when(id % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443//d/"), ids, lit("?utm_source=x&b=2&a=1#frag")))
+        .when(id % 4 === 1, concat(lit("http://News.example.com./d/"), ids))
+        .when(id % 4 === 2, concat(lit("http://user@host.org:80/p//"), ids, lit("?gclid=1")))
+        .otherwise(concat(lit("http://e.net:8080/"), ids))
+      t(s, dir, "documents").select(id,
+        graft.text.UrlCanon.urlCanon(messy).as("url_canon"),
+        graft.text.UrlCanon.urlSurt(messy).as("url_surt"))
+    }),
+
     // §2.7: multi-root union (discovery fan-out)
     "q_union_multiroot" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -678,6 +696,22 @@ object SparkEntry {
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
         |                           '\s+', ' ', 'g')) AS extracted
+        |FROM documents""".stripMargin,
+
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN 'https://example.com/d/' || doc_id || '?a=1&b=2'
+        |         WHEN 1 THEN 'http://news.example.com/d/' || doc_id
+        |         WHEN 2 THEN 'http://host.org/p/' || doc_id
+        |         ELSE 'http://e.net:8080/' || doc_id
+        |       END AS url_canon,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN 'com,example)/d/' || doc_id || '?a=1&b=2'
+        |         WHEN 1 THEN 'com,example,news)/d/' || doc_id
+        |         WHEN 2 THEN 'org,host)/p/' || doc_id
+        |         ELSE 'net,e:8080)/' || doc_id
+        |       END AS url_surt
         |FROM documents""".stripMargin,
 
     "q_warc_roundtrip" ->
