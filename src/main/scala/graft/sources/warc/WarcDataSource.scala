@@ -84,7 +84,7 @@ class WarcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
   override def name(): String = s"warc(${options.get("path")})"
   override def schema(): StructType = WarcTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(caseInsensitiveOptions)
 }
@@ -104,7 +104,7 @@ class WarcScanBuilder(options: CaseInsensitiveStringMap)
     val keepTypes = Option(options.get("keeptypes")).getOrElse("response")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     val strict = options.getBoolean("strict", false)
-    WarcScan(files, required, keepTypes, strict,
+    WarcScan(files, paths, required, keepTypes, strict,
       spark.sparkContext.broadcast(new SerializableHadoopConf(conf)))
   }
 }
@@ -145,10 +145,15 @@ object WarcScan {
 
 case class WarcInputPartition(file: String, length: Long) extends InputPartition
 
-case class WarcScan(files: Seq[(String, Long)], required: StructType,
-                    keepTypes: Set[String], strict: Boolean,
+case class WarcScan(files: Seq[(String, Long)], rawPaths: Seq[String],
+                    required: StructType, keepTypes: Set[String], strict: Boolean,
                     conf: Broadcast[SerializableHadoopConf])
     extends Scan with Batch with SupportsReportStatistics {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(checkpointLocation, rawPaths, required.fieldNames,
+      keepTypes, strict, conf)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

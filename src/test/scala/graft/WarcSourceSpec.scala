@@ -127,6 +127,68 @@ class WarcSourceSpec extends SparkTestBase {
     assert(nClusters === 6) // fixture docs are all distinct
   }
 
+  test("streaming: new containers become new micro-batches") {
+    val dir = Files.createDirectories(Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-warc-spec", "stream")).toString
+    Paths.get(dir).toFile.listFiles().foreach(_.delete())
+    val cp = Files.createTempDirectory("graft-warc-cp").toString
+    def writeFile(name: String, off: Int): Unit = {
+      val out = new FileOutputStream(Paths.get(dir, name).toFile)
+      try Warc.write(out, recs(3, off), gzipPerRecord = true) finally out.close()
+    }
+    writeFile("a.warc.gz", 0)
+    val q = spark.readStream.format("warc").load(dir)
+      .selectExpr("url").writeStream.format("memory")
+      .queryName("warc_stream").option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() === 3)
+      writeFile("b.warc.gz", 3)
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() === 6)
+      assert(spark.table("warc_stream").select("url").distinct().count() === 6)
+    } finally q.stop()
+  }
+
+  test("streaming restart: seen-set rebuilt from batch logs, ranges replay exactly") {
+    import graft.sources.warc.{WarcMicroBatchStream, WarcOffset}
+    val dir = Files.createDirectories(Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-warc-spec", "restart")).toString
+    Paths.get(dir).toFile.listFiles().foreach(_.delete())
+    val cp = Files.createTempDirectory("graft-warc-cp2").toString
+    def writeFile(name: String, off: Int): Unit = {
+      val out = new FileOutputStream(Paths.get(dir, name).toFile)
+      try Warc.write(out, recs(2, off), gzipPerRecord = true) finally out.close()
+    }
+    val conf = spark.sparkContext.broadcast(
+      new graft.sources.warc.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
+    def mkStream() = new WarcMicroBatchStream(cp, Seq(dir),
+      Array("url"), Set("response"), strict = false, conf)
+
+    val s1 = mkStream()
+    writeFile("a.warc.gz", 0)
+    assert(s1.latestOffset() === WarcOffset(0))
+    writeFile("b.warc.gz", 2)
+    assert(s1.latestOffset() === WarcOffset(1))
+    assert(s1.latestOffset() === WarcOffset(1)) // no new files → same offset
+
+    // "crash": a fresh instance over the same checkpoint must not re-mint
+    // batches for files already logged, and must replay ranges exactly
+    val s2 = mkStream()
+    assert(s2.latestOffset() === WarcOffset(1))
+    val replay = s2.planInputPartitions(WarcOffset(-1), WarcOffset(1))
+    assert(replay.length === 2) // one container per batch
+    val only1 = s2.planInputPartitions(WarcOffset(0), WarcOffset(1))
+    assert(only1.length === 1)
+    assert(only1.head.asInstanceOf[graft.sources.warc.WarcInputPartition]
+      .file.endsWith("b.warc.gz"))
+    writeFile("c.warc.gz", 4)
+    assert(s2.latestOffset() === WarcOffset(2))
+    // offsets roundtrip through json (the engine's restart path)
+    assert(s2.deserializeOffset(WarcOffset(2).json()) === WarcOffset(2))
+  }
+
   test("WarcIO.pages projects the engine input shape") {
     val dir = writeDir("pages", gz = true)
     val pages = WarcIO.pages(spark, dir)
