@@ -104,12 +104,57 @@ class WarcScanBuilder(options: CaseInsensitiveStringMap)
     val keepTypes = Option(options.get("keeptypes")).getOrElse("response")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     val strict = options.getBoolean("strict", false)
-    WarcScan(files, paths, required, keepTypes, strict,
+    val target = WarcScan.targetBytesFor(files,
+      spark.sessionState.conf.filesMaxPartitionBytes,
+      spark.sparkContext.defaultParallelism)
+    WarcScan(files, paths, required, keepTypes, strict, target,
       spark.sparkContext.broadcast(new SerializableHadoopConf(conf)))
   }
 }
 
 object WarcScan {
+  /** Per-file scheduling overhead stand-in — Spark's
+    * `spark.sql.files.openCostInBytes` default.
+    */
+  private[warc] val OpenCostBytes = 4L * 1024 * 1024
+
+  /** `FileSourceScanExec.maxSplitBytes` logic, minus splitting (whole
+    * files only): aim for `defaultParallelism` bins unless that would
+    * exceed maxPartitionBytes.
+    */
+  private[warc] def targetBytesFor(files: Seq[(String, Long)],
+                                   maxPartitionBytes: Long,
+                                   defaultParallelism: Int): Long = {
+    val total = files.map(_._2 + OpenCostBytes).sum
+    val perCore = total / math.max(defaultParallelism, 1)
+    math.min(maxPartitionBytes, math.max(OpenCostBytes, perCore))
+  }
+
+  /** Greedy first-fit-decreasing bin-pack of whole containers. Large
+    * files (≥ target) get their own bin — they cannot split; the tail of
+    * small files coalesces so a 50k-tiny-file drop does not become 50k
+    * tasks.
+    */
+  private[warc] def pack(files: Seq[(String, Long)],
+                         targetBytes: Long): Seq[Seq[(String, Long)]] = {
+    val sorted = files.sortBy { case (f, len) => (-len, f) }
+    val bins = ArrayBuffer.empty[Seq[(String, Long)]]
+    var cur = ArrayBuffer.empty[(String, Long)]
+    var curSz = 0L
+    sorted.foreach { case f @ (_, len) =>
+      val cost = math.max(len, OpenCostBytes)
+      if (cur.nonEmpty && curSz + cost > targetBytes) {
+        bins += cur.toSeq
+        cur = ArrayBuffer.empty
+        curSz = 0L
+      }
+      cur += f
+      curSz += cost
+    }
+    if (cur.nonEmpty) bins += cur.toSeq
+    bins.toSeq
+  }
+
   private[warc] def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     // DataFrameReader.load(p1, p2, ...) ships a JSON string array
@@ -143,17 +188,21 @@ object WarcScan {
   }
 }
 
-case class WarcInputPartition(file: String, length: Long) extends InputPartition
+/** One read task: a bin of whole containers (gzip WARCs can't split, so
+  * the bin-packing direction is SMALL files — a drop of 50k tiny
+  * containers must not schedule 50k tasks).
+  */
+case class WarcInputPartition(files: Seq[(String, Long)]) extends InputPartition
 
 case class WarcScan(files: Seq[(String, Long)], rawPaths: Seq[String],
                     required: StructType, keepTypes: Set[String], strict: Boolean,
-                    conf: Broadcast[SerializableHadoopConf])
+                    targetBytes: Long, conf: Broadcast[SerializableHadoopConf])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(checkpointLocation, rawPaths, required.fieldNames,
-      keepTypes, strict, conf)
+      keepTypes, strict, targetBytes, conf)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -161,7 +210,7 @@ case class WarcScan(files: Seq[(String, Long)], rawPaths: Seq[String],
     s"warc(${files.length} files, keep=${keepTypes.mkString("+")})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (f, len) => WarcInputPartition(f, len) }.toArray
+    WarcScan.pack(files, targetBytes).map(b => WarcInputPartition(b): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required.fieldNames, keepTypes, strict, conf)
@@ -177,7 +226,7 @@ case class WarcReaderFactory(fields: Array[String], keepTypes: Set[String],
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcInputPartition]
-    new WarcPartitionReader(p.file, fields, keepTypes, strict, conf.value.value)
+    new WarcPartitionReader(p.files, fields, keepTypes, strict, conf.value.value)
   }
 }
 
@@ -186,27 +235,42 @@ case class WarcReaderFactory(fields: Array[String], keepTypes: Set[String],
   * payload-derived column (html / http_status / content_type) survived
   * pruning, and only for `response` records.
   */
-class WarcPartitionReader(file: String, fields: Array[String],
+class WarcPartitionReader(files: Seq[(String, Long)], fields: Array[String],
                           keepTypes: Set[String], strict: Boolean,
                           conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val needHttp =
     fields.exists(f => f == "html" || f == "http_status" || f == "content_type")
-  private val fileUtf8 = UTF8String.fromString(file)
+  private var fileUtf8: UTF8String = _
 
-  private val hp = new HPath(file)
-  private val raw = hp.getFileSystem(conf).open(hp)
-  private val it = Warc.records(raw, hp.getName, strict)
+  private var fileIdx = -1
+  private var raw: java.io.InputStream = null
+  private var it: Warc.RecordIterator = null
   private var row: InternalRow = _
+
+  private def openNextFile(): Boolean = {
+    if (raw != null) { raw.close(); raw = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) return false
+    val hp = new HPath(files(fileIdx)._1)
+    fileUtf8 = UTF8String.fromString(files(fileIdx)._1)
+    raw = hp.getFileSystem(conf).open(hp)
+    it = Warc.records(raw, hp.getName, strict)
+    true
+  }
 
   override def next(): Boolean = {
     row = null
-    while (row == null && it.hasNext) {
-      val rec = it.next()
-      if (keepTypes.contains(rec.recType)) row = build(rec)
+    while (row == null) {
+      if (it == null || !it.hasNext) {
+        if (!openNextFile()) return false
+      } else {
+        val rec = it.next()
+        if (keepTypes.contains(rec.recType)) row = build(rec)
+      }
     }
-    row != null
+    true
   }
 
   private def build(rec: Warc.Record): InternalRow = {
@@ -234,7 +298,7 @@ class WarcPartitionReader(file: String, fields: Array[String],
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = raw.close()
+  override def close(): Unit = if (raw != null) raw.close()
 }
 
 /** User-facing helpers: the reader plus the projection into the engine's

@@ -39,7 +39,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   */
 class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
                            fields: Array[String], keepTypes: Set[String],
-                           strict: Boolean, conf: Broadcast[SerializableHadoopConf])
+                           strict: Boolean, targetBytes: Long,
+                           conf: Broadcast[SerializableHadoopConf])
     extends MicroBatchStream {
 
   private val logDir = new HPath(checkpointLocation, "graft-warc-batches")
@@ -100,8 +101,8 @@ class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WarcOffset].batch
     val e = end.asInstanceOf[WarcOffset].batch
-    ((s + 1) to e).flatMap(readBatchLog)
-      .map { case (f, len) => WarcInputPartition(f, len): InputPartition }.toArray
+    WarcScan.pack(((s + 1) to e).flatMap(readBatchLog), targetBytes)
+      .map(b => WarcInputPartition(b): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -164,7 +164,8 @@ class WarcSourceSpec extends SparkTestBase {
       new graft.sources.warc.SerializableHadoopConf(
         spark.sessionState.newHadoopConf()))
     def mkStream() = new WarcMicroBatchStream(cp, Seq(dir),
-      Array("url"), Set("response"), strict = false, conf)
+      Array("url"), Set("response"), strict = false,
+      targetBytes = 64L * 1024 * 1024, conf)
 
     val s1 = mkStream()
     writeFile("a.warc.gz", 0)
@@ -177,12 +178,15 @@ class WarcSourceSpec extends SparkTestBase {
     // batches for files already logged, and must replay ranges exactly
     val s2 = mkStream()
     assert(s2.latestOffset() === WarcOffset(1))
-    val replay = s2.planInputPartitions(WarcOffset(-1), WarcOffset(1))
-    assert(replay.length === 2) // one container per batch
-    val only1 = s2.planInputPartitions(WarcOffset(0), WarcOffset(1))
-    assert(only1.length === 1)
-    assert(only1.head.asInstanceOf[graft.sources.warc.WarcInputPartition]
-      .file.endsWith("b.warc.gz"))
+    def filesOf(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.flatMap(_.asInstanceOf[graft.sources.warc.WarcInputPartition].files)
+        .map(_._1).sorted.toSeq
+    val replay = filesOf(s2.planInputPartitions(WarcOffset(-1), WarcOffset(1)))
+    assert(replay.length === 2)
+    assert(replay.head.endsWith("a.warc.gz") && replay.last.endsWith("b.warc.gz"))
+    val only1 = filesOf(s2.planInputPartitions(WarcOffset(0), WarcOffset(1)))
+    assert(only1 === Seq(only1.head))
+    assert(only1.head.endsWith("b.warc.gz"))
     writeFile("c.warc.gz", 4)
     assert(s2.latestOffset() === WarcOffset(2))
     // offsets roundtrip through json (the engine's restart path)
