@@ -353,12 +353,46 @@ object Bench {
       (name, runs.sorted.apply(runs.length / 2), runs)
     }
 
+    // crawl-native ingest throughput: the corpus serialized once (untimed)
+    // into Common-Crawl-layout containers (one gzip member per record,
+    // one container per write partition), then timed format("warc") read +
+    // html→text extraction + count — what running the pipeline straight
+    // off a crawl snapshot costs before any parquet staging exists
+    val warcDir = s"$tmp/warc"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warcDir))
+    spark.read.parquet(fullPath).select("url", "warc_ts", "html")
+      .repartition(32).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.FileOutputStream(f"$warcDir/part-$pid%03d.warc.gz")
+          try it.foreach { r =>
+            val gz = new java.util.zip.GZIPOutputStream(f, 64 * 1024)
+            gz.write(graft.sources.warc.Warc.encodeRecord("response",
+              r.getString(0), r.getTimestamp(1).toInstant,
+              "application/http; msgtype=response",
+              graft.sources.warc.Warc.httpResponseBlock(r.getAs[Array[Byte]](2))))
+            gz.finish()
+          } finally f.close()
+        }
+      }
+    val (warcSec, warcRuns) = medianTimed {
+      val n = graft.sources.warc.WarcIO.pages(spark, warcDir)
+        .select(graft.fingerprint.Fingerprints.extractText(
+          org.apache.spark.sql.functions.col("html")).as("text"))
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")) >= 0).count()
+      require(n == nPages, s"warc_ingest read $n of $nPages records")
+    }
+    val warcLine = ("warc_ingest", warcSec, warcRuns)
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
       ("dedup_pipeline_skew" -> skewSec) :++
       resumeResults.map { case (n, sec, _) => n -> sec } :++
-      clusterResults.map { case (n, sec, _) => n -> sec }
+      clusterResults.map { case (n, sec, _) => n -> sec } :+
+      ("warc_ingest" -> warcSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
@@ -368,7 +402,7 @@ object Bench {
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
       s""""skew":${arr(skewRuns)},""" +
-      (resumeResults ++ clusterResults)
+      (resumeResults ++ clusterResults :+ warcLine)
         .map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
         .mkString(",") + "}," +
       s""""skew_max_task_records":$maxSkewRecords,""" +

@@ -42,9 +42,11 @@ class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Config
   * member boundaries are only discoverable by decompressing), so the unit
   * of parallelism is the FILE — exactly how the format is deployed: a
   * crawl ships as ~10^4–10^5 files of ~1 GB, which is more partitions
-  * than any cluster has slots. One `InputPartition` per file; records
-  * stream through a fixed-size window (never a whole-file buffer), so a
-  * 1 GB container costs one record's memory at a time.
+  * than any cluster has slots. Whole containers are bin-packed into
+  * `InputPartition`s by the maxSplitBytes rule (big files get a task
+  * each; a tiny-file drop coalesces); records stream through a
+  * fixed-size window (never a whole-file buffer), so a 1 GB container
+  * costs one record's memory at a time.
   *
   * Spark-first surface: column pruning is pushed into the reader
   * (`SupportsPushDownRequiredColumns`) — a `select(url)` run never scans
@@ -122,9 +124,8 @@ object WarcScan {
     * files only): aim for `defaultParallelism` bins unless that would
     * exceed maxPartitionBytes.
     */
-  private[warc] def targetBytesFor(files: Seq[(String, Long)],
-                                   maxPartitionBytes: Long,
-                                   defaultParallelism: Int): Long = {
+  def targetBytesFor(files: Seq[(String, Long)], maxPartitionBytes: Long,
+                     defaultParallelism: Int): Long = {
     val total = files.map(_._2 + OpenCostBytes).sum
     val perCore = total / math.max(defaultParallelism, 1)
     math.min(maxPartitionBytes, math.max(OpenCostBytes, perCore))
@@ -135,8 +136,7 @@ object WarcScan {
     * small files coalesces so a 50k-tiny-file drop does not become 50k
     * tasks.
     */
-  private[warc] def pack(files: Seq[(String, Long)],
-                         targetBytes: Long): Seq[Seq[(String, Long)]] = {
+  def pack(files: Seq[(String, Long)], targetBytes: Long): Seq[Seq[(String, Long)]] = {
     val sorted = files.sortBy { case (f, len) => (-len, f) }
     val bins = ArrayBuffer.empty[Seq[(String, Long)]]
     var cur = ArrayBuffer.empty[(String, Long)]
@@ -164,14 +164,19 @@ object WarcScan {
     (single ++ multi).filter(_.nonEmpty)
   }
 
+  /** `requireMatch = false` is the crawl-watch posture: a drop directory
+    * that does not exist YET yields an empty listing (the stream keeps
+    * polling); a batch read of a path matching nothing stays a loud error.
+    */
   private[warc] def listFiles(paths: Seq[String],
-                              conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+                              conf: org.apache.hadoop.conf.Configuration,
+                              requireMatch: Boolean = true): Seq[(String, Long)] = {
     val out = ArrayBuffer.empty[(String, Long)]
     paths.foreach { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
       val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty)
-      require(matches.nonEmpty, s"warc path matches nothing: $p")
+      require(!requireMatch || matches.nonEmpty, s"warc path matches nothing: $p")
       matches.foreach { st =>
         if (st.isDirectory) {
           val it = fs.listFiles(st.getPath, true)

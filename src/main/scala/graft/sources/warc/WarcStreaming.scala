@@ -88,7 +88,7 @@ class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
   override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
 
   override def latestOffset(): Offset = {
-    val now = WarcScan.listFiles(rawPaths, conf.value.value)
+    val now = WarcScan.listFiles(rawPaths, conf.value.value, requireMatch = false)
     val fresh = now.filter { case (f, len) => len > 0 && !seen.contains(f) }
     if (fresh.nonEmpty) {
       lastBatch += 1

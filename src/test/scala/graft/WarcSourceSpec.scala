@@ -191,6 +191,31 @@ class WarcSourceSpec extends SparkTestBase {
     assert(s2.latestOffset() === WarcOffset(2))
     // offsets roundtrip through json (the engine's restart path)
     assert(s2.deserializeOffset(WarcOffset(2).json()) === WarcOffset(2))
+
+    // crawl-watch posture: a drop dir that does not exist YET is an empty
+    // poll, not a crash (batch reads of a bad path stay loud errors)
+    val ghost = new WarcMicroBatchStream(
+      Files.createTempDirectory("graft-warc-cp3").toString,
+      Seq(Paths.get(dir, "not-created-yet").toString),
+      Array("url"), Set("response"), strict = false,
+      targetBytes = 64L * 1024 * 1024, conf)
+    assert(ghost.latestOffset() === WarcOffset(-1))
+    intercept[IllegalArgumentException] {
+      spark.read.format("warc").load(Paths.get(dir, "not-created-yet").toString).count()
+    }
+  }
+
+  test("bin-packing: tiny files coalesce, big files get their own bin") {
+    import graft.sources.warc.WarcScan
+    val tiny = (1 to 100).map(i => (f"f$i%03d", 1000L))
+    val target = WarcScan.targetBytesFor(tiny, 128L * 1024 * 1024, 8)
+    val bins = WarcScan.pack(tiny, target)
+    assert(bins.length <= 13 && bins.length >= 7) // ~100/8 with open-cost padding
+    assert(bins.flatten.sortBy(_._1) === tiny.sortBy(_._1)) // nothing lost
+    val mixed = Seq(("big1", 2L << 30), ("big2", 2L << 30)) ++ tiny
+    val bins2 = WarcScan.pack(mixed, 128L * 1024 * 1024)
+    assert(bins2.count(_.exists(_._1.startsWith("big"))) === 2)
+    assert(bins2.filter(_.exists(_._1.startsWith("big"))).forall(_.length === 1))
   }
 
   test("WarcIO.pages projects the engine input shape") {
