@@ -218,6 +218,27 @@ object SparkEntry {
         graft.text.UrlCanon.urlSurt(messy).as("url_surt"))
     }),
 
+    // per-site rollup (A-class, round 5): SURT site key → pages per site.
+    // The aggregation behind per-site quotas/caps in a training-data
+    // pipeline (and the partition key for site-contiguous exports): the
+    // SURT prefix before ')' IS the site, so this is one hash-agg —
+    // no URL re-parsing downstream of the key
+    "q_site_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val messy = when(id % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443//d/"), ids, lit("?utm_source=x&b=2&a=1#frag")))
+        .when(id % 4 === 1, concat(lit("http://News.example.com/d/"), ids))
+        .when(id % 4 === 2, concat(lit("http://user@host.org:80/p//"), ids, lit("?gclid=1")))
+        .otherwise(concat(lit("http://e.net:8080/"), ids))
+      t(s, dir, "documents")
+        .select(substring_index(
+          graft.text.UrlCanon.urlSurt(messy), ")", 1).as("site"), id)
+        .groupBy("site")
+        .agg(count(lit(1)).as("n_pages"),
+          min(id).as("min_doc"), max(id).as("max_doc"))
+    }),
+
     // §2.7: multi-root union (discovery fan-out)
     "q_union_multiroot" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -697,6 +718,17 @@ object SparkEntry {
         |       trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
         |                           '\s+', ' ', 'g')) AS extracted
         |FROM documents""".stripMargin,
+
+    "q_site_stats" ->
+      """SELECT CASE doc_id % 4
+        |         WHEN 0 THEN 'com,example'
+        |         WHEN 1 THEN 'com,example,news'
+        |         WHEN 2 THEN 'org,host'
+        |         ELSE 'net,e:8080'
+        |       END AS site,
+        |       CAST(count(*) AS BIGINT) AS n_pages,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_url_canon" ->
       """SELECT doc_id,
