@@ -239,6 +239,22 @@ object SparkEntry {
           min(id).as("min_doc"), max(id).as("max_doc"))
     }),
 
+    // sub-document dedup (beyond-reference, round 5): corpus-wide repeated
+    // paragraphs drop, first occurrence by (doc, pos) survives — the
+    // CCNet/RefinedWeb boilerplate-removal pass. Fixture: every doc gets a
+    // shared header paragraph, its own unique body, and (even ids) a
+    // shared footer; the oracle states keep/drop in closed form
+    "q_para_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val synth = concat(lit("SHARED HEADER\n\nDOC "), col("doc_id").cast("string"),
+        lit(" "), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n\nSHARED FOOTER")).otherwise(lit("")))
+      graft.text.ParagraphDedup.dedupParagraphs(
+        d.select(col("doc_id"), synth.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          sha2(col("text"), 256).as("clean_sha"))
+    }),
+
     // §2.7: multi-root union (discovery fan-out)
     "q_union_multiroot" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -718,6 +734,25 @@ object SparkEntry {
         |       trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
         |                           '\s+', ' ', 'g')) AS extracted
         |FROM documents""".stripMargin,
+
+    "q_para_dedup" ->
+      """WITH m AS (SELECT min(doc_id) AS mn,
+        |                  min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS mne
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS n_paras,
+        |       CAST((CASE WHEN doc_id > mn THEN 1 ELSE 0 END)
+        |          + (CASE WHEN doc_id % 2 = 0 AND doc_id > mne THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dropped,
+        |       sha256(
+        |         (CASE WHEN doc_id = mn
+        |               THEN 'SHARED HEADER' || chr(10) || chr(10) ELSE '' END)
+        |         || 'DOC ' || doc_id || ' ' || text
+        |         || (CASE WHEN doc_id = mne
+        |                  THEN chr(10) || chr(10) || 'SHARED FOOTER' ELSE '' END)
+        |       ) AS clean_sha
+        |FROM documents, m""".stripMargin,
 
     "q_site_stats" ->
       """SELECT CASE doc_id % 4

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.text.ParagraphDedup
+
+class ParagraphDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("corpus-wide repeated paragraphs drop; first (doc, pos) occurrence survives") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\n\nunique alpha\n\nSHARED LEGAL"),
+      (2L, "COOKIE BANNER\n\nunique beta"),
+      (3L, "unique gamma\n\nSHARED LEGAL\n\nCOOKIE BANNER")).toDF("id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("text")).toSeq === Seq(
+      "COOKIE BANNER\n\nunique alpha\n\nSHARED LEGAL", // doc 1 keeps everything (first)
+      "unique beta",                                    // banner dropped (doc 1 pos 0 won)
+      "unique gamma"))                                  // legal + banner both dropped
+    assert(out.map(_.getAs[Long]("n_paras")).toSeq === Seq(3L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_dropped")).toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("within one doc the earlier position wins; order is preserved on rebuild") {
+    val docs = Seq(
+      (1L, "z last\n\nrepeat\n\na first\n\nrepeat")).toDF("id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "id", "text").head()
+    assert(out.getAs[String]("text") === "z last\n\nrepeat\n\na first")
+    assert(out.getAs[Long]("n_dropped") === 1L)
+  }
+
+  test("blank-ish paragraphs vanish; whitespace between blank lines still splits") {
+    val docs = Seq((1L, "a\n \n\t\nb\n\n\n\nc"), (2L, "  \n\n  ")).toDF("id", "text")
+    val paras = ParagraphDedup.explodeParagraphs(docs, "id", "text")
+      .orderBy("id", "pos").select("para").as[String].collect()
+    assert(paras.toSeq === Seq("a", "b", "c")) // doc 2 has no non-empty paragraph
+    val out = ParagraphDedup.dedupParagraphs(docs, "id", "text")
+    assert(out.count() === 1) // paragraph-less docs have no row (documented)
+  }
+
+  test("explicit order column overrides id order") {
+    val docs = Seq(
+      (10L, 2L, "dup\n\nten"),
+      (20L, 1L, "dup\n\ntwenty")).toDF("id", "crawl_order", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "id", "text",
+      orderCol = Some(col("crawl_order")))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text") === "ten")     // doc 10 lost: order 2
+    assert(out(1).getAs[String]("text") === "dup\n\ntwenty") // doc 20 won: order 1
+  }
+}
