@@ -48,7 +48,8 @@ object Main {
       stateBuckets: Option[Int] = None,
       deltaCluster: Boolean = false,
       textsFrom: Option[String] = None,
-      canonUrls: Boolean = false)
+      canonUrls: Boolean = false,
+      paraDedup: Boolean = false)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -85,6 +86,10 @@ object Main {
       // before the pipeline sees it — trivially-respelled re-crawls of the
       // same page stop minting fresh ids
       case "--canon-urls" :: t        => loop(t, acc.copy(canonUrls = true))
+      // sub-document pass: drop corpus-wide repeated paragraphs (first
+      // occurrence survives) BEFORE fingerprinting — boilerplate stops
+      // dominating shingle signatures and the cleaned text is what ships
+      case "--para-dedup" :: t        => loop(t, acc.copy(paraDedup = true))
       case "--containment-cap" :: v :: t =>
         v.toIntOption.toRight(s"--containment-cap: not an int: $v")
           .flatMap(c => loop(t, acc.copy(containmentCap = Some(c))))
@@ -211,8 +216,19 @@ object Main {
             org.apache.spark.sql.functions.col(bin)))
         case None => raw
       }
-      if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
-      else extracted
+      val canoned =
+        if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
+        else extracted
+      if (a.paraDedup) {
+        // corpus-wide first-occurrence paragraph dedup; docs whose every
+        // paragraph was boilerplate come back with empty text and flow to
+        // quarantine through the standard empty-text gate
+        val cleaned = graft.text.ParagraphDedup.dedupParagraphs(
+          canoned.select(org.apache.spark.sql.functions.col(a.idCol),
+            org.apache.spark.sql.functions.col(a.textCol)), a.idCol, a.textCol)
+          .select(a.idCol, a.textCol)
+        canoned.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
+      } else canoned
     }
     val pages = load(a.pages)
     val (nNew, nClusters) =

@@ -39,6 +39,28 @@ class ParagraphDedupSpec extends SparkTestBase {
     assert(out.count() === 1) // paragraph-less docs have no row (documented)
   }
 
+  test("--para-dedup cleans text pre-pipeline; all-boilerplate docs quarantine") {
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s", "--para-dedup"))
+      .toOption.get.paraDedup)
+    val dir = java.nio.file.Files.createTempDirectory("graft-para-pages")
+    val state = java.nio.file.Files.createTempDirectory("graft-para-state").toString
+    Seq(
+      ("http://a.test/1", "BOILER PLATE\n\nalpha body"),
+      ("http://a.test/2", "BOILER PLATE\n\nbeta body"),
+      ("http://a.test/3", "BOILER PLATE")) // nothing left after the pass
+      .toDF("url", "text").write.mode("overwrite").parquet(dir.toString)
+    val out = Main.run(spark, Main.parse(Seq(
+      "--pages", dir.toString, "--state", state, "--para-dedup")).toOption.get)
+    assert(out.head.contains("\"new_signatures\":2")) // doc 3 quarantined
+    val sigs = graft.state.Checkpoints.readSignatures(spark, state)
+    val expected = Seq("BOILER PLATE\n\nalpha body", "beta body").map { t =>
+      Seq(t).toDF("t").select(
+        graft.fingerprint.Fingerprints.contentHash(col("t"))).head().getString(0)
+    }
+    assert(sigs.select("content_hash").as[String].collect().sorted
+      === expected.sorted.toArray)
+  }
+
   test("explicit order column overrides id order") {
     val docs = Seq(
       (10L, 2L, "dup\n\nten"),
