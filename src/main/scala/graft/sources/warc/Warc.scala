@@ -79,7 +79,20 @@ object Warc {
       null
     }
 
-    private def advance(): Record = {
+    // gzip-level corruption (half-written member, bad CRC) surfaces as an
+    // IOException from the decompressor mid-read — in lenient mode that is
+    // the same "corrupt tail" case as a chopped record: keep the intact
+    // prefix, stop the file
+    private def advance(): Record =
+      try advanceImpl()
+      catch {
+        case e: java.io.IOException =>
+          if (strict) throw e
+          done = true
+          null
+      }
+
+    private def advanceImpl(): Record = {
       // skip inter-record blank lines (the record terminator CRLFCRLF)
       var line = readLine(in)
       while (line != null && line.isEmpty) line = readLine(in)

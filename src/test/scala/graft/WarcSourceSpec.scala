@@ -97,6 +97,22 @@ class WarcSourceSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("gzip-level corruption (half-written member) is a lenient corrupt tail") {
+    val dir = Files.createDirectories(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft-warc-spec", "gzcorrupt"))
+    dir.toFile.listFiles().foreach(_.delete())
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.write(bos, recs(3), gzipPerRecord = true)
+    val whole = bos.toByteArray
+    // chop the LAST gzip member in half: members for warcinfo + 3 records
+    val cut = whole.length - 40
+    Files.write(dir.resolve("t.warc.gz"), java.util.Arrays.copyOf(whole, cut))
+    val lenient = spark.read.format("warc").load(dir.toString)
+    assert(lenient.count() === 2) // intact prefix survives
+    val strict = spark.read.format("warc").option("strict", "true").load(dir.toString)
+    intercept[org.apache.spark.SparkException] { strict.count() }
+  }
+
   test("parser: angle-bracketed URIs and non-HTTP resource blocks") {
     val block = "raw resource bytes".getBytes(UTF_8)
     val rec = Warc.encodeRecord("resource", "<https://a.test/r>",
