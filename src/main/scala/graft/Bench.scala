@@ -158,7 +158,7 @@ object Bench {
 
     val headline = Seq("q_dedup_clusters", "q_minhash_lsh_pairs", "q_exact_dedup",
       "q1_agg", "q_embedding_knn", "q_ngram_jaccard", "q_events_hourly",
-      "q_token_count", "q_window_top1")
+      "q_token_count", "q_window_top1", "q_para_dedup", "q_url_canon")
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()
@@ -367,12 +367,11 @@ object Bench {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val f = new java.io.FileOutputStream(f"$warcDir/part-$pid%03d.warc.gz")
           try it.foreach { r =>
-            val gz = new java.util.zip.GZIPOutputStream(f, 64 * 1024)
-            gz.write(graft.sources.warc.Warc.encodeRecord("response",
-              r.getString(0), r.getTimestamp(1).toInstant,
-              "application/http; msgtype=response",
-              graft.sources.warc.Warc.httpResponseBlock(r.getAs[Array[Byte]](2))))
-            gz.finish()
+            graft.sources.warc.Warc.writeGzipMember(f,
+              graft.sources.warc.Warc.encodeRecord("response",
+                r.getString(0), r.getTimestamp(1).toInstant,
+                "application/http; msgtype=response",
+                graft.sources.warc.Warc.httpResponseBlock(r.getAs[Array[Byte]](2))))
           } finally f.close()
         }
       }

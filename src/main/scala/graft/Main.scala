@@ -220,9 +220,10 @@ object Main {
         if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
         else extracted
       if (a.paraDedup) {
-        // corpus-wide first-occurrence paragraph dedup; docs whose every
-        // paragraph was boilerplate come back with empty text and flow to
-        // quarantine through the standard empty-text gate
+        // corpus-wide first-occurrence paragraph dedup; wholly-duplicated
+        // docs keep their text so document-level dedup records the
+        // relation (the left branch below never recomputes extraction —
+        // dropping textCol prunes the extract projection out of its plan)
         val cleaned = graft.text.ParagraphDedup.dedupParagraphs(
           canoned.select(org.apache.spark.sql.functions.col(a.idCol),
             org.apache.spark.sql.functions.col(a.textCol)), a.idCol, a.textCol)

@@ -79,14 +79,17 @@ object Warc {
       null
     }
 
-    // gzip-level corruption (half-written member, bad CRC) surfaces as an
-    // IOException from the decompressor mid-read — in lenient mode that is
-    // the same "corrupt tail" case as a chopped record: keep the intact
-    // prefix, stop the file
+    // gzip-level corruption (half-written member, bad CRC) surfaces as a
+    // ZipException or EOFException from the decompressor mid-read — in
+    // lenient mode that is the same "corrupt tail" case as a chopped
+    // record: keep the intact prefix, stop the file. ONLY decode errors
+    // qualify: a transient transport IOException (socket reset, HDFS
+    // hiccup) must still fail the task so Spark retries it — swallowing
+    // those would silently truncate containers on a flaky network
     private def advance(): Record =
       try advanceImpl()
       catch {
-        case e: java.io.IOException =>
+        case e @ (_: java.util.zip.ZipException | _: EOFException) =>
           if (strict) throw e
           done = true
           null
@@ -156,8 +159,19 @@ object Warc {
     * exactly Common Crawl's record-per-member layout.
     */
   def records(raw: InputStream, fileName: String, strict: Boolean): RecordIterator = {
-    val in = if (fileName.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw
-    new RecordIterator(in, strict)
+    // the GZIP header is read by the CONSTRUCTOR, so corruption at byte 0
+    // (zero-byte file, chopped header) throws here, not inside the
+    // iterator — same lenient/strict split as mid-stream corruption
+    val in =
+      if (fileName.endsWith(".gz"))
+        try new GZIPInputStream(raw, 64 * 1024)
+        catch {
+          case e @ (_: java.util.zip.ZipException | _: EOFException) =>
+            if (strict) throw e else null
+        }
+      else raw
+    if (in == null) new RecordIterator(new java.io.ByteArrayInputStream(Array.emptyByteArray), strict)
+    else new RecordIterator(in, strict)
   }
 
   /** Split a response record's block into (status, Content-Type, body).
@@ -237,6 +251,27 @@ object Warc {
     out
   }
 
+  /** `close()` on a GZIPOutputStream is the only call that releases its
+    * native zlib Deflater (finish() does not), but it also closes the
+    * underlying stream — a per-member writer over a shared file needs this
+    * shield so every member can be properly closed.
+    */
+  private final class NoCloseStream(out: OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = out.flush()
+  }
+
+  /** Append `bytes` to `out` as ONE complete gzip member, releasing the
+    * member's native Deflater immediately (a writer that only finish()es
+    * leaks ~256 KB of off-heap zlib state per member until finalization).
+    */
+  def writeGzipMember(out: OutputStream, bytes: Array[Byte]): Unit = {
+    val gz = new GZIPOutputStream(new NoCloseStream(out), 64 * 1024)
+    gz.write(bytes)
+    gz.close()
+  }
+
   /** Write records to `out`, Common-Crawl style when `gzipPerRecord`:
     * each record its own gzip member. A leading `warcinfo` record is
     * emitted (readers must skip non-kept types).
@@ -244,10 +279,8 @@ object Warc {
   def write(out: OutputStream, records: Seq[(String, Instant, Array[Byte])],
             gzipPerRecord: Boolean): Unit = {
     def emit(bytes: Array[Byte]): Unit =
-      if (gzipPerRecord) {
-        val gz = new GZIPOutputStream(out, 64 * 1024)
-        gz.write(bytes); gz.finish()
-      } else out.write(bytes)
+      if (gzipPerRecord) writeGzipMember(out, bytes)
+      else out.write(bytes)
     val info = "software: graft-warc-fixture\r\nformat: WARC File Format 1.0\r\n"
       .getBytes(StandardCharsets.ISO_8859_1)
     emit(encodeRecord("warcinfo", null, Instant.EPOCH, "application/warc-fields", info))

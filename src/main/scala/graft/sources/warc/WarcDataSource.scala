@@ -102,14 +102,12 @@ class WarcScanBuilder(options: CaseInsensitiveStringMap)
     val paths = WarcScan.pathsOf(options)
     require(paths.nonEmpty, "warc source needs a path: spark.read.format(\"warc\").load(dir)")
     val conf = spark.sessionState.newHadoopConf()
-    val files = WarcScan.listFiles(paths, conf)
     val keepTypes = Option(options.get("keeptypes")).getOrElse("response")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     val strict = options.getBoolean("strict", false)
-    val target = WarcScan.targetBytesFor(files,
+    WarcScan(paths, required, keepTypes, strict,
       spark.sessionState.conf.filesMaxPartitionBytes,
-      spark.sparkContext.defaultParallelism)
-    WarcScan(files, paths, required, keepTypes, strict, target,
+      spark.sparkContext.defaultParallelism,
       spark.sparkContext.broadcast(new SerializableHadoopConf(conf)))
   }
 }
@@ -199,23 +197,33 @@ object WarcScan {
   */
 case class WarcInputPartition(files: Seq[(String, Long)]) extends InputPartition
 
-case class WarcScan(files: Seq[(String, Long)], rawPaths: Seq[String],
-                    required: StructType, keepTypes: Set[String], strict: Boolean,
-                    targetBytes: Long, conf: Broadcast[SerializableHadoopConf])
+case class WarcScan(rawPaths: Seq[String], required: StructType,
+                    keepTypes: Set[String], strict: Boolean,
+                    maxPartitionBytes: Long, defaultParallelism: Int,
+                    conf: Broadcast[SerializableHadoopConf])
     extends Scan with Batch with SupportsReportStatistics {
+
+  // listing is deferred past build(): the BATCH path demands the paths
+  // match something (and lists exactly once, here); the STREAMING path
+  // never touches this — a crawl-watch stream may legally start on a drop
+  // directory that does not exist yet, and its listing happens per trigger
+  private lazy val files: Seq[(String, Long)] =
+    WarcScan.listFiles(rawPaths, conf.value.value)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(checkpointLocation, rawPaths, required.fieldNames,
-      keepTypes, strict, targetBytes, conf)
+      keepTypes, strict, maxPartitionBytes, defaultParallelism, conf)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc(${files.length} files, keep=${keepTypes.mkString("+")})"
+    s"warc(${rawPaths.mkString(",")}, keep=${keepTypes.mkString("+")})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    WarcScan.pack(files, targetBytes).map(b => WarcInputPartition(b): InputPartition).toArray
+    WarcScan.pack(files,
+      WarcScan.targetBytesFor(files, maxPartitionBytes, defaultParallelism))
+      .map(b => WarcInputPartition(b): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required.fieldNames, keepTypes, strict, conf)

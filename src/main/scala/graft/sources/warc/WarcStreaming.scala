@@ -39,7 +39,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   */
 class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
                            fields: Array[String], keepTypes: Set[String],
-                           strict: Boolean, targetBytes: Long,
+                           strict: Boolean, maxPartitionBytes: Long,
+                           defaultParallelism: Int,
                            conf: Broadcast[SerializableHadoopConf])
     extends MicroBatchStream {
 
@@ -101,7 +102,11 @@ class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WarcOffset].batch
     val e = end.asInstanceOf[WarcOffset].batch
-    WarcScan.pack(((s + 1) to e).flatMap(readBatchLog), targetBytes)
+    // the bin-pack target is derived from THIS range's files — a stream
+    // started on an empty drop dir must not freeze a degenerate target
+    val batchFiles = ((s + 1) to e).flatMap(readBatchLog)
+    WarcScan.pack(batchFiles,
+      WarcScan.targetBytesFor(batchFiles, maxPartitionBytes, defaultParallelism))
       .map(b => WarcInputPartition(b): InputPartition).toArray
   }
 

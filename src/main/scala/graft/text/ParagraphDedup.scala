@@ -14,24 +14,33 @@ import org.apache.spark.sql.functions._
   * boilerplate shingles stop dominating signatures).
   *
   * Semantics (deterministic, oracle-checkable):
-  *   - paragraphs = text split on blank lines (`\n{2,}` with optional
-  *     horizontal whitespace between the newlines), trimmed; empty
-  *     paragraphs vanish
+  *   - paragraphs = text split on blank lines (two-or-more newlines, CRLF
+  *     or LF, with optional horizontal whitespace between them), trimmed;
+  *     empty paragraphs vanish
   *   - identity = exact bytes of the trimmed paragraph (sha2-256)
   *   - the FIRST occurrence corpus-wide survives — ordered by
   *     (doc, position): the occurrence with the smallest (docOrder, pos)
   *     keeps the paragraph, every other occurrence drops it
   *   - a document's surviving paragraphs re-join with a blank line,
   *     preserving their original order
+  *   - a document whose EVERY paragraph lost keeps its (paragraph-
+  *     normalized) text unchanged: such a doc is wholly duplicated
+  *     content, which is document-level dedup's job to cluster and act
+  *     on — silently emptying it would route it to quarantine and hide
+  *     the duplicate relation from the machinery built to record it
+  *     (`n_dropped = n_paras` still marks it)
+  *   - `idCol` must be unique per row (the pages-table contract; after
+  *     `--canon-urls` collapse). Duplicate ids would interleave two
+  *     documents' paragraphs into one rebuilt text.
   *
-  * Scale shape: one shuffle by paragraph hash (the window that elects the
-  * first occurrence — rank-1 rides it as `WindowGroupLimit`, so a
-  * paragraph repeated on 10^6 pages never materializes its group), then
-  * one partial+final aggregation back to documents. Paragraph TEXT
-  * travels the hash shuffle once; at 10^12-doc scale swap the exact text
-  * for (hash, doc, pos) pairs + a re-join if paragraph bytes dominate —
-  * both plans keep the wide column out of the window's sort buffer via
-  * the same keys.
+  * Scale shape: the first-occurrence election is a rank-1 filter over the
+  * paragraph-hash window, which Spark executes as `WindowGroupLimit`
+  * (spec-gated): map-side partial limits pass ≤1 row per hash per task,
+  * so a paragraph repeated on 10^6 pages shuffles O(tasks) rows, not
+  * O(occurrences). Per-doc totals and the rebuild are partial+final
+  * hash aggregations keyed by doc — no skew (a doc owns its own
+  * paragraphs). At 10^12-doc scale swap paragraph text in the election
+  * shuffle for (hash, doc, pos) + a re-join if paragraph bytes dominate.
   *
   * Reference analog: none — the reference dedups whole files only; this
   * is the sub-document granularity web text adds (SURVEY §2 beyond-
@@ -39,9 +48,9 @@ import org.apache.spark.sql.functions._
   */
 object ParagraphDedup {
 
-  // a paragraph break = two-or-more newlines, tolerating horizontal
-  // whitespace on the blank lines
-  private val ParaSplit = "[\\t ]*\\n(?:[\\t ]*\\n)+[\\t ]*"
+  // a paragraph break = two-or-more newlines (LF or CRLF), tolerating
+  // horizontal whitespace on the blank lines
+  private val ParaSplit = "[\\t \\r]*\\n(?:[\\t \\r]*\\n)+[\\t \\r]*"
 
   /** Per-paragraph exploded view: (docId, [carry...,] pos, para, para_hash).
     * Paragraph text is whitespace-trimmed with a regexp (Spark's `trim`
@@ -56,30 +65,37 @@ object ParagraphDedup {
       .withColumn("para_hash", sha2(col("para"), 256))
   }
 
+  private def rebuild(as: String): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+        s => s.getField("para")),
+      "\n\n").as(as)
+
   /** Documents with corpus-wide repeated paragraphs removed (first
-    * occurrence by (orderCol, pos) survives). Output: idCol,
-    * `textCol` (cleaned), n_paras, n_dropped.
+    * occurrence by (orderCol, pos) survives; a fully-duplicated doc keeps
+    * its text — see object doc). Output: idCol, `textCol` (cleaned),
+    * n_paras, n_dropped.
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       orderCol: Option[Column] = None): DataFrame = {
     val ord = orderCol.getOrElse(col(idCol))
     val paras = explodeParagraphs(
       df.withColumn("_ord", ord), idCol, textCol, carry = Seq("_ord"))
-    // first occurrence corpus-wide: rank 1 over (hash) by (order, pos) —
-    // WindowGroupLimit keeps mega-groups from materializing
+    // per-doc totals + the paragraph-normalized full rebuild (served
+    // verbatim when every paragraph lost)
+    val totals = paras.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"), rebuild("_full"))
+    // first occurrence corpus-wide: the rank-1 FILTER is what turns the
+    // window into a WindowGroupLimit (map-side ≤1 row per hash per task)
     val w = Window.partitionBy("para_hash").orderBy(col("_ord").asc, col("pos").asc)
     val kept = paras.withColumn("_rn", row_number().over(w))
-    val perDoc = kept
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_paras"),
-        (count(lit(1)) - sum(when(col("_rn") === 1, 1L).otherwise(0L))).as("n_dropped"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("_rn") === 1,
-              struct(col("pos"), col("para"))))),
-            s => s.getField("para")),
-          "\n\n").as(textCol))
-    perDoc.select(col(idCol), col(textCol), col("n_paras"), col("n_dropped"))
+      .filter(col("_rn") === 1)
+    val keptPerDoc = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n_kept"), rebuild("_kept"))
+    totals.join(keptPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_kept"), col("_full")).as(textCol),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("_n_kept"), lit(0L))).as("n_dropped"))
   }
 }

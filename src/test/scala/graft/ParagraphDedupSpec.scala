@@ -39,7 +39,7 @@ class ParagraphDedupSpec extends SparkTestBase {
     assert(out.count() === 1) // paragraph-less docs have no row (documented)
   }
 
-  test("--para-dedup cleans text pre-pipeline; all-boilerplate docs quarantine") {
+  test("--para-dedup cleans text pre-pipeline; fully-duplicated docs stay visible") {
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s", "--para-dedup"))
       .toOption.get.paraDedup)
     val dir = java.nio.file.Files.createTempDirectory("graft-para-pages")
@@ -47,18 +47,43 @@ class ParagraphDedupSpec extends SparkTestBase {
     Seq(
       ("http://a.test/1", "BOILER PLATE\n\nalpha body"),
       ("http://a.test/2", "BOILER PLATE\n\nbeta body"),
-      ("http://a.test/3", "BOILER PLATE")) // nothing left after the pass
+      ("http://a.test/3", "BOILER PLATE")) // every paragraph is a dup
       .toDF("url", "text").write.mode("overwrite").parquet(dir.toString)
     val out = Main.run(spark, Main.parse(Seq(
       "--pages", dir.toString, "--state", state, "--para-dedup")).toOption.get)
-    assert(out.head.contains("\"new_signatures\":2")) // doc 3 quarantined
+    // doc 3 keeps its text (wholly-duplicated content is DOCUMENT-level
+    // dedup's case to record, not a quarantine row)
+    assert(out.head.contains("\"new_signatures\":3"))
     val sigs = graft.state.Checkpoints.readSignatures(spark, state)
-    val expected = Seq("BOILER PLATE\n\nalpha body", "beta body").map { t =>
-      Seq(t).toDF("t").select(
-        graft.fingerprint.Fingerprints.contentHash(col("t"))).head().getString(0)
-    }
+    val expected = Seq("BOILER PLATE\n\nalpha body", "beta body", "BOILER PLATE")
+      .map { t =>
+        Seq(t).toDF("t").select(
+          graft.fingerprint.Fingerprints.contentHash(col("t"))).head().getString(0)
+      }
     assert(sigs.select("content_hash").as[String].collect().sorted
       === expected.sorted.toArray)
+  }
+
+  test("fully-duplicated doc keeps its text; n_dropped marks it") {
+    val docs = Seq(
+      (1L, "same one\n\nsame two"),
+      (2L, "same one\n\nsame two")).toDF("id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "id", "text").orderBy("id").collect()
+    assert(out(0).getAs[String]("text") === "same one\n\nsame two")
+    assert(out(0).getAs[Long]("n_dropped") === 0L)
+    assert(out(1).getAs[String]("text") === "same one\n\nsame two") // kept, not emptied
+    assert(out(1).getAs[Long]("n_dropped") === 2L)                   // but fully marked
+  }
+
+  test("CRLF paragraph breaks split; the election window is a WindowGroupLimit") {
+    val docs = Seq(
+      (1L, "alpha\r\n\r\nshared"),
+      (2L, "beta\r\n\r\nshared")).toDF("id", "text")
+    val deduped = ParagraphDedup.dedupParagraphs(docs, "id", "text")
+    val rows = deduped.orderBy("id").collect()
+    assert(rows(0).getAs[String]("text") === "alpha\n\nshared")
+    assert(rows(1).getAs[String]("text") === "beta") // CRLF corpus still dedups
+    assert(deduped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
   test("explicit order column overrides id order") {

@@ -181,7 +181,7 @@ class WarcSourceSpec extends SparkTestBase {
         spark.sessionState.newHadoopConf()))
     def mkStream() = new WarcMicroBatchStream(cp, Seq(dir),
       Array("url"), Set("response"), strict = false,
-      targetBytes = 64L * 1024 * 1024, conf)
+      maxPartitionBytes = 64L * 1024 * 1024, defaultParallelism = 4, conf)
 
     val s1 = mkStream()
     writeFile("a.warc.gz", 0)
@@ -214,8 +214,16 @@ class WarcSourceSpec extends SparkTestBase {
       Files.createTempDirectory("graft-warc-cp3").toString,
       Seq(Paths.get(dir, "not-created-yet").toString),
       Array("url"), Set("response"), strict = false,
-      targetBytes = 64L * 1024 * 1024, conf)
+      maxPartitionBytes = 64L * 1024 * 1024, defaultParallelism = 4, conf)
     assert(ghost.latestOffset() === WarcOffset(-1))
+    // the full readStream path must also start cleanly on a missing dir
+    // (build() used to list eagerly and crash before toMicroBatchStream)
+    val ghostQ = spark.readStream.format("warc")
+      .load(Paths.get(dir, "also-not-created").toString)
+      .selectExpr("url").writeStream.format("memory")
+      .queryName("warc_ghost").start()
+    try { ghostQ.processAllAvailable(); assert(spark.table("warc_ghost").count() === 0) }
+    finally ghostQ.stop()
     intercept[IllegalArgumentException] {
       spark.read.format("warc").load(Paths.get(dir, "not-created-yet").toString).count()
     }
