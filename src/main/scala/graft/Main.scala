@@ -126,8 +126,8 @@ object Main {
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
     else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
       Left("--jaccard must be in (0, 1]")
-    else if (!Set("html", "plaintext").contains(a.extractor))
-      Left("--extractor must be html or plaintext")
+    else if (!Set("html", "html-paras", "plaintext").contains(a.extractor))
+      Left("--extractor must be html, html-paras or plaintext")
     else if (!Set("auto", "parquet", "table", "warc").contains(a.pagesFormat))
       Left("--pages-format must be auto, parquet, table or warc")
     else if (a.containmentCap.exists(_ <= 0))

@@ -130,10 +130,15 @@ object Fingerprints {
     */
   def extractorByName(name: String): Column => Column = name match {
     case "html"      => extractText
+    // paragraph-preserving variant: block-tag boundaries become blank-line
+    // breaks — REQUIRED upstream of --para-dedup on an html column (the
+    // default extractor collapses all whitespace, leaving one paragraph)
+    case "html-paras" => (c: Column) =>
+      shim.toColumn(ExtractTextParas(shim.toExpression(c)))
     case "plaintext" => (c: Column) =>
       trim(regexp_replace(decode(c, "UTF-8"), "\\s+", " "))
     case other => throw new IllegalArgumentException(
-      s"unknown extractor '$other' (expected html|plaintext)")
+      s"unknown extractor '$other' (expected html|html-paras|plaintext)")
   }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of equal

@@ -451,6 +451,37 @@ object TextExtraction {
     s
   }
 
+  // block-level boundaries become paragraph breaks in extractParas; the
+  // sentinel is a char no decoded text contains (NUL is dropped by every
+  // sane html producer, and a hostile one only affects its own doc's split)
+  private val blockTagRe = java.util.regex.Pattern.compile(
+    "(?is)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|blockquote|pre)\\b[^>]*>" +
+      "|<(?:br|hr)\\s*/?>")
+  private val sentinelRunRe = java.util.regex.Pattern.compile(" ?(?:\u0000 ?)+")
+
+  /** Paragraph-preserving variant ("html-paras"): identical pipeline to
+    * [[extract]] except block-level tag boundaries become blank-line
+    * paragraph breaks instead of spaces — the shape [[graft.text
+    * .ParagraphDedup]] consumes. Raw newlines in the html are NOT breaks
+    * (browsers collapse them; only markup structure is meaningful).
+    * Deliberately a SEPARATE extractor: the default one is pinned by the
+    * byte-identical `extract(html) == text` corpus invariant.
+    */
+  def extractParas(bytes: Array[Byte]): String = {
+    if (bytes == null) return ""
+    var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    s = commentRe.matcher(s).replaceAll(" ")
+    var i = 0
+    while (i < dropRes.length) { s = dropRes(i).matcher(s).replaceAll(" "); i += 1 }
+    s = s.replace('\u0000', ' ')
+    s = blockTagRe.matcher(s).replaceAll("\u0000")
+    s = tagRe.matcher(s).replaceAll(" ")
+    s = decodeEntities(s)
+    s = wsRe.matcher(s).replaceAll(" ")
+    s = sentinelRunRe.matcher(s).replaceAll("\n\n")
+    s.replaceAll("^\\s+|\\s+$", "")
+  }
+
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val out = new java.lang.StringBuilder(s.length)
@@ -510,4 +541,37 @@ case class ExtractText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "extract_text"
+}
+
+/** Catalyst wrapper for [[TextExtraction.extractParas]]: binary → string
+  * with blank-line paragraph breaks at block-tag boundaries (the
+  * `html-paras` extractor — feeds paragraph-level dedup).
+  */
+case class ExtractTextParas(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"extract_text_paras expects binary, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextExtraction.extractParas(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("extractParasExpr", this, classOf[ExtractTextParas].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractTextParas =
+    copy(child = newChild)
+
+  override def prettyName: String = "extract_text_paras"
 }

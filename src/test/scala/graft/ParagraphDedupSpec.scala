@@ -86,6 +86,46 @@ class ParagraphDedupSpec extends SparkTestBase {
     assert(deduped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("html-paras extractor: block boundaries become paragraph breaks") {
+    import graft.fingerprint.TextExtraction
+    val html = ("<html><head><title>t</title></head><body><nav>menu</nav>" +
+      "<p>COOKIE NOTICE</p>\n<p>unique alpha</p><div>tail bit</div></body></html>")
+      .getBytes("UTF-8")
+    assert(TextExtraction.extractParas(html) ===
+      "COOKIE NOTICE\n\nunique alpha\n\ntail bit")
+    // the DEFAULT extractor is untouched (byte-identical corpus invariant)
+    assert(TextExtraction.extract(html) === "COOKIE NOTICE unique alpha tail bit")
+    // raw newlines in html are formatting, not breaks
+    assert(TextExtraction.extractParas("<p>a\nb</p>".getBytes("UTF-8")) === "a b")
+    // a hostile raw NUL cannot forge a paragraph break
+    assert(TextExtraction.extractParas("a\u0000b".getBytes("UTF-8")) === "a b")
+  }
+
+  test("--extractor html-paras --para-dedup composes end-to-end on html pages") {
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--extractor", "nope")).isLeft)
+    def page(u: String, paras: Seq[String]): (String, Array[Byte]) =
+      (u, ("<html><body>" + paras.map(p => s"<p>$p</p>").mkString +
+        "</body></html>").getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hp-pages")
+    val state = java.nio.file.Files.createTempDirectory("graft-hp-state").toString
+    Seq(
+      page("http://b.test/1", Seq("COOKIE NOTICE", "unique alpha")),
+      page("http://b.test/2", Seq("COOKIE NOTICE", "unique beta")))
+      .toDF("url", "html").write.mode("overwrite").parquet(dir.toString)
+    Main.run(spark, Main.parse(Seq(
+      "--pages", dir.toString, "--state", state,
+      "--extract-from", "html", "--extractor", "html-paras",
+      "--para-dedup")).toOption.get)
+    val sigs = graft.state.Checkpoints.readSignatures(spark, state)
+    val expected = Seq("COOKIE NOTICE\n\nunique alpha", "unique beta").map { t =>
+      Seq(t).toDF("t").select(
+        graft.fingerprint.Fingerprints.contentHash(col("t"))).head().getString(0)
+    }
+    assert(sigs.select("content_hash").as[String].collect().sorted
+      === expected.sorted.toArray)
+  }
+
   test("explicit order column overrides id order") {
     val docs = Seq(
       (10L, 2L, "dup\n\nten"),
