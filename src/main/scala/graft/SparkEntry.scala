@@ -399,6 +399,30 @@ object SparkEntry {
         TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
     }),
 
+    // Gopher/MassiveText repetition battery (beyond-reference, round 5):
+    // per-doc duplicate-line/para counts+chars and top-2-gram / dup-5-gram
+    // stats, all per-row array folds (zero shuffle). Fixture plants a
+    // duplicated HEAD line (every 3rd doc), a duplicated TAIL paragraph
+    // (every 2nd) and a doubled 5-gram phrase (every 5th); the n-gram stats
+    // also see the raw text's own small-vocabulary repetition. The oracle
+    // recomputes every column generically in DuckDB (unnest + group).
+    "q_repetition" -> ((s, dir) => {
+      val synth = concat(lit("HEAD"),
+        when(col("doc_id") % 3 === 0, lit("\nHEAD")).otherwise(lit("")),
+        lit("\n"), col("text"), lit("\n\nTAIL P"),
+        when(col("doc_id") % 2 === 0, lit("\n\nTAIL P")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nrate this page now please rate this page now please"))
+          .otherwise(lit("")))
+      graft.text.Repetition.withSignals(
+          t(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+          "text", topNs = Seq(2), dupNs = Seq(5))
+        .select("doc_id", "n_lines", "dup_lines", "dup_line_chars",
+          "line_chars", "n_paras", "dup_paras", "dup_para_chars",
+          "n_words", "word_chars", "n_2grams", "top2_count", "top2_chars",
+          "dup5_chars")
+    }),
+
     // ── dedup suite (training-data pipeline ops) ────────────────────────
 
     // X2/X3: per-row signature stage. content_hash and the shingle count are
@@ -920,6 +944,74 @@ object SparkEntry {
       """SELECT doc_id,
         |       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         'HEAD' || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'HEAD' ELSE '' END
+        |           || chr(10) || text || chr(10) || chr(10) || 'TAIL P'
+        |           || CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10) || 'TAIL P' ELSE '' END
+        |           || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+        |                'rate this page now please rate this page now please' ELSE '' END AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS v
+        |  FROM s, unnest(string_split(t, chr(10))) AS u(x)),
+        |lg AS (SELECT doc_id, v, count(*) AS c FROM lines WHERE v <> '' GROUP BY 1, 2),
+        |lstat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT)
+        |           AS dup_line_chars,
+        |         CAST(sum(c * length(v)) AS BIGINT) AS line_chars
+        |  FROM lg GROUP BY 1),
+        |paras AS (
+        |  SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS v
+        |  FROM s, unnest(regexp_split_to_array(t,
+        |      '[\t \r]*\n(?:[\t \r]*\n)+[\t \r]*')) AS u(x)),
+        |pg AS (SELECT doc_id, v, count(*) AS c FROM paras WHERE v <> '' GROUP BY 1, 2),
+        |pstat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_paras,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT)
+        |           AS dup_para_chars
+        |  FROM pg GROUP BY 1),
+        |wl AS (SELECT doc_id,
+        |              list_filter(string_split_regex(lower(t), '\s+'), x -> x <> '') AS ws
+        |       FROM s),
+        |wstat AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(length(array_to_string(ws, ' ')) AS BIGINT) AS word_chars
+        |  FROM wl),
+        |g2 AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        |  FROM wl, unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, max(c) AS mc FROM c2 GROUP BY 1),
+        |t2 AS (
+        |  SELECT c2.doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        |         CAST(max(mc) AS BIGINT) AS top2_count,
+        |         CAST(max(CASE WHEN c = mc THEN c * length(g) END) AS BIGINT) AS top2_chars
+        |  FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id GROUP BY 1),
+        |g5 AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |           || ' ' || ws[i+4] AS g
+        |  FROM wl, unnest(generate_series(1, len(ws) - 4)) AS u(i)),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |t5 AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT)
+        |           AS dup5_chars
+        |  FROM c5 GROUP BY 1)
+        |SELECT s.doc_id, n_lines, dup_lines, dup_line_chars, line_chars,
+        |       n_paras, dup_paras, dup_para_chars, n_words, word_chars,
+        |       coalesce(n_2grams, 0) AS n_2grams,
+        |       coalesce(top2_count, 0) AS top2_count,
+        |       coalesce(top2_chars, 0) AS top2_chars,
+        |       coalesce(dup5_chars, 0) AS dup5_chars
+        |FROM s
+        |JOIN lstat USING (doc_id) JOIN pstat USING (doc_id) JOIN wstat USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH w AS (

@@ -50,7 +50,7 @@ object ParagraphDedup {
 
   // a paragraph break = two-or-more newlines (LF or CRLF), tolerating
   // horizontal whitespace on the blank lines
-  private val ParaSplit = "[\\t \\r]*\\n(?:[\\t \\r]*\\n)+[\\t \\r]*"
+  private[text] val ParaSplit = "[\\t \\r]*\\n(?:[\\t \\r]*\\n)+[\\t \\r]*"
 
   /** Per-paragraph exploded view: (docId, [carry...,] pos, para, para_hash).
     * Paragraph text is whitespace-trimmed with a regexp (Spark's `trim`

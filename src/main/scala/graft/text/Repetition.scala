@@ -1,0 +1,188 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher/MassiveText-style repetition signals — the per-document quality
+  * battery web-text pipelines compute before training (duplicate-line /
+  * duplicate-paragraph fractions, top-n-gram and duplicated-n-gram
+  * character fractions; Rae et al. 2021, table A1).
+  *
+  * Scale shape: every signal is PER-ROW array arithmetic — lines, paragraphs
+  * and word n-grams are built with `split`/`transform`, then a single-pass
+  * run-length fold over the `array_sort`-ed array (`functions.aggregate`)
+  * yields duplicate counts/chars and the modal n-gram in O(L log L) per doc
+  * with ZERO exchange: the whole battery is a narrow projection that rides
+  * the scan, so at 100 TB it costs one pass over the text bytes and no
+  * shuffle at all. No UDFs — everything stays inside whole-stage codegen.
+  *
+  * Definitions (deterministic, DuckDB-checkable; documented divergences from
+  * the paper where the original needs per-character position marking):
+  *   - lines = text split on '\n', regex-trimmed, empties dropped;
+  *     paragraphs = split on blank lines (ParagraphDedup's boundary);
+  *     words = lowercased whitespace tokens.
+  *   - dup_* counts every occurrence belonging to a group of size >= 2
+  *     (a line appearing 3x contributes 3 to dup_lines and 3*len to
+  *     dup_line_chars — the paper's "characters in duplicated lines").
+  *   - top{n}_chars = count * length of the most frequent n-gram (gram text
+  *     joined with single spaces); ties resolve to the larger char product,
+  *     which keeps the stat deterministic under any sort order.
+  *   - dup{n}_chars = sum over duplicated n-grams of count * length — an
+  *     overlap-counting upper bound of the paper's position-marked fraction
+  *     (SQL-checkable; the ordering of docs it flags is the same).
+  *
+  * Reference analog: none — beyond-reference webtext operator (SURVEY §2
+  * round-5 deltas).
+  */
+object Repetition {
+
+  private val Trim = "^\\s+|\\s+$"
+
+  /** Non-empty trimmed lines of `text`. */
+  def linesOf(text: Column): Column =
+    filter(transform(split(text, "\\n"), l => regexp_replace(l, Trim, "")),
+      l => length(l) > 0)
+
+  /** Non-empty trimmed paragraphs (blank-line boundaries, CRLF-tolerant). */
+  def parasOf(text: Column): Column =
+    filter(transform(split(text, ParagraphDedup.ParaSplit),
+        p => regexp_replace(p, Trim, "")),
+      p => length(p) > 0)
+
+  /** Lowercased whitespace-token words. */
+  def wordsOf(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Consecutive word n-grams joined with single spaces. Pass a MATERIALIZED
+    * words column (an attribute from `withColumn`), not a raw expression —
+    * the lambda references it once per gram.
+    */
+  def ngramsOf(words: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  private def st(prev: Column, run: Column, dupN: Column, dupC: Column,
+                 topN: Column, topC: Column): Column =
+    struct(prev.as("prev"), run.as("run"), dupN.as("dup_n"), dupC.as("dup_c"),
+      topN.as("top_n"), topC.as("top_c"))
+
+  // fold in the stats of a finished run of `run` copies of `prev`
+  private def closeRun(a: Column): Column = {
+    val run = a.getField("run")
+    val chars = run * length(a.getField("prev")).cast("long")
+    st(a.getField("prev"), run,
+      a.getField("dup_n") + when(run >= 2, run).otherwise(lit(0L)),
+      a.getField("dup_c") + when(run >= 2, chars).otherwise(lit(0L)),
+      greatest(a.getField("top_n"), run),
+      when(run > a.getField("top_n"), chars)
+        .when(run === a.getField("top_n"), greatest(a.getField("top_c"), chars))
+        .otherwise(a.getField("top_c")))
+  }
+
+  /** One-pass run-length stats over the SORTED copy of `arr`:
+    * struct(n, chars, dup_n, dup_chars, top_n, top_chars). `n`/`chars`
+    * count all elements; dup_* count elements in groups of size >= 2;
+    * top_* describe the modal element (count, count*length).
+    */
+  def runStats(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      st(lit(""), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L)),
+      (a, x) => when(x === a.getField("prev"),
+          st(x, a.getField("run") + 1, a.getField("dup_n"), a.getField("dup_c"),
+            a.getField("top_n"), a.getField("top_c")))
+        .otherwise {
+          val c = closeRun(a)
+          st(x, lit(1L), c.getField("dup_n"), c.getField("dup_c"),
+            c.getField("top_n"), c.getField("top_c"))
+        },
+      a => closeRun(a))
+    val chars = aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    struct(size(arr).cast("long").as("n"), chars.as("chars"),
+      folded.getField("dup_n").as("dup_n"),
+      folded.getField("dup_c").as("dup_chars"),
+      folded.getField("top_n").as("top_n"),
+      folded.getField("top_c").as("top_chars"))
+  }
+
+  /** Append the repetition battery to `df` (all BIGINT, per-row, no
+    * shuffle): n_lines/line_chars/dup_lines/dup_line_chars, the same four
+    * for paragraphs, n_words/word_chars, and per n-gram order `n` in
+    * `topNs` → n_{n}grams/top{n}_count/top{n}_chars, in `dupNs` →
+    * dup{n}_chars. `word_chars` is the length of the space-joined word
+    * string — the denominator the n-gram char stats are measured against.
+    */
+  def withSignals(df: DataFrame, textCol: String,
+                  topNs: Seq[Int] = Seq(2, 3, 4),
+                  dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    val grams = (topNs ++ dupNs).distinct.sorted
+    val base = df
+      .withColumn("_lines", linesOf(col(textCol)))
+      .withColumn("_paras", parasOf(col(textCol)))
+      .withColumn("_words", wordsOf(col(textCol)))
+    val withGrams = grams.foldLeft(base) { (d, n) =>
+      d.withColumn(s"_g$n", ngramsOf(col("_words"), n))
+    }
+    val withStats = withGrams
+      .withColumn("_ls", runStats(col("_lines")))
+      .withColumn("_ps", runStats(col("_paras")))
+    val withGramStats = grams.foldLeft(withStats) { (d, n) =>
+      d.withColumn(s"_gs$n", runStats(col(s"_g$n")))
+    }
+    val gramCols = grams.flatMap { n =>
+      val gs = col(s"_gs$n")
+      (if (topNs.contains(n))
+         Seq(gs.getField("n").as(s"n_${n}grams"),
+           gs.getField("top_n").as(s"top${n}_count"),
+           gs.getField("top_chars").as(s"top${n}_chars"))
+       else Seq(gs.getField("n").as(s"n_${n}grams"))) ++
+        (if (dupNs.contains(n)) Seq(gs.getField("dup_chars").as(s"dup${n}_chars"))
+         else Nil)
+    }
+    withGramStats.select(
+      withGrams.columns.filterNot(_.startsWith("_")).map(col).toSeq ++ Seq(
+        col("_ls").getField("n").as("n_lines"),
+        col("_ls").getField("chars").as("line_chars"),
+        col("_ls").getField("dup_n").as("dup_lines"),
+        col("_ls").getField("dup_chars").as("dup_line_chars"),
+        col("_ps").getField("n").as("n_paras"),
+        col("_ps").getField("chars").as("para_chars"),
+        col("_ps").getField("dup_n").as("dup_paras"),
+        col("_ps").getField("dup_chars").as("dup_para_chars"),
+        size(col("_words")).cast("long").as("n_words"),
+        length(array_join(col("_words"), " ")).cast("long").as("word_chars")
+      ) ++ gramCols: _*)
+  }
+
+  /** Gopher's repetition keep-mask over `withSignals` output (paper
+    * thresholds, table A1): a doc is dropped when any fraction exceeds its
+    * bound. Fractions with a zero denominator count as 0 (an empty doc is
+    * not "repetitive" — the length filters own that case).
+    */
+  def gopherKeep(topBounds: Map[Int, Double] =
+                   Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                 dupBounds: Map[Int, Double] =
+                   Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+                       9 -> 0.11, 10 -> 0.10),
+                 dupLineFrac: Double = 0.30, dupParaFrac: Double = 0.30,
+                 dupLineCharFrac: Double = 0.20,
+                 dupParaCharFrac: Double = 0.20): Column = {
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val lineOk =
+      frac(col("dup_lines"), col("n_lines")) <= dupLineFrac &&
+      frac(col("dup_paras"), col("n_paras")) <= dupParaFrac &&
+      frac(col("dup_line_chars"), col("line_chars")) <= dupLineCharFrac &&
+      frac(col("dup_para_chars"), col("para_chars")) <= dupParaCharFrac
+    val topOk = topBounds.toSeq.sortBy(_._1).map { case (n, b) =>
+      frac(col(s"top${n}_chars"), col("word_chars")) <= b
+    }.reduce(_ && _)
+    val dupOk = dupBounds.toSeq.sortBy(_._1).map { case (n, b) =>
+      frac(col(s"dup${n}_chars"), col("word_chars")) <= b
+    }.reduce(_ && _)
+    lineOk && topOk && dupOk
+  }
+}

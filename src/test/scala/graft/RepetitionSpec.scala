@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Repetition
+
+class RepetitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- brute-force reference implementation (independent of the Spark code)
+
+  private def refTrim(s: String) = s.replaceAll("^\\s+|\\s+$", "")
+  private def refLines(t: String) =
+    t.split("\n", -1).map(refTrim).filter(_.nonEmpty).toSeq
+  private def refParas(t: String) =
+    t.split("[\\t \\r]*\\n(?:[\\t \\r]*\\n)+[\\t \\r]*", -1)
+      .map(refTrim).filter(_.nonEmpty).toSeq
+  private def refWords(t: String) =
+    t.toLowerCase.split("\\s+", -1).filter(_.nonEmpty).toSeq
+  private def refNgrams(ws: Seq[String], n: Int) =
+    if (ws.size < n) Seq.empty[String] else ws.sliding(n).map(_.mkString(" ")).toSeq
+
+  private case class Stats(n: Long, chars: Long, dupN: Long, dupChars: Long,
+                           topN: Long, topChars: Long)
+  private def refStats(xs: Seq[String]): Stats = {
+    val g = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dup = g.filter(_._2 >= 2)
+    val topN = if (g.isEmpty) 0L else g.values.max
+    val topChars =
+      if (g.isEmpty) 0L
+      else g.collect { case (s, c) if c == topN => c * s.length }.max
+    Stats(xs.size.toLong, xs.map(_.length.toLong).sum,
+      dup.values.sum, dup.map { case (s, c) => c * s.length }.sum,
+      topN, topChars)
+  }
+
+  private val docs: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val lineAlphabet = Seq("copyright footer", "menu  home about", "BODY text",
+      "x", "the end.", "Tabbed\tline")
+    val wordAlphabet = Seq("the", "cat", "sat", "on", "mat", "dog", "ran")
+    val random = (1 to 24).map { _ =>
+      val nl = rnd.nextInt(8)
+      val lines = (0 until nl).map(_ => lineAlphabet(rnd.nextInt(lineAlphabet.size)))
+      val nw = rnd.nextInt(14)
+      val words = (0 until nw).map(_ => wordAlphabet(rnd.nextInt(wordAlphabet.size)))
+      (lines :+ words.mkString(" ")).mkString(
+        if (rnd.nextBoolean()) "\n" else "\n\n")
+    }
+    random ++ Seq(
+      "",                       // empty doc
+      "   \n \n\t\n",           // whitespace only
+      "one line no dup",        // single line
+      "dup\ndup\ndup",          // all-duplicate lines
+      "a b a b a b a b",        // heavy bigram repetition
+      "para one\n\npara one\n\n para one \n\npara two")
+  }
+
+  test("withSignals matches the brute-force reference on crafted + random docs") {
+    val out = Repetition.withSignals(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "text", topNs = Seq(2, 3), dupNs = Seq(4, 5))
+      .orderBy("id").collect()
+    for ((row, t) <- out.zip(docs)) {
+      val ls = refStats(refLines(t)); val ps = refStats(refParas(t))
+      val ws = refWords(t)
+      def gl(c: String) = row.getLong(row.fieldIndex(c))
+      assert(gl("n_lines") == ls.n && gl("line_chars") == ls.chars &&
+        gl("dup_lines") == ls.dupN && gl("dup_line_chars") == ls.dupChars,
+        s"line stats mismatch on ${t.take(40)}")
+      assert(gl("n_paras") == ps.n && gl("para_chars") == ps.chars &&
+        gl("dup_paras") == ps.dupN && gl("dup_para_chars") == ps.dupChars,
+        s"para stats mismatch on ${t.take(40)}")
+      assert(gl("n_words") == ws.size.toLong)
+      assert(gl("word_chars") == ws.mkString(" ").length.toLong)
+      for (n <- Seq(2, 3)) {
+        val gs = refStats(refNgrams(ws, n))
+        assert(gl(s"n_${n}grams") == gs.n && gl(s"top${n}_count") == gs.topN &&
+          gl(s"top${n}_chars") == gs.topChars,
+          s"top-$n mismatch on ${t.take(40)}")
+      }
+      for (n <- Seq(4, 5))
+        assert(gl(s"dup${n}_chars") == refStats(refNgrams(ws, n)).dupChars,
+          s"dup-$n mismatch on ${t.take(40)}")
+    }
+  }
+
+  test("gopherKeep drops repetitive docs, keeps diverse ones, ignores empty") {
+    val repetitiveLines = (1 to 10).map(_ => "subscribe to our newsletter")
+      .mkString("\n") + "\nunique closing line"
+    val repetitiveGrams = ("click here " * 30).trim
+    // no word pair repeats: every adjacent pair embeds the line index
+    val clean = (1 to 60).map(i => s"r$i alpha$i beta$i gamma${i * 7} delta${i * 13}.")
+      .mkString("\n")
+    val out = Repetition.withSignals(
+        Seq((1L, repetitiveLines), (2L, repetitiveGrams), (3L, clean), (4L, ""))
+          .toDF("id", "text"), "text")
+      .withColumn("keep", Repetition.gopherKeep())
+      .orderBy("id").select("keep").as[Boolean].collect().toSeq
+    assert(out == Seq(false, false, true, true))
+  }
+
+  test("signals are a shuffle-free narrow projection") {
+    val plan = Repetition.withSignals(
+      spark.range(10).select($"id", lit("a\nb\na").as("text")), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
