@@ -399,6 +399,36 @@ object SparkEntry {
         TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
     }),
 
+    // C4-style page cleaning (beyond-reference, round 5): line rules
+    // (terminal punct, >=3 words, no javascript) + page rules (>=5
+    // sentences after cleaning; no lorem ipsum / curly brace in the
+    // original). Fixture plants one violation of every rule on a
+    // deterministic doc_id schedule; the oracle replays the rules
+    // generically in DuckDB (nested list_filter lambdas).
+    "q_c4_clean" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val synth = concat(
+        lit("Good sentence about doc "), id, lit(" with plenty of words."),
+        lit("\nshort line."),
+        lit("\nThis line has no terminal punctuation at all\n"),
+        when(col("doc_id") % 4 === 0, lit("Enable Javascript to view this page."))
+          .otherwise(concat(lit("Optional extra sentence for doc "), id,
+            lit(" here."))),
+        when(col("doc_id") % 13 === 0, lit("")).otherwise(concat(
+          lit("\nAnother full sentence number "), id, lit(" ends properly!"),
+          lit("\nA third proper sentence keeps the page alive."),
+          lit("\nFourth sentence carries on nicely."))),
+        lit("\nFifth sentence completes the quota."),
+        when(col("doc_id") % 7 === 0,
+          lit("\nSadly Lorem Ipsum dolor sits here.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\nvar x = { a: 1 };"))
+          .otherwise(lit("")))
+      graft.text.C4Clean.clean(
+          t(s, dir, "documents").select(col("doc_id"), synth.as("text")), "text")
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("kept"), sha2(col("text"), 256).as("clean_sha"))
+    }),
+
     // Gopher/MassiveText repetition battery (beyond-reference, round 5):
     // per-doc duplicate-line/para counts+chars and top-2-gram / dup-5-gram
     // stats, all per-row array folds (zero shuffle). Fixture plants a
@@ -944,6 +974,46 @@ object SparkEntry {
       """SELECT doc_id,
         |       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_c4_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'Good sentence about doc ' || doc_id || ' with plenty of words.'
+        |    || chr(10) || 'short line.'
+        |    || chr(10) || 'This line has no terminal punctuation at all'
+        |    || chr(10) || CASE WHEN doc_id % 4 = 0
+        |         THEN 'Enable Javascript to view this page.'
+        |         ELSE 'Optional extra sentence for doc ' || doc_id || ' here.' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ''
+        |         ELSE chr(10) || 'Another full sentence number ' || doc_id
+        |           || ' ends properly!'
+        |           || chr(10) || 'A third proper sentence keeps the page alive.'
+        |           || chr(10) || 'Fourth sentence carries on nicely.' END
+        |    || chr(10) || 'Fifth sentence completes the quota.'
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'Sadly Lorem Ipsum dolor sits here.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'var x = { a: 1 };' ELSE '' END AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t,
+        |        list_filter(list_transform(string_split(t, chr(10)),
+        |                    x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+        |                    x -> x <> '') AS lines FROM s),
+        |k AS (SELECT doc_id, t, lines,
+        |        list_filter(lines, x ->
+        |          regexp_matches(x, '[.!?]["'']?$')
+        |          AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 3
+        |          AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept_lines
+        |      FROM l)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(regexp_extract_all(array_to_string(kept_lines, chr(10)), '[.!?]'))
+        |       AS BIGINT) AS n_sentences,
+        |  (len(regexp_extract_all(array_to_string(kept_lines, chr(10)), '[.!?]')) >= 5
+        |   AND NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')) AS kept,
+        |  sha256(array_to_string(kept_lines, chr(10))) AS clean_sha
+        |FROM k""".stripMargin,
 
     "q_repetition" ->
       """WITH s AS (
