@@ -399,6 +399,25 @@ object SparkEntry {
         TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
     }),
 
+    // C4 sentence-span dedup (beyond-reference, round 5): every doc embeds
+    // the same 3-sentence block between unique sentences; only the pure
+    // shared window duplicates corpus-wide, so the first doc keeps it and
+    // every other doc drops exactly those 3 sentences — stated in closed
+    // form by the oracle (mixed unique+shared windows stay unique, pinning
+    // the coverage logic, not just the hashing)
+    "q_span_dedup" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val synth = concat(
+        lit("Alpha "), id, lit(" one. Beta "), id, lit(" two. "),
+        lit("Shared sentence ex. Shared sentence why. Shared sentence zed. "),
+        lit("Gamma "), id, lit(" three."))
+      graft.text.SpanDedup.dedupSpans(
+          t(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_sents"), col("n_dropped"),
+          sha2(col("text"), 256).as("clean_sha"))
+    }),
+
     // C4-style page cleaning (beyond-reference, round 5): line rules
     // (terminal punct, >=3 words, no javascript) + page rules (>=5
     // sentences after cleaning; no lorem ipsum / curly brace in the
@@ -974,6 +993,18 @@ object SparkEntry {
       """SELECT doc_id,
         |       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH m AS (SELECT min(doc_id) AS mn FROM documents)
+        |SELECT doc_id, CAST(6 AS BIGINT) AS n_sents,
+        |       CAST(CASE WHEN doc_id = mn THEN 0 ELSE 3 END AS BIGINT) AS n_dropped,
+        |       sha256(CASE WHEN doc_id = mn
+        |         THEN 'Alpha ' || doc_id || ' one. Beta ' || doc_id || ' two. '
+        |           || 'Shared sentence ex. Shared sentence why. '
+        |           || 'Shared sentence zed. Gamma ' || doc_id || ' three.'
+        |         ELSE 'Alpha ' || doc_id || ' one. Beta ' || doc_id || ' two. '
+        |           || 'Gamma ' || doc_id || ' three.' END) AS clean_sha
+        |FROM documents, m""".stripMargin,
 
     "q_c4_clean" ->
       """WITH s AS (
