@@ -49,7 +49,10 @@ object Main {
       deltaCluster: Boolean = false,
       textsFrom: Option[String] = None,
       canonUrls: Boolean = false,
-      paraDedup: Boolean = false)
+      paraDedup: Boolean = false,
+      c4Clean: Boolean = false,
+      gopherFilter: Boolean = false,
+      spanDedup: Boolean = false)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -90,6 +93,16 @@ object Main {
       // occurrence survives) BEFORE fingerprinting — boilerplate stops
       // dominating shingle signatures and the cleaned text is what ships
       case "--para-dedup" :: t        => loop(t, acc.copy(paraDedup = true))
+      // C4 line+page cleaning: keep lines with terminal punct / >=3 words /
+      // no javascript; drop pages under 5 sentences or tainted by lorem
+      // ipsum / curly braces — runs before any dedup sees the text
+      case "--c4-clean" :: t          => loop(t, acc.copy(c4Clean = true))
+      // Gopher repetition filter: drop docs whose duplicate-line/paragraph
+      // or top/dup n-gram fractions exceed the MassiveText thresholds
+      case "--gopher-filter" :: t     => loop(t, acc.copy(gopherFilter = true))
+      // C4 three-sentence-span dedup: corpus-wide first occurrence of any
+      // duplicated 3-sentence run survives, every other copy drops
+      case "--span-dedup" :: t        => loop(t, acc.copy(spanDedup = true))
       case "--containment-cap" :: v :: t =>
         v.toIntOption.toRight(s"--containment-cap: not an int: $v")
           .flatMap(c => loop(t, acc.copy(containmentCap = Some(c))))
@@ -219,17 +232,37 @@ object Main {
       val canoned =
         if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
         else extracted
+      // the cleaning battery, in the order real webtext pipelines run it:
+      // line-level cleaning, then doc-level repetition drop (both per-row,
+      // no shuffle), then the corpus-wide sub-document passes
+      val c4ed =
+        if (a.c4Clean)
+          graft.text.C4Clean.clean(canoned, a.textCol)
+            .filter(org.apache.spark.sql.functions.col("kept"))
+            .drop("n_lines", "n_lines_kept", "n_sentences", "kept")
+        else canoned
+      val gophered =
+        if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
+        else c4ed
+      val spanned =
+        if (a.spanDedup) {
+          val cleaned = graft.text.SpanDedup.dedupSpans(
+            gophered.select(org.apache.spark.sql.functions.col(a.idCol),
+              org.apache.spark.sql.functions.col(a.textCol)), a.idCol, a.textCol)
+            .select(a.idCol, a.textCol)
+          gophered.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
+        } else gophered
       if (a.paraDedup) {
         // corpus-wide first-occurrence paragraph dedup; wholly-duplicated
         // docs keep their text so document-level dedup records the
         // relation (the left branch below never recomputes extraction —
         // dropping textCol prunes the extract projection out of its plan)
         val cleaned = graft.text.ParagraphDedup.dedupParagraphs(
-          canoned.select(org.apache.spark.sql.functions.col(a.idCol),
+          spanned.select(org.apache.spark.sql.functions.col(a.idCol),
             org.apache.spark.sql.functions.col(a.textCol)), a.idCol, a.textCol)
           .select(a.idCol, a.textCol)
-        canoned.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
-      } else canoned
+        spanned.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
+      } else spanned
     }
     val pages = load(a.pages)
     val (nNew, nClusters) =

@@ -157,6 +157,19 @@ object Repetition {
       ) ++ gramCols: _*)
   }
 
+  /** Drop Gopher-repetitive docs from `df` (default thresholds), leaving
+    * the column set unchanged — the CLI's `--gopher-filter` step. Per-row
+    * signals + filter: no shuffle, no join-back.
+    */
+  def filterGopher(df: DataFrame, textCol: String): DataFrame = {
+    val before = df.columns.toSet
+    val sig = withSignals(df, textCol)
+    val added = sig.columns.filterNot(before)
+    require(added.size == sig.columns.size - df.columns.size,
+      s"repetition signal columns collide with existing columns in ${df.columns.mkString(",")}")
+    sig.filter(gopherKeep()).drop(added: _*)
+  }
+
   /** Gopher's repetition keep-mask over `withSignals` output (paper
     * thresholds, table A1): a doc is dropped when any fraction exceeds its
     * bound. Fractions with a zero denominator count as 0 (an empty doc is
@@ -177,8 +190,12 @@ object Repetition {
       frac(col("dup_paras"), col("n_paras")) <= dupParaFrac &&
       frac(col("dup_line_chars"), col("line_chars")) <= dupLineCharFrac &&
       frac(col("dup_para_chars"), col("para_chars")) <= dupParaCharFrac
+    // a modal n-gram occurring ONCE is not repetition: its coverage counts
+    // as 0 (otherwise any short doc's longest n-gram mechanically busts the
+    // bound — the paper's filter targets repeated grams on long web docs)
     val topOk = topBounds.toSeq.sortBy(_._1).map { case (n, b) =>
-      frac(col(s"top${n}_chars"), col("word_chars")) <= b
+      col(s"top${n}_count") < 2 ||
+        frac(col(s"top${n}_chars"), col("word_chars")) <= b
     }.reduce(_ && _)
     val dupOk = dupBounds.toSeq.sortBy(_._1).map { case (n, b) =>
       frac(col(s"dup${n}_chars"), col("word_chars")) <= b
