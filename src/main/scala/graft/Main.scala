@@ -214,9 +214,18 @@ object Main {
         s""""files_after":$after,"state":"${a.state}"}""")
     }
     val cfg = toConfig(a)
+    // a rescan re-elects every sub-document winner: prior epochs' hash
+    // state must not leak into its elections (signatures are overwritten
+    // for the same reason inside runEpoch)
+    if (a.forceRescan && (a.paraDedup || a.spanDedup))
+      graft.state.SubDocState.wipeAll(spark, a.state)
     // S12 seam: derive the text column from a binary payload column with
-    // the selected extractor strategy before the pipeline sees it
-    def load(src: String) = {
+    // the selected extractor strategy before the pipeline sees it.
+    // `stateful` marks the EPOCH BATCH (the --pages load): its sub-document
+    // passes elect against + append to the cross-epoch hash state. The
+    // --texts-from corpus view replays the same cleaning batch-pure — it
+    // is a read-only text source, never a state writer.
+    def load(src: String, stateful: Boolean = false) = {
       val raw = PagesIO.read(spark, src, a.pagesFormat)
       // WARC containers carry no text column — extraction from the HTTP
       // payload is implied unless the caller picked a binary column
@@ -246,9 +255,13 @@ object Main {
         else c4ed
       val spanned =
         if (a.spanDedup) {
-          val cleaned = graft.text.SpanDedup.dedupSpans(
-            gophered.select(org.apache.spark.sql.functions.col(a.idCol),
-              org.apache.spark.sql.functions.col(a.textCol)), a.idCol, a.textCol)
+          val slim = gophered.select(org.apache.spark.sql.functions.col(a.idCol),
+            org.apache.spark.sql.functions.col(a.textCol))
+          val cleaned =
+            (if (stateful)
+               graft.state.SubDocState.dedupSpansIncremental(
+                 spark, a.state, slim, a.idCol, a.textCol, cfg.stateBuckets)
+             else graft.text.SpanDedup.dedupSpans(slim, a.idCol, a.textCol))
             .select(a.idCol, a.textCol)
           gophered.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
         } else gophered
@@ -257,17 +270,21 @@ object Main {
         // docs keep their text so document-level dedup records the
         // relation (the left branch below never recomputes extraction —
         // dropping textCol prunes the extract projection out of its plan)
-        val cleaned = graft.text.ParagraphDedup.dedupParagraphs(
-          spanned.select(org.apache.spark.sql.functions.col(a.idCol),
-            org.apache.spark.sql.functions.col(a.textCol)), a.idCol, a.textCol)
+        val slim = spanned.select(org.apache.spark.sql.functions.col(a.idCol),
+          org.apache.spark.sql.functions.col(a.textCol))
+        val cleaned =
+          (if (stateful)
+             graft.state.SubDocState.dedupParagraphsIncremental(
+               spark, a.state, slim, a.idCol, a.textCol, cfg.stateBuckets)
+           else graft.text.ParagraphDedup.dedupParagraphs(slim, a.idCol, a.textCol))
           .select(a.idCol, a.textCol)
         spanned.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
       } else spanned
     }
-    val pages = load(a.pages)
+    val pages = load(a.pages, stateful = true)
     val (nNew, nClusters) =
       Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action,
-        textsOf = a.textsFrom.map(load))
+        textsOf = a.textsFrom.map(p => load(p)))
     val (nExec, nFail) =
       if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir, cfg)
       else (0L, 0L)

@@ -918,7 +918,7 @@ object Checkpoints {
     finally in.close()
   }
 
-  private def nextEpoch(spark: SparkSession, stateDir: String): Long =
+  private[state] def nextEpoch(spark: SparkSession, stateDir: String): Long =
     // only signature-commit lines advance the epoch counter (clusterEpoch
     // appends an additional clusters line per epoch)
     readManifest(spark, stateDir).count(_.contains("\"new_signatures\"")).toLong

@@ -75,9 +75,16 @@ object ParagraphDedup {
     * occurrence by (orderCol, pos) survives; a fully-duplicated doc keeps
     * its text — see object doc). Output: idCol, `textCol` (cleaned),
     * n_paras, n_dropped.
+    *
+    * `seen` (one column `para_hash`) extends "corpus-wide" ACROSS epochs:
+    * a hash present there already elected its winner in a prior epoch, so
+    * every occurrence in THIS batch loses; only unseen hashes run the
+    * within-batch election. [[winners]] over the same inputs is the set of
+    * hashes this batch newly elected — the state append for the next epoch.
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
-                      orderCol: Option[Column] = None): DataFrame = {
+                      orderCol: Option[Column] = None,
+                      seen: Option[DataFrame] = None): DataFrame = {
     val ord = orderCol.getOrElse(col(idCol))
     val paras = explodeParagraphs(
       df.withColumn("_ord", ord), idCol, textCol, carry = Seq("_ord"))
@@ -85,17 +92,44 @@ object ParagraphDedup {
     // verbatim when every paragraph lost)
     val totals = paras.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_paras"), rebuild("_full"))
-    // first occurrence corpus-wide: the rank-1 FILTER is what turns the
-    // window into a WindowGroupLimit (map-side ≤1 row per hash per task)
-    val w = Window.partitionBy("para_hash").orderBy(col("_ord").asc, col("pos").asc)
-    val kept = paras.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-    val keptPerDoc = kept.groupBy(col(idCol))
+    val keptPerDoc = elect(paras, seen).groupBy(col(idCol))
       .agg(count(lit(1)).as("_n_kept"), rebuild("_kept"))
     totals.join(keptPerDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_kept"), col("_full")).as(textCol),
         col("n_paras"),
         (col("n_paras") - coalesce(col("_n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Winning occurrences: prior-epoch hashes drop entirely (their winner
+    * lives in an earlier epoch's text), fresh hashes keep exactly their
+    * first (orderCol, pos) occurrence. The anti-join runs BEFORE the
+    * election so seen paragraphs never enter the window shuffle — against
+    * a bucketed seen table only the batch side exchanges; the rank-1
+    * FILTER then turns the window into a WindowGroupLimit (map-side ≤1
+    * row per hash per task).
+    */
+  private def elect(paras: DataFrame, seen: Option[DataFrame]): DataFrame = {
+    val fresh = seen match {
+      case Some(s) => paras.join(s.select(col("para_hash")), Seq("para_hash"), "left_anti")
+      case None    => paras
+    }
+    val w = Window.partitionBy("para_hash").orderBy(col("_ord").asc, col("pos").asc)
+    fresh.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+  }
+
+  /** The paragraph hashes this batch newly elects a winner for — one row
+    * per fresh hash (winners are rank-1, so already distinct). Same
+    * election as [[dedupParagraphs]] over the same inputs; persisting this
+    * set as `seen` for the next epoch is what makes first-occurrence
+    * semantics hold across a corpus processed in epochs.
+    */
+  def winners(df: DataFrame, idCol: String, textCol: String,
+              orderCol: Option[Column] = None,
+              seen: Option[DataFrame] = None): DataFrame = {
+    val ord = orderCol.getOrElse(col(idCol))
+    val paras = explodeParagraphs(
+      df.withColumn("_ord", ord), idCol, textCol, carry = Seq("_ord"))
+    elect(paras, seen).select(col("para_hash"))
   }
 }

@@ -51,21 +51,11 @@ object SpanDedup {
         s => s.getField("sent")),
       " ").as(as)
 
-  /** Corpus-wide duplicated-span removal. Output: idCol, `textCol`
-    * (cleaned), n_sents, n_dropped.
+  /** Per-span exploded view: (idCol, _ord, pos, h) — one row per run of
+    * `window` consecutive sentences, identity = sha2 of the joined run.
     */
-  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-                 window: Int = 3, orderCol: Option[Column] = None): DataFrame = {
-    require(window >= 2, s"span window must be >= 2, got $window")
-    val ord = orderCol.getOrElse(col(idCol))
-    val base = df.select(col(idCol), col(textCol), ord.as("_ord"))
-      .withColumn("_sents", sentencesOf(col(textCol)))
-
-    val sents = base.select(col(idCol), col("_ord"),
-      posexplode(col("_sents")).as(Seq("pos", "sent")))
-
-    // spans carry only the hash into the election shuffle, never the text
-    val spans = base.select(col(idCol), col("_ord"),
+  private def explodeSpans(base: DataFrame, idCol: String, window: Int): DataFrame =
+    base.select(col(idCol), col("_ord"),
       explode(when(size(col("_sents")) < window, array().cast("array<struct<pos:int,h:string>>"))
         .otherwise(transform(sequence(lit(0), size(col("_sents")) - window),
           i => struct(i.as("pos"),
@@ -74,9 +64,39 @@ object SpanDedup {
       .select(col(idCol), col("_ord"),
         col("sp.pos").as("pos"), col("sp.h").as("h"))
 
+  /** Corpus-wide duplicated-span removal. Output: idCol, `textCol`
+    * (cleaned), n_sents, n_dropped.
+    *
+    * `seen` (one column `h`) extends "corpus-wide" ACROSS epochs: a span
+    * hash present there already kept its first occurrence in a prior
+    * epoch's text, so EVERY occurrence in this batch is a loser; unseen
+    * hashes run the within-batch election. [[winners]] over the same
+    * inputs is the fresh-hash set to persist for the next epoch.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 window: Int = 3, orderCol: Option[Column] = None,
+                 seen: Option[DataFrame] = None): DataFrame = {
+    require(window >= 2, s"span window must be >= 2, got $window")
+    val ord = orderCol.getOrElse(col(idCol))
+    val base = df.select(col(idCol), col(textCol), ord.as("_ord"))
+      .withColumn("_sents", sentencesOf(col(textCol)))
+
+    val sents = base.select(col(idCol), col("_ord"),
+      posexplode(col("_sents")).as(Seq("pos", "sent")))
+
+    // spans carry only the hash into the election shuffle, never the text;
+    // a prior-epoch hash marks every batch occurrence a loser outright
+    // (ONE join against the seen table — left with a marker, so the state
+    // side is scanned once; bucket-aligned when the state is bucketed)
+    val spans = explodeSpans(base, idCol, window)
+    val marked = seen match {
+      case Some(s) => spans.join(
+        s.select(col("h")).withColumn("_prior", lit(true)), Seq("h"), "left")
+      case None => spans.withColumn("_prior", lit(null).cast("boolean"))
+    }
     val w = Window.partitionBy("h").orderBy(col("_ord").asc, col("pos").asc)
-    val covered = spans.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") > 1)
+    val covered = marked.withColumn("_rn", row_number().over(w))
+      .filter(col("_prior").isNotNull || col("_rn") > 1)
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (window - 1)))
         .as("cpos"))
       .distinct()
@@ -96,5 +116,27 @@ object SpanDedup {
         coalesce(col("n_sents"), lit(0L)).as("n_sents"),
         (coalesce(col("n_sents"), lit(0L)) - coalesce(col("_n_kept"), lit(0L)))
           .as("n_dropped"))
+  }
+
+  /** The span hashes this batch newly elects a first occurrence for —
+    * distinct fresh hashes only (prior-epoch hashes anti-join out before
+    * the election). Persisting this set as `seen` for the next epoch makes
+    * the C4 span pass incremental across a corpus processed in epochs.
+    */
+  def winners(df: DataFrame, idCol: String, textCol: String,
+              window: Int = 3, orderCol: Option[Column] = None,
+              seen: Option[DataFrame] = None): DataFrame = {
+    require(window >= 2, s"span window must be >= 2, got $window")
+    val ord = orderCol.getOrElse(col(idCol))
+    val base = df.select(col(idCol), col(textCol), ord.as("_ord"))
+      .withColumn("_sents", sentencesOf(col(textCol)))
+    val spans = explodeSpans(base, idCol, window)
+    val fresh = seen match {
+      case Some(s) => spans.join(s.select(col("h")), Seq("h"), "left_anti")
+      case None    => spans
+    }
+    val w = Window.partitionBy("h").orderBy(col("_ord").asc, col("pos").asc)
+    fresh.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("h"))
   }
 }
