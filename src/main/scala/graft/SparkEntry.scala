@@ -418,6 +418,62 @@ object SparkEntry {
           sha2(col("text"), 256).as("clean_sha"))
     }),
 
+    // Cross-epoch sub-document state (round 5): the corpus splits into two
+    // epochs (even doc_ids first, then odd); epoch 1's elected paragraph
+    // hashes persist through SubDocState parquet and epoch 2 elects against
+    // them. The oracle states the EPOCH-ORDERED batch semantics in closed
+    // form — a paragraph seen in epoch 1 loses in EVERY epoch-2 doc, an
+    // epoch-2-only paragraph elects fresh — so incremental ≡ batch is
+    // checked through the real state round-trip, not in-memory frames.
+    "q_subdoc_para" -> ((s, dir) => {
+      val synth = concat(lit("CORPUS HEADER\n\nDOC "), col("doc_id").cast("string"),
+        lit(" "), col("text"),
+        when(col("doc_id") % 2 === 1, lit("\n\nLATE FOOTER")).otherwise(lit("")))
+      val all = t(s, dir, "documents").select(col("doc_id"), synth.as("text"))
+      val e1 = all.filter(col("doc_id") % 2 === 0)
+      val e2 = all.filter(col("doc_id") % 2 === 1)
+      val state = java.nio.file.Files.createTempDirectory("graft-subdoc-q").toString
+      graft.state.SubDocState.append(s, state,
+        graft.state.SubDocState.parasPath(state), "para_hash",
+        graft.text.ParagraphDedup.winners(e1, "doc_id", "text"), epoch = 0L)
+      val seen = graft.state.SubDocState.seen(s, state,
+        graft.state.SubDocState.parasPath(state), "para_hash", below = 1L)
+      graft.text.ParagraphDedup.dedupParagraphs(e1, "doc_id", "text")
+        .unionByName(
+          graft.text.ParagraphDedup.dedupParagraphs(e2, "doc_id", "text", seen = seen))
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          sha2(col("text"), 256).as("clean_sha"))
+    }),
+
+    // Same contract at sentence-span granularity: the shared 3-sentence run
+    // is seen from epoch 1 (every odd doc drops it), the "Late run" block
+    // exists only in odd docs so it elects fresh in epoch 2 (first odd doc
+    // keeps it; later odd docs drop positions covered by all its straddling
+    // loser spans — the closed form pins the coverage union too).
+    "q_subdoc_span" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val synth = concat(
+        lit("Alpha "), id, lit(" one. Beta "), id, lit(" two. "),
+        lit("Shared sentence ex. Shared sentence why. Shared sentence zed. "),
+        when(col("doc_id") % 2 === 1,
+          lit("Late run ex. Late run why. Late run zed. ")).otherwise(lit("")),
+        lit("Gamma "), id, lit(" three."))
+      val all = t(s, dir, "documents").select(col("doc_id"), synth.as("text"))
+      val e1 = all.filter(col("doc_id") % 2 === 0)
+      val e2 = all.filter(col("doc_id") % 2 === 1)
+      val state = java.nio.file.Files.createTempDirectory("graft-subdoc-q").toString
+      graft.state.SubDocState.append(s, state,
+        graft.state.SubDocState.spansPath(state), "h",
+        graft.text.SpanDedup.winners(e1, "doc_id", "text"), epoch = 0L)
+      val seen = graft.state.SubDocState.seen(s, state,
+        graft.state.SubDocState.spansPath(state), "h", below = 1L)
+      graft.text.SpanDedup.dedupSpans(e1, "doc_id", "text")
+        .unionByName(
+          graft.text.SpanDedup.dedupSpans(e2, "doc_id", "text", seen = seen))
+        .select(col("doc_id"), col("n_sents"), col("n_dropped"),
+          sha2(col("text"), 256).as("clean_sha"))
+    }),
+
     // C4-style page cleaning (beyond-reference, round 5): line rules
     // (terminal punct, >=3 words, no javascript) + page rules (>=5
     // sentences after cleaning; no lorem ipsum / curly brace in the
@@ -1004,6 +1060,47 @@ object SparkEntry {
         |           || 'Shared sentence zed. Gamma ' || doc_id || ' three.'
         |         ELSE 'Alpha ' || doc_id || ' one. Beta ' || doc_id || ' two. '
         |           || 'Gamma ' || doc_id || ' three.' END) AS clean_sha
+        |FROM documents, m""".stripMargin,
+
+    // epoch-ordered batch semantics: evens (epoch 1) elect first, odds
+    // (epoch 2) elect against them — winner of the shared header is the
+    // min even doc, the odd-only footer elects to the min odd doc
+    "q_subdoc_para" ->
+      """WITH m AS (SELECT min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS mne,
+        |                  min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS mno
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(2 + doc_id % 2 AS BIGINT) AS n_paras,
+        |       CAST(CASE WHEN doc_id = mne THEN 0
+        |                 WHEN doc_id % 2 = 0 THEN 1
+        |                 WHEN doc_id = mno THEN 1
+        |                 ELSE 2 END AS BIGINT) AS n_dropped,
+        |       sha256(
+        |         (CASE WHEN doc_id = mne
+        |               THEN 'CORPUS HEADER' || chr(10) || chr(10) ELSE '' END)
+        |         || 'DOC ' || doc_id || ' ' || text
+        |         || (CASE WHEN doc_id = mno
+        |                  THEN chr(10) || chr(10) || 'LATE FOOTER' ELSE '' END)
+        |       ) AS clean_sha
+        |FROM documents, m""".stripMargin,
+
+    "q_subdoc_span" ->
+      """WITH m AS (SELECT min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS mne,
+        |                  min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS mno
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 9 END AS BIGINT) AS n_sents,
+        |       CAST(CASE WHEN doc_id = mne THEN 0
+        |                 WHEN doc_id % 2 = 0 THEN 3
+        |                 WHEN doc_id = mno THEN 3
+        |                 ELSE 6 END AS BIGINT) AS n_dropped,
+        |       sha256('Alpha ' || doc_id || ' one. Beta ' || doc_id || ' two. '
+        |         || (CASE WHEN doc_id = mne
+        |             THEN 'Shared sentence ex. Shared sentence why. Shared sentence zed. '
+        |             WHEN doc_id = mno
+        |             THEN 'Late run ex. Late run why. Late run zed. '
+        |             ELSE '' END)
+        |         || 'Gamma ' || doc_id || ' three.') AS clean_sha
         |FROM documents, m""".stripMargin,
 
     "q_c4_clean" ->
