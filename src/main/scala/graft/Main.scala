@@ -49,6 +49,7 @@ object Main {
       deltaCluster: Boolean = false,
       textsFrom: Option[String] = None,
       canonUrls: Boolean = false,
+      siteCap: Option[Int] = None,
       paraDedup: Boolean = false,
       c4Clean: Boolean = false,
       gopherFilter: Boolean = false,
@@ -89,6 +90,12 @@ object Main {
       // before the pipeline sees it — trivially-respelled re-crawls of the
       // same page stop minting fresh ids
       case "--canon-urls" :: t        => loop(t, acc.copy(canonUrls = true))
+      // per-site quota: keep at most N pages per SURT host key — crawl
+      // skew control that runs before every expensive pass (the election
+      // is a WindowGroupLimit: over-quota rows never reach the shuffle)
+      case "--site-cap" :: v :: t     =>
+        v.toIntOption.filter(_ >= 1).toRight(s"--site-cap: not a positive int: $v")
+          .flatMap(n => loop(t, acc.copy(siteCap = Some(n))))
       // sub-document pass: drop corpus-wide repeated paragraphs (first
       // occurrence survives) BEFORE fingerprinting — boilerplate stops
       // dominating shingle signatures and the cleaned text is what ships
@@ -241,15 +248,21 @@ object Main {
       val canoned =
         if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
         else extracted
+      // crawl-skew guard first: over-quota pages must not pay for
+      // extraction-downstream cleaning or fingerprinting at all
+      val capped = a.siteCap match {
+        case Some(n) => graft.text.SiteQuota.capPerSite(canoned, a.idCol, n)
+        case None    => canoned
+      }
       // the cleaning battery, in the order real webtext pipelines run it:
       // line-level cleaning, then doc-level repetition drop (both per-row,
       // no shuffle), then the corpus-wide sub-document passes
       val c4ed =
         if (a.c4Clean)
-          graft.text.C4Clean.clean(canoned, a.textCol)
+          graft.text.C4Clean.clean(capped, a.textCol)
             .filter(org.apache.spark.sql.functions.col("kept"))
             .drop("n_lines", "n_lines_kept", "n_sentences", "kept")
-        else canoned
+        else capped
       val gophered =
         if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
         else c4ed

@@ -239,6 +239,25 @@ object SparkEntry {
           min(id).as("min_doc"), max(id).as("max_doc"))
     }),
 
+    // A11 per-site quota (beyond-reference, round 5): the four respelled
+    // site classes from q_site_stats each cap at 30 pages with doc_id-asc
+    // priority — kept ⟺ rank within the site = doc_id div 4 < 30, stated
+    // in closed form by the oracle. Respellings (case/ports/userinfo)
+    // must NOT split a site's quota: class 0 mixes them by construction.
+    "q_site_cap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val messy = when(id % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443//d/"), ids, lit("?utm_source=x&b=2&a=1#frag")))
+        .when(id % 4 === 1, concat(lit("http://News.example.com/d/"), ids))
+        .when(id % 4 === 2, concat(lit("http://user@host.org:80/p//"), ids, lit("?gclid=1")))
+        .otherwise(concat(lit("http://e.net:8080/"), ids))
+      graft.text.SiteQuota.capPerSite(
+          t(s, dir, "documents").select(id, messy.as("url")),
+          "url", cap = 30, order = Seq(col("doc_id").asc))
+        .select(col("doc_id"), graft.text.SiteQuota.siteKey(col("url")).as("site"))
+    }),
+
     // sub-document dedup (beyond-reference, round 5): corpus-wide repeated
     // paragraphs drop, first occurrence by (doc, pos) survives — the
     // CCNet/RefinedWeb boilerplate-removal pass. Fixture: every doc gets a
@@ -893,6 +912,17 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_pages,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_site_cap" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN 'com,example'
+        |         WHEN 1 THEN 'com,example,news'
+        |         WHEN 2 THEN 'org,host'
+        |         ELSE 'net,e:8080'
+        |       END AS site
+        |FROM documents
+        |WHERE CAST(floor(doc_id / 4) AS BIGINT) < 30""".stripMargin,
 
     "q_url_canon" ->
       """SELECT doc_id,

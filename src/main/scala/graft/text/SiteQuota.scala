@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-site page quota — cap how many pages any one site contributes to
+  * the corpus. Web crawls are wildly site-skewed (forums, wikis and
+  * link-farms mint millions of near-identical pages), and a training
+  * corpus that lets one host dominate is both lower-quality and a dedup
+  * time sink: the quota is the standard web-pipeline guard that runs
+  * BEFORE the expensive passes, shrinking everything downstream.
+  *
+  * Site identity is the SURT host key (X14 machinery): respellings of the
+  * same host — case, default ports, userinfo — share a key, and subdomains
+  * stay distinct (`com,example` vs `com,example,news`), matching how
+  * crawl indexes bucket a "site".
+  *
+  * Scale shape: the election is a rank-1..cap filter over the per-site
+  * window, which Spark executes as `WindowGroupLimit` (spec-gated): each
+  * task forwards at most `cap` rows per site into the shuffle, so a
+  * 10^9-page host ships O(tasks × cap) rows, never 10^9. No other
+  * operator sees the over-quota rows at all.
+  *
+  * Reference analog: none — the reference's corpus is a personal photo
+  * library with no notion of "site"; this is what the webtext payload
+  * adds (SURVEY §2 round-5 deltas, A11).
+  */
+object SiteQuota {
+
+  /** SURT site key of a url: the host segment of the SURT form (before
+    * the `)` path separator) — `HTTPS://News.Example.COM:443/a` and
+    * `http://news.example.com/b?x=1` share `com,example,news`.
+    */
+  def siteKey(url: Column): Column =
+    substring_index(UrlCanon.urlSurt(url), ")", 1)
+
+  /** Keep at most `cap` pages per site. `order` is the keep-priority
+    * (first column decides, ties break down the list) — pass e.g. a
+    * quality score descending, or crawl timestamp descending for
+    * newest-wins; the default orders by the url itself, which is arbitrary
+    * but deterministic. The url column is always the final tiebreak so
+    * equal-priority rows can never flap between runs.
+    */
+  def capPerSite(df: DataFrame, urlCol: String, cap: Int,
+                 order: Seq[Column] = Nil): DataFrame = {
+    require(cap >= 1, s"site cap must be >= 1, got $cap")
+    val w = Window.partitionBy(siteKey(col(urlCol)))
+      .orderBy(order :+ col(urlCol).asc: _*)
+    df.withColumn("_site_rn", row_number().over(w))
+      .filter(col("_site_rn") <= cap)
+      .drop("_site_rn")
+  }
+}
