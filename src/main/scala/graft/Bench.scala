@@ -385,13 +385,55 @@ object Bench {
     }
     val warcLine = ("warc_ingest", warcSec, warcRuns)
 
+    // round-5 cleaning battery: site quota → C4 line/page rules → Gopher
+    // repetition filter → span dedup → paragraph dedup, composed exactly
+    // as the CLI runs them, timed as one job. The generator's token soup
+    // has no sentence or paragraph structure (C4 would drop it whole, the
+    // sub-document passes would no-op), so an untimed derivation gives
+    // every doc terminal punctuation each 10 tokens, a paragraph break
+    // each 5 sentences, a shared boilerplate paragraph and a shared
+    // 3-sentence run — both corpus-wide elections do real dropping work.
+    val batteryPath = s"$tmp/battery"
+    locally {
+      import org.apache.spark.sql.functions._
+      val sentenced = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1. ")
+      val paraed = regexp_replace(sentenced, "((?:[^.]+\\. ){4}[^.]+\\.) ", "$1\n\n")
+      spark.read.parquet(fullPath)
+        .select(col("url"),
+          concat(lit("Shared boilerplate paragraph rides every page.\n\n"),
+            paraed,
+            lit(".\n\nShared run one lands. Shared run two follows. Shared run three closes."))
+            .as("text"))
+        .write.mode("overwrite").parquet(batteryPath)
+    }
+    // same composition and lineage-cut sites as Main's --site-cap --c4-clean
+    // --gopher-filter --span-dedup --para-dedup battery (the sub-document
+    // passes branch their input several ways; the cuts keep every upstream
+    // stage single-evaluation — their cost is real, so they are timed)
+    val (cleanSec, cleanRuns) = medianTimed {
+      import org.apache.spark.sql.functions.col
+      val mat = graft.state.Materializer.local
+      val p = graft.text.SiteQuota.capPerSite(
+        spark.read.parquet(batteryPath), "url", cap = 1000000)
+      val c4 = graft.text.C4Clean.clean(p, "text")
+        .filter(col("kept")).select(col("url"), col("text"))
+      val goph = graft.text.Repetition.filterGopher(c4, "text")
+        .select(col("url"), col("text"))
+      val span = mat(graft.text.SpanDedup.dedupSpans(mat(goph), "url", "text")
+        .select("url", "text"))
+      val n = graft.text.ParagraphDedup.dedupParagraphs(span, "url", "text").count()
+      require(n > 0, "clean_battery dropped the whole corpus")
+    }
+    val cleanLine = ("clean_battery", cleanSec, cleanRuns)
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
       ("dedup_pipeline_skew" -> skewSec) :++
       resumeResults.map { case (n, sec, _) => n -> sec } :++
       clusterResults.map { case (n, sec, _) => n -> sec } :+
-      ("warc_ingest" -> warcSec)
+      ("warc_ingest" -> warcSec) :+
+      ("clean_battery" -> cleanSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
@@ -401,7 +443,7 @@ object Bench {
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
       s""""skew":${arr(skewRuns)},""" +
-      (resumeResults ++ clusterResults :+ warcLine)
+      (resumeResults ++ clusterResults :+ warcLine :+ cleanLine)
         .map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
         .mkString(",") + "}," +
       s""""skew_max_task_records":$maxSkewRecords,""" +

@@ -256,43 +256,51 @@ object Main {
       }
       // the cleaning battery, in the order real webtext pipelines run it:
       // line-level cleaning, then doc-level repetition drop (both per-row,
-      // no shuffle), then the corpus-wide sub-document passes
-      val c4ed =
-        if (a.c4Clean)
-          graft.text.C4Clean.clean(capped, a.textCol)
-            .filter(org.apache.spark.sql.functions.col("kept"))
-            .drop("n_lines", "n_lines_kept", "n_sentences", "kept")
-        else capped
-      val gophered =
-        if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
-        else c4ed
-      val spanned =
-        if (a.spanDedup) {
-          val slim = gophered.select(org.apache.spark.sql.functions.col(a.idCol),
-            org.apache.spark.sql.functions.col(a.textCol))
-          val cleaned =
+      // no shuffle), then the corpus-wide sub-document passes. The battery
+      // runs over a SLIM (id, text) projection and joins back ONCE at the
+      // end: per-row filters and elections are computed exactly once, and
+      // the join-back's left branch re-reads the pruned scan instead of
+      // re-running them (docs the filters dropped vanish via the inner
+      // join). The sub-document passes consume their input from several
+      // branches (totals + election + rebuild, plus the stateful winners
+      // append) — a Materializer lineage cut before each keeps every
+      // upstream stage single-evaluation instead of K× per branch.
+      val anyBattery = a.c4Clean || a.gopherFilter || a.spanDedup || a.paraDedup
+      if (!anyBattery) capped
+      else {
+        import org.apache.spark.sql.functions.col
+        val mat = cfg.materializer(spark)
+        val slim0 = capped.select(col(a.idCol), col(a.textCol))
+        val c4ed =
+          if (a.c4Clean)
+            graft.text.C4Clean.clean(slim0, a.textCol)
+              .filter(col("kept")).select(col(a.idCol), col(a.textCol))
+          else slim0
+        val gophered =
+          if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
+          else c4ed
+        val preSub =
+          if (a.spanDedup || a.paraDedup) mat(gophered) else gophered
+        val spanned =
+          if (a.spanDedup)
             (if (stateful)
                graft.state.SubDocState.dedupSpansIncremental(
-                 spark, a.state, slim, a.idCol, a.textCol, cfg.stateBuckets)
-             else graft.text.SpanDedup.dedupSpans(slim, a.idCol, a.textCol))
-            .select(a.idCol, a.textCol)
-          gophered.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
-        } else gophered
-      if (a.paraDedup) {
-        // corpus-wide first-occurrence paragraph dedup; wholly-duplicated
-        // docs keep their text so document-level dedup records the
-        // relation (the left branch below never recomputes extraction —
-        // dropping textCol prunes the extract projection out of its plan)
-        val slim = spanned.select(org.apache.spark.sql.functions.col(a.idCol),
-          org.apache.spark.sql.functions.col(a.textCol))
-        val cleaned =
-          (if (stateful)
-             graft.state.SubDocState.dedupParagraphsIncremental(
-               spark, a.state, slim, a.idCol, a.textCol, cfg.stateBuckets)
-           else graft.text.ParagraphDedup.dedupParagraphs(slim, a.idCol, a.textCol))
-          .select(a.idCol, a.textCol)
-        spanned.drop(a.textCol).join(cleaned, Seq(a.idCol), "left")
-      } else spanned
+                 spark, a.state, preSub, a.idCol, a.textCol, cfg.stateBuckets)
+             else graft.text.SpanDedup.dedupSpans(preSub, a.idCol, a.textCol))
+              .select(col(a.idCol), col(a.textCol))
+          else preSub
+        val prePara =
+          if (a.paraDedup && a.spanDedup) mat(spanned) else spanned
+        val paraed =
+          if (a.paraDedup)
+            (if (stateful)
+               graft.state.SubDocState.dedupParagraphsIncremental(
+                 spark, a.state, prePara, a.idCol, a.textCol, cfg.stateBuckets)
+             else graft.text.ParagraphDedup.dedupParagraphs(prePara, a.idCol, a.textCol))
+              .select(col(a.idCol), col(a.textCol))
+          else prePara
+        capped.drop(a.textCol).join(paraed, Seq(a.idCol), "inner")
+      }
     }
     val pages = load(a.pages, stateful = true)
     val (nNew, nClusters) =

@@ -100,10 +100,25 @@ class RepetitionSpec extends SparkTestBase {
     assert(out == Seq(false, false, true, true))
   }
 
-  test("signals are a shuffle-free narrow projection") {
+  test("signals are a shuffle-free narrow projection; the kernel runs once per row") {
     val plan = Repetition.withSignals(
-      spark.range(10).select($"id", lit("a\nb\na").as("text")), "text")
+      spark.range(10).select($"id", concat(lit("a\nb\na "), $"id").as("text")), "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    // the ~20 field extractions must NOT inline the kernel 20x: exactly one
+    // gopher_signals evaluation site in the physical plan
+    assert("gopher_signals".r.findAllIn(plan).size == 1,
+      s"kernel evaluated more than once:\n$plan")
+  }
+
+  test("fused kernel == combinator battery on crafted + random docs") {
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fused = Repetition.withSignals(df, "text").orderBy("id").collect()
+    val comb = Repetition.withSignalsCombinators(df, "text").orderBy("id").collect()
+    assert(fused.length == comb.length)
+    fused.zip(comb).foreach { case (f, c) =>
+      assert(f.schema.fieldNames.toSeq == c.schema.fieldNames.toSeq)
+      assert(f.toSeq == c.toSeq, s"fused/combinator mismatch for id ${f.get(0)}")
+    }
   }
 }
