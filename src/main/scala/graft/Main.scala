@@ -51,6 +51,7 @@ object Main {
       canonUrls: Boolean = false,
       siteCap: Option[Int] = None,
       paraDedup: Boolean = false,
+      scrubPii: Boolean = false,
       c4Clean: Boolean = false,
       gopherFilter: Boolean = false,
       spanDedup: Boolean = false)
@@ -100,6 +101,10 @@ object Main {
       // occurrence survives) BEFORE fingerprinting — boilerplate stops
       // dominating shingle signatures and the cleaned text is what ships
       case "--para-dedup" :: t        => loop(t, acc.copy(paraDedup = true))
+      // PII scrub: mask emails/IPv4/phones with typed tokens BEFORE
+      // fingerprinting — pages differing only in masked PII dedup as the
+      // duplicates they are, and the shipped text is release-clean
+      case "--scrub-pii" :: t         => loop(t, acc.copy(scrubPii = true))
       // C4 line+page cleaning: keep lines with terminal punct / >=3 words /
       // no javascript; drop pages under 5 sentences or tainted by lorem
       // ipsum / curly braces — runs before any dedup sees the text
@@ -265,17 +270,22 @@ object Main {
       // branches (totals + election + rebuild, plus the stateful winners
       // append) — a Materializer lineage cut before each keeps every
       // upstream stage single-evaluation instead of K× per branch.
-      val anyBattery = a.c4Clean || a.gopherFilter || a.spanDedup || a.paraDedup
+      val anyBattery = a.scrubPii || a.c4Clean || a.gopherFilter ||
+        a.spanDedup || a.paraDedup
       if (!anyBattery) capped
       else {
         import org.apache.spark.sql.functions.col
         val mat = cfg.materializer(spark)
         val slim0 = capped.select(col(a.idCol), col(a.textCol))
+        val scrubbed =
+          if (a.scrubPii)
+            slim0.withColumn(a.textCol, graft.text.PiiScrub.scrub(col(a.textCol)))
+          else slim0
         val c4ed =
           if (a.c4Clean)
-            graft.text.C4Clean.clean(slim0, a.textCol)
+            graft.text.C4Clean.clean(scrubbed, a.textCol)
               .filter(col("kept")).select(col(a.idCol), col(a.textCol))
-          else slim0
+          else scrubbed
         val gophered =
           if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
           else c4ed

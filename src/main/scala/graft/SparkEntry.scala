@@ -493,6 +493,27 @@ object SparkEntry {
           sha2(col("text"), 256).as("clean_sha"))
     }),
 
+    // A12 PII scrub (beyond-reference, round 5): emails on every doc, an
+    // IPv4 on evens, a dashed phone on %3, an E.164 run on %5 — the
+    // oracle replays the same Java/RE2-common regexes and masking order
+    // in DuckDB (counts are order-guarded: each counted on the text with
+    // the earlier categories already masked)
+    "q_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val synth = concat(
+        lit("Reach DOC "), ids, lit(" at user"), ids, lit("@example.com soon."),
+        when(id % 2 === 0,
+          concat(lit(" Origin 10.1."), (id % 200).cast("string"),
+            lit(".7 noted."))).otherwise(lit("")),
+        when(id % 3 === 0, lit(" Call 555-123-4567 today.")).otherwise(lit("")),
+        when(id % 5 === 0, lit(" Intl +14155550133 works.")).otherwise(lit("")))
+      graft.text.PiiScrub.scrubPages(
+          t(s, dir, "documents").select(id, synth.as("text")), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          sha2(col("text"), 256).as("clean_sha"))
+    }),
+
     // C4-style page cleaning (beyond-reference, round 5): line rules
     // (terminal punct, >=3 words, no javascript) + page rules (>=5
     // sentences after cleaning; no lorem ipsum / curly brace in the
@@ -1132,6 +1153,34 @@ object SparkEntry {
         |             ELSE '' END)
         |         || 'Gamma ' || doc_id || ' three.') AS clean_sha
         |FROM documents, m""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH s AS (SELECT doc_id,
+        |  'Reach DOC ' || doc_id || ' at user' || doc_id || '@example.com soon.'
+        |  || CASE WHEN doc_id % 2 = 0
+        |          THEN ' Origin 10.1.' || (doc_id % 200) || '.7 noted.' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' Call 555-123-4567 today.' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' Intl +14155550133 works.' ELSE '' END
+        |    AS text FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS no_email FROM s),
+        |m2 AS (SELECT doc_id, text, no_email,
+        |  regexp_replace(no_email,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS no_ip FROM m)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(no_email,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(no_ip,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b|\+\d{8,15}\b')) AS BIGINT) AS n_phones,
+        |  sha256(regexp_replace(no_ip,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b|\+\d{8,15}\b', '<PHONE>', 'g'))
+        |    AS clean_sha
+        |FROM m2""".stripMargin,
 
     "q_c4_clean" ->
       """WITH s AS (
