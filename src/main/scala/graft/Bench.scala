@@ -124,6 +124,48 @@ object Bench {
     if (row.length == 0) 0L else row.getLong(0)
   }
 
+  /** Derive the sentence-structured battery corpus from a pages parquet
+    * (untimed): the generator's token soup has no sentence or paragraph
+    * structure (C4 would drop it whole, the sub-document passes would
+    * no-op), so every doc gains terminal punctuation each 10 tokens, a
+    * paragraph break each 5 sentences, a shared boilerplate paragraph and
+    * a shared 3-sentence run — both corpus-wide elections do real work.
+    */
+  def materializeBattery(spark: SparkSession, srcPath: String, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val sentenced = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1. ")
+    val paraed = regexp_replace(sentenced, "((?:[^.]+\\. ){4}[^.]+\\.) ", "$1\n\n")
+    spark.read.parquet(srcPath)
+      .select(col("url"),
+        concat(lit("Shared boilerplate paragraph rides every page.\n\n"), paraed,
+          lit(".\n\nShared run one lands. Shared run two follows. Shared run three closes."))
+          .as("text"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The timed cleaning-battery job — same composition and lineage-cut
+    * sites as Main's `--site-cap --c4-clean --gopher-filter --span-dedup
+    * --para-dedup` battery (the sub-document passes branch their input
+    * several ways; the cuts keep every upstream stage single-evaluation,
+    * and their cost is real, so they are inside the timed region).
+    */
+  def runBatteryOn(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val mat = graft.state.Materializer.local
+    val p = graft.text.SiteQuota.capPerSite(
+      spark.read.parquet(path), "url", cap = 1000000)
+    val c4 = graft.text.C4Clean.clean(p, "text")
+      .filter(col("kept")).select(col("url"), col("text"))
+    val goph = graft.text.Repetition.filterGopher(c4, "text")
+      .select(col("url"), col("text"))
+    val span = mat(graft.text.SpanDedup.dedupSpans(mat(goph), "url", "text")
+      .select("url", "text"))
+    val n = graft.text.ParagraphDedup.dedupParagraphs(span, "url", "text").count()
+    require(n > 0, "clean_battery dropped the whole corpus")
+    n
+  }
+
   /** Corpus-wide extraction-fidelity gate (north_star: byte-identical
     * extracted text per url): counts rows where extract(html) != text.
     */
@@ -387,43 +429,10 @@ object Bench {
 
     // round-5 cleaning battery: site quota → C4 line/page rules → Gopher
     // repetition filter → span dedup → paragraph dedup, composed exactly
-    // as the CLI runs them, timed as one job. The generator's token soup
-    // has no sentence or paragraph structure (C4 would drop it whole, the
-    // sub-document passes would no-op), so an untimed derivation gives
-    // every doc terminal punctuation each 10 tokens, a paragraph break
-    // each 5 sentences, a shared boilerplate paragraph and a shared
-    // 3-sentence run — both corpus-wide elections do real dropping work.
-    val batteryPath = s"$tmp/battery"
-    locally {
-      import org.apache.spark.sql.functions._
-      val sentenced = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1. ")
-      val paraed = regexp_replace(sentenced, "((?:[^.]+\\. ){4}[^.]+\\.) ", "$1\n\n")
-      spark.read.parquet(fullPath)
-        .select(col("url"),
-          concat(lit("Shared boilerplate paragraph rides every page.\n\n"),
-            paraed,
-            lit(".\n\nShared run one lands. Shared run two follows. Shared run three closes."))
-            .as("text"))
-        .write.mode("overwrite").parquet(batteryPath)
-    }
-    // same composition and lineage-cut sites as Main's --site-cap --c4-clean
-    // --gopher-filter --span-dedup --para-dedup battery (the sub-document
-    // passes branch their input several ways; the cuts keep every upstream
-    // stage single-evaluation — their cost is real, so they are timed)
-    val (cleanSec, cleanRuns) = medianTimed {
-      import org.apache.spark.sql.functions.col
-      val mat = graft.state.Materializer.local
-      val p = graft.text.SiteQuota.capPerSite(
-        spark.read.parquet(batteryPath), "url", cap = 1000000)
-      val c4 = graft.text.C4Clean.clean(p, "text")
-        .filter(col("kept")).select(col("url"), col("text"))
-      val goph = graft.text.Repetition.filterGopher(c4, "text")
-        .select(col("url"), col("text"))
-      val span = mat(graft.text.SpanDedup.dedupSpans(mat(goph), "url", "text")
-        .select("url", "text"))
-      val n = graft.text.ParagraphDedup.dedupParagraphs(span, "url", "text").count()
-      require(n > 0, "clean_battery dropped the whole corpus")
-    }
+    // as the CLI runs them, timed as one job over the sentence-structured
+    // derived corpus (see materializeBattery / runBatteryOn)
+    val batteryPath = materializeBattery(spark, fullPath, s"$tmp/battery")
+    val (cleanSec, cleanRuns) = medianTimed { runBatteryOn(spark, batteryPath) }
     val cleanLine = ("clean_battery", cleanSec, cleanRuns)
 
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+

@@ -68,11 +68,25 @@ object ScalingBench {
       .split('|').map(_.trim).filter(_.nonEmpty).toSeq
     masters.foreach(Bench.coresOf) // fail fast on a typo before generating
 
+    // SPARK_GRAFT_SCALE_JOB selects the measured job: "pipeline" (default,
+    // the dedup end-to-end) or "battery" (the round-5 cleaning battery over
+    // the sentence-structured derived corpus) — the same two-parallelism
+    // protocol applies to whichever operator class is under test
+    val job = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "pipeline")
+    require(job == "pipeline" || job == "battery", s"unknown scale job: $job")
+
     val tmp = Files.createTempDirectory("graft-scale").toString
     val gen = Bench.sessionFor("32")
-    val warmPath = Bench.materializePages(gen, math.max(50L, numBase / 20), s"$tmp/warm")
-    val fullPath = Bench.materializePages(gen, numBase, s"$tmp/full")
+    var warmPath = Bench.materializePages(gen, math.max(50L, numBase / 20), s"$tmp/warm")
+    var fullPath = Bench.materializePages(gen, numBase, s"$tmp/full")
+    if (job == "battery") {
+      warmPath = Bench.materializeBattery(gen, warmPath, s"$tmp/warm_battery")
+      fullPath = Bench.materializeBattery(gen, fullPath, s"$tmp/full_battery")
+    }
     gen.stop()
+    def runJob(spark: org.apache.spark.sql.SparkSession, path: String): Long =
+      if (job == "battery") Bench.runBatteryOn(spark, path)
+      else Bench.runPipelineOn(spark, path)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
 
@@ -98,7 +112,7 @@ object ScalingBench {
       }
     def timeOne(master: String, i: Int): Run = {
       val spark = Bench.sessionForMaster(master)
-      Bench.runPipelineOn(spark, warmPath)
+      runJob(spark, warmPath)
       Bench.dropPipelineState(spark)
       // NOTE: in local-cluster mode ownCpuNs sees only the DRIVER process;
       // executor CPU is attributed via the task metrics, and the "other
@@ -107,7 +121,7 @@ object ScalingBench {
       val busy0 = procBusyTicks(); val own0 = ownCpuNs()
       val t0 = System.nanoTime()
       val (_, l) = TaskSkewListener.measure(spark) {
-        Bench.runPipelineOn(spark, fullPath)
+        runJob(spark, fullPath)
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val taskCpu = l.totalTaskCpuNs.get() / 1e9
@@ -165,6 +179,6 @@ object ScalingBench {
       f""""$k":{"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,""" +
         f""""hw_scaling_ceiling":$ceiling%.3f,"normalized_efficiency":$norm%.3f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"pages":$nPages,"shapes":$shapesJson,"pairs":$pairsJson}""")
+    println(s"""{"job":"$job","pages":$nPages,"shapes":$shapesJson,"pairs":$pairsJson}""")
   }
 }
