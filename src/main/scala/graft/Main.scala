@@ -52,6 +52,7 @@ object Main {
       siteCap: Option[Int] = None,
       paraDedup: Boolean = false,
       scrubPii: Boolean = false,
+      decontaminate: Option[String] = None,
       c4Clean: Boolean = false,
       gopherFilter: Boolean = false,
       spanDedup: Boolean = false)
@@ -105,6 +106,10 @@ object Main {
       // fingerprinting — pages differing only in masked PII dedup as the
       // duplicates they are, and the shipped text is release-clean
       case "--scrub-pii" :: t         => loop(t, acc.copy(scrubPii = true))
+      // benchmark decontamination: drop docs sharing any 13-gram with the
+      // named eval-set table (text column matches --text-col) — shipped
+      // training text must not leak into downstream evals
+      case "--decontaminate" :: v :: t => loop(t, acc.copy(decontaminate = Some(v)))
       // C4 line+page cleaning: keep lines with terminal punct / >=3 words /
       // no javascript; drop pages under 5 sentences or tainted by lorem
       // ipsum / curly braces — runs before any dedup sees the text
@@ -270,8 +275,8 @@ object Main {
       // branches (totals + election + rebuild, plus the stateful winners
       // append) — a Materializer lineage cut before each keeps every
       // upstream stage single-evaluation instead of K× per branch.
-      val anyBattery = a.scrubPii || a.c4Clean || a.gopherFilter ||
-        a.spanDedup || a.paraDedup
+      val anyBattery = a.scrubPii || a.decontaminate.isDefined || a.c4Clean ||
+        a.gopherFilter || a.spanDedup || a.paraDedup
       if (!anyBattery) capped
       else {
         import org.apache.spark.sql.functions.col
@@ -289,8 +294,14 @@ object Main {
         val gophered =
           if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
           else c4ed
+        val deconned = a.decontaminate match {
+          case Some(b) => graft.text.Decontaminate.decontaminate(
+            gophered, a.idCol, a.textCol,
+            PagesIO.read(spark, b, "auto"), a.textCol)
+          case None => gophered
+        }
         val preSub =
-          if (a.spanDedup || a.paraDedup) mat(gophered) else gophered
+          if (a.spanDedup || a.paraDedup) mat(deconned) else deconned
         val spanned =
           if (a.spanDedup)
             (if (stateful)

@@ -493,6 +493,26 @@ object SparkEntry {
           sha2(col("text"), 256).as("clean_sha"))
     }),
 
+    // A13 benchmark decontamination (beyond-reference, round 5): docs with
+    // doc_id%7==0 carry a planted 13-word sentinel that one benchmark row
+    // contains verbatim; a 13-token decoy benchmark row matches nothing.
+    // Contaminated ⟺ the plant — stated in closed form by the oracle
+    // (grams straddling the sentinel boundary embed doc-unique tokens, so
+    // only the pure sentinel window can match).
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sentinel = "zulu yankee xray whiskey victor uniform tango " +
+        "sierra romeo quebec papa oscar november"
+      val decoy = "aardwolf binturong coati dugong echidna fossa gerenuk " +
+        "hirola indri jerboa kudu lorikeet markhor"
+      val synth = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" " + sentinel)).otherwise(lit("")))
+      graft.text.Decontaminate.decontaminate(
+          t(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+          "doc_id", "text", Seq(sentinel, decoy).toDF("btext"), "btext")
+        .select(col("doc_id"))
+    }),
+
     // A12 PII scrub (beyond-reference, round 5): emails on every doc, an
     // IPv4 on evens, a dashed phone on %3, an E.164 run on %5 — the
     // oracle replays the same Java/RE2-common regexes and masking order
@@ -1153,6 +1173,9 @@ object SparkEntry {
         |             ELSE '' END)
         |         || 'Gamma ' || doc_id || ' three.') AS clean_sha
         |FROM documents, m""".stripMargin,
+
+    "q_decontaminate" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0",
 
     "q_pii_scrub" ->
       """WITH s AS (SELECT doc_id,
