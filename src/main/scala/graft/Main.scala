@@ -49,6 +49,7 @@ object Main {
       deltaCluster: Boolean = false,
       textsFrom: Option[String] = None,
       canonUrls: Boolean = false,
+      blockHosts: Option[String] = None,
       siteCap: Option[Int] = None,
       paraDedup: Boolean = false,
       scrubPii: Boolean = false,
@@ -92,6 +93,10 @@ object Main {
       // before the pipeline sees it — trivially-respelled re-crawls of the
       // same page stop minting fresh ids
       case "--canon-urls" :: t        => loop(t, acc.copy(canonUrls = true))
+      // host blocklist: drop pages from these domains (and their
+      // subdomains) before anything else touches them; one domain per
+      // line, '#' comments — a config artifact, compiled to plan literals
+      case "--block-hosts" :: v :: t  => loop(t, acc.copy(blockHosts = Some(v)))
       // per-site quota: keep at most N pages per SURT host key — crawl
       // skew control that runs before every expensive pass (the election
       // is a WindowGroupLimit: over-quota rows never reach the shuffle)
@@ -231,6 +236,14 @@ object Main {
         s""""files_after":$after,"state":"${a.state}"}""")
     }
     val cfg = toConfig(a)
+    // the blocklist is CLI config: read once on the driver, shipped as
+    // plan literals (HostBlocklist doc) — one domain per line, # comments
+    val blockedDomains: Seq[String] = a.blockHosts.map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally src.close()
+    }.getOrElse(Nil)
     // a rescan re-elects every sub-document winner: prior epochs' hash
     // state must not leak into its elections (signatures are overwritten
     // for the same reason inside runEpoch)
@@ -258,11 +271,15 @@ object Main {
       val canoned =
         if (a.canonUrls) graft.text.UrlCanon.canonicalizePages(extracted, a.idCol)
         else extracted
-      // crawl-skew guard first: over-quota pages must not pay for
+      val unblocked =
+        if (blockedDomains.nonEmpty)
+          graft.text.HostBlocklist.dropBlockedHosts(canoned, a.idCol, blockedDomains)
+        else canoned
+      // crawl-skew guard next: over-quota pages must not pay for
       // extraction-downstream cleaning or fingerprinting at all
       val capped = a.siteCap match {
-        case Some(n) => graft.text.SiteQuota.capPerSite(canoned, a.idCol, n)
-        case None    => canoned
+        case Some(n) => graft.text.SiteQuota.capPerSite(unblocked, a.idCol, n)
+        case None    => unblocked
       }
       // the cleaning battery, in the order real webtext pipelines run it:
       // line-level cleaning, then doc-level repetition drop (both per-row,

@@ -493,6 +493,24 @@ object SparkEntry {
           sha2(col("text"), 256).as("clean_sha"))
     }),
 
+    // A14 host blocklist (beyond-reference, round 5): blocking example.com
+    // drops class 0 (respellings collapse to one host key) AND class 1
+    // (news.example.com — a subdomain, matched via the SURT ancestor
+    // chain); host.org / e.net survive. Closed form by doc_id class.
+    "q_block_hosts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val messy = when(id % 4 === 0,
+        concat(lit("HTTPS://Example.COM:443//d/"), ids, lit("?utm_source=x&b=2&a=1#frag")))
+        .when(id % 4 === 1, concat(lit("http://News.example.com/d/"), ids))
+        .when(id % 4 === 2, concat(lit("http://user@host.org:80/p//"), ids, lit("?gclid=1")))
+        .otherwise(concat(lit("http://e.net:8080/"), ids))
+      graft.text.HostBlocklist.dropBlockedHosts(
+          t(s, dir, "documents").select(id, messy.as("url")),
+          "url", Seq("Example.COM"))
+        .select(col("doc_id"))
+    }),
+
     // A13 benchmark decontamination (beyond-reference, round 5): docs with
     // doc_id%7==0 carry a planted 13-word sentinel that one benchmark row
     // contains verbatim; a 13-token decoy benchmark row matches nothing.
@@ -1173,6 +1191,9 @@ object SparkEntry {
         |             ELSE '' END)
         |         || 'Gamma ' || doc_id || ' three.') AS clean_sha
         |FROM documents, m""".stripMargin,
+
+    "q_block_hosts" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 4 IN (2, 3)",
 
     "q_decontaminate" ->
       "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0",

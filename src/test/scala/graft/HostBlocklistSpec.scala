@@ -1,0 +1,60 @@
+package graft
+
+import graft.text.HostBlocklist
+
+/** A14 host blocklist: subdomain-covering SURT ancestor semantics, plan
+  * literal InSet shape (no join, no exchange), and the CLI file wiring.
+  */
+class HostBlocklistSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pages = Seq(
+    ("https://example.com/a", "a"),
+    ("http://News.Example.com/b", "b"),
+    ("http://deep.news.example.com/c", "c"),
+    ("http://notexample.com/d", "d"),
+    ("http://example.com.evil.org/e", "e"),
+    ("http://host.org/f", "f")).toDF("url", "text")
+
+  test("blocking a domain blocks its subdomains, not lookalikes") {
+    val kept = HostBlocklist.dropBlockedHosts(pages, "url", Seq("Example.COM"))
+      .select("url").as[String].collect().sorted
+    // notexample.com is a different label; example.com.evil.org only
+    // CONTAINS the name — its SURT ancestors are org / org,evil / ...
+    assert(kept === Array(
+      "http://notexample.com/d",
+      "http://example.com.evil.org/e",
+      "http://host.org/f").sorted)
+  }
+
+  test("empty blocklist is the identity; hostKey normalizes curation") {
+    assert(HostBlocklist.dropBlockedHosts(pages, "url", Nil).count() === 6L)
+    assert(HostBlocklist.hostKey("News.Example.COM.") === "com,example,news")
+  }
+
+  test("plan: a per-row filter — no join, no exchange") {
+    val plan = HostBlocklist.dropBlockedHosts(
+      pages, "url", (1 to 500).map(i => s"blocked$i.test"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"blocklist must stay a scan-riding filter:\n$plan")
+  }
+
+  test("--block-hosts: blocked pages never enter state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-block-pages")
+    val state = java.nio.file.Files.createTempDirectory("graft-block-state").toString
+    val listFile = java.nio.file.Files.createTempFile("graft-blocklist", ".txt")
+    java.nio.file.Files.writeString(listFile,
+      "# curated blocklist\nexample.com\n\nspam.test\n")
+    Seq(
+      ("http://news.example.com/a", "blocked page body text"),
+      ("http://clean.test/b", "clean page body text"))
+      .toDF("url", "text").write.mode("overwrite").parquet(dir.toString)
+    Main.run(spark, Main.parse(Seq(
+      "--pages", dir.toString, "--state", state,
+      "--block-hosts", listFile.toString)).toOption.get)
+    val ids = graft.state.Checkpoints.readSignatures(spark, state)
+      .select("id").as[String].collect()
+    assert(ids.toSeq == Seq("http://clean.test/b"))
+  }
+}
