@@ -317,27 +317,32 @@ object Main {
             PagesIO.read(spark, b, "auto"), a.textCol)
           case None => gophered
         }
+        // paragraph pass BEFORE span pass: the span rebuild joins surviving
+        // sentences with single spaces (documented sentence normalization),
+        // which erases the blank-line boundaries the paragraph election
+        // keys on — para-first sees real paragraphs, span then cleans the
+        // sub-paragraph runs (the para rebuild preserves its "\n\n"s)
         val preSub =
           if (a.spanDedup || a.paraDedup) mat(deconned) else deconned
-        val spanned =
-          if (a.spanDedup)
-            (if (stateful)
-               graft.state.SubDocState.dedupSpansIncremental(
-                 spark, a.state, preSub, a.idCol, a.textCol, cfg.stateBuckets)
-             else graft.text.SpanDedup.dedupSpans(preSub, a.idCol, a.textCol))
-              .select(col(a.idCol), col(a.textCol))
-          else preSub
-        val prePara =
-          if (a.paraDedup && a.spanDedup) mat(spanned) else spanned
         val paraed =
           if (a.paraDedup)
             (if (stateful)
                graft.state.SubDocState.dedupParagraphsIncremental(
-                 spark, a.state, prePara, a.idCol, a.textCol, cfg.stateBuckets)
-             else graft.text.ParagraphDedup.dedupParagraphs(prePara, a.idCol, a.textCol))
+                 spark, a.state, preSub, a.idCol, a.textCol, cfg.stateBuckets)
+             else graft.text.ParagraphDedup.dedupParagraphs(preSub, a.idCol, a.textCol))
               .select(col(a.idCol), col(a.textCol))
-          else prePara
-        capped.drop(a.textCol).join(paraed, Seq(a.idCol), "inner")
+          else preSub
+        val preSpan =
+          if (a.paraDedup && a.spanDedup) mat(paraed) else paraed
+        val spanned =
+          if (a.spanDedup)
+            (if (stateful)
+               graft.state.SubDocState.dedupSpansIncremental(
+                 spark, a.state, preSpan, a.idCol, a.textCol, cfg.stateBuckets)
+             else graft.text.SpanDedup.dedupSpans(preSpan, a.idCol, a.textCol))
+              .select(col(a.idCol), col(a.textCol))
+          else preSpan
+        capped.drop(a.textCol).join(spanned, Seq(a.idCol), "inner")
       }
     }
     val pages = load(a.pages, stateful = true)

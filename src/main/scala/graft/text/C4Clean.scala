@@ -36,12 +36,24 @@ object C4Clean {
       size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords &&
       !lower(l).rlike("\\bjavascript\\b")
 
-  /** Lines of `text` that survive the line rules, re-joined with '\n'. */
+  /** Lines of `text` that survive the line rules, re-joined so the
+    * document's PARAGRAPH structure survives cleaning: kept lines re-join
+    * with '\n' inside each blank-line-delimited paragraph, paragraphs
+    * whose every line dropped vanish, and surviving paragraphs re-join
+    * with a blank line. A flat '\n' join here would erase the boundaries
+    * the downstream paragraph election (`--para-dedup`) keys on —
+    * FullBatterySpec pins the composition.
+    */
   def cleanedText(text: Column, minWords: Int = 3): Column =
     array_join(
-      filter(transform(split(text, "\\n"), l => regexp_replace(l, Trim, "")),
-        l => length(l) > 0 && keepLine(l, minWords)),
-      "\n")
+      filter(
+        transform(split(text, ParagraphDedup.ParaSplit), p =>
+          array_join(
+            filter(transform(split(p, "\\n"), l => regexp_replace(l, Trim, "")),
+              l => length(l) > 0 && keepLine(l, minWords)),
+            "\n")),
+        p => length(p) > 0),
+      "\n\n")
 
   /** Terminal-mark count — the sentence proxy the page rule thresholds. */
   def sentenceCount(text: Column): Column =
@@ -73,7 +85,7 @@ object C4Clean {
       l => length(l) > 0)
     df.withColumn("_lines", lines)
       .withColumn("_keptLines", filter(col("_lines"), l => keepLine(l, minWords)))
-      .withColumn("_clean", array_join(col("_keptLines"), "\n"))
+      .withColumn("_clean", cleanedText(col(textCol), minWords))
       .withColumn("n_lines", size(col("_lines")).cast("long"))
       .withColumn("n_lines_kept", size(col("_keptLines")).cast("long"))
       .withColumn("n_sentences", sentenceCount(col("_clean")))
