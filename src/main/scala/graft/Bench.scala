@@ -146,9 +146,12 @@ object Bench {
 
   /** The timed cleaning-battery job — same composition and lineage-cut
     * sites as Main's `--site-cap --c4-clean --gopher-filter --span-dedup
-    * --para-dedup` battery (the sub-document passes branch their input
-    * several ways; the cuts keep every upstream stage single-evaluation,
-    * and their cost is real, so they are inside the timed region).
+    * --para-dedup` battery: paragraph pass BEFORE span pass (the span
+    * rebuild's sentence normalization erases the blank-line boundaries the
+    * paragraph election keys on), a cut before each sub-document pass (they
+    * branch their input several ways; the cuts keep every upstream stage
+    * single-evaluation, and their cost is real, so they are inside the
+    * timed region).
     */
   def runBatteryOn(spark: SparkSession, path: String): Long = {
     import org.apache.spark.sql.functions.col
@@ -159,9 +162,9 @@ object Bench {
       .filter(col("kept")).select(col("url"), col("text"))
     val goph = graft.text.Repetition.filterGopher(c4, "text")
       .select(col("url"), col("text"))
-    val span = mat(graft.text.SpanDedup.dedupSpans(mat(goph), "url", "text")
-      .select("url", "text"))
-    val n = graft.text.ParagraphDedup.dedupParagraphs(span, "url", "text").count()
+    val para = graft.text.ParagraphDedup.dedupParagraphs(mat(goph), "url", "text")
+      .select(col("url"), col("text"))
+    val n = graft.text.SpanDedup.dedupSpans(mat(para), "url", "text").count()
     require(n > 0, "clean_battery dropped the whole corpus")
     n
   }
@@ -428,7 +431,7 @@ object Bench {
     val warcLine = ("warc_ingest", warcSec, warcRuns)
 
     // round-5 cleaning battery: site quota → C4 line/page rules → Gopher
-    // repetition filter → span dedup → paragraph dedup, composed exactly
+    // repetition filter → paragraph dedup → span dedup, composed exactly
     // as the CLI runs them, timed as one job over the sentence-structured
     // derived corpus (see materializeBattery / runBatteryOn)
     val batteryPath = materializeBattery(spark, fullPath, s"$tmp/battery")

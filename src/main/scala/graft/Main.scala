@@ -171,13 +171,24 @@ object Main {
       Left("--preview-chars must be positive")
     else if (a.stateBuckets.exists(_ <= 0))
       Left("--state-buckets must be positive")
+    else if (a.textsFrom.isDefined && (a.paraDedup || a.spanDedup))
+      Left("--texts-from cannot be combined with --para-dedup/--span-dedup: " +
+        "the sub-document elections depend on the hash state at each epoch, " +
+        "so a batch-pure replay of the corpus produces different text than " +
+        "was fingerprinted; point --texts-from at already-cleaned text " +
+        "(e.g. an export of the epoch outputs) or drop the sub-document flags")
     else Right(a)
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
   def toConfig(a: CliArgs): DedupConfig = {
     val base = DedupConfig(fastPath = a.fastPath, forceRescan = a.forceRescan,
       reliableCheckpoints = a.reliable,
-      checkpointDir = a.checkpointDir.getOrElse(""))
+      // the <state>/_spark_checkpoints default must be resolved HERE, not
+      // only inside clusterEpoch: the battery's Materializer is built from
+      // this config before clusterEpoch runs, and Materializer.reliable
+      // requires a non-empty dir
+      checkpointDir = a.checkpointDir.getOrElse(
+        if (a.reliable) s"${a.state}/_spark_checkpoints" else ""))
     val withJ = a.jaccardThreshold.fold(base)(j => base.copy(jaccardThreshold = j))
     val withH = a.maxHamming.fold(withJ)(h => withJ.copy(simhashAcceptHamming = h))
     val withC = a.containmentCap.fold(withH)(c => withH.copy(containmentMaxBucket = c))
@@ -244,17 +255,24 @@ object Main {
         .filter(l => l.nonEmpty && !l.startsWith("#")).toList
       finally src.close()
     }.getOrElse(Nil)
-    // a rescan re-elects every sub-document winner: prior epochs' hash
-    // state must not leak into its elections (signatures are overwritten
-    // for the same reason inside runEpoch)
-    if (a.forceRescan && (a.paraDedup || a.spanDedup))
+    // a rescan rebuilds the state from scratch: prior epochs' sub-document
+    // hash state must not leak into any LATER epoch's elections, even when
+    // the rescan itself runs without the sub-document flags — stale winner
+    // hashes whose text was re-elected or discarded would silently drop
+    // paragraphs with no surviving first occurrence (signatures are
+    // overwritten for the same reason inside runEpoch)
+    if (a.forceRescan)
       graft.state.SubDocState.wipeAll(spark, a.state)
     // S12 seam: derive the text column from a binary payload column with
     // the selected extractor strategy before the pipeline sees it.
     // `stateful` marks the EPOCH BATCH (the --pages load): its sub-document
     // passes elect against + append to the cross-epoch hash state. The
-    // --texts-from corpus view replays the same cleaning batch-pure — it
-    // is a read-only text source, never a state writer.
+    // --texts-from corpus view replays the per-row cleaning batch-pure —
+    // it is a read-only id→text lookup, never a state writer, so the
+    // corpus-wide passes are excluded from it: the site quota is skipped
+    // (extra ids are inert in a lookup; evicted ones are not) and the
+    // sub-document flags are rejected at parse time (their elections are
+    // not replayable without the per-epoch state).
     def load(src: String, stateful: Boolean = false) = {
       val raw = PagesIO.read(spark, src, a.pagesFormat)
       // WARC containers carry no text column — extraction from the HTTP
@@ -276,11 +294,17 @@ object Main {
           graft.text.HostBlocklist.dropBlockedHosts(canoned, a.idCol, blockedDomains)
         else canoned
       // crawl-skew guard next: over-quota pages must not pay for
-      // extraction-downstream cleaning or fingerprinting at all
-      val capped = a.siteCap match {
-        case Some(n) => graft.text.SiteQuota.capPerSite(unblocked, a.idCol, n)
-        case None    => unblocked
-      }
+      // extraction-downstream cleaning or fingerprinting at all. The quota
+      // applies ONLY to the epoch batch — the --texts-from corpus is an
+      // id→text lookup, where extra ids are inert but re-running the
+      // corpus-wide window over a different population than the
+      // fingerprinted slices could evict ids the lookup needs.
+      val capped =
+        if (!stateful) unblocked
+        else a.siteCap match {
+          case Some(n) => graft.text.SiteQuota.capPerSite(unblocked, a.idCol, n)
+          case None    => unblocked
+        }
       // the cleaning battery, in the order real webtext pipelines run it:
       // line-level cleaning, then doc-level repetition drop (both per-row,
       // no shuffle), then the corpus-wide sub-document passes. The battery
@@ -311,9 +335,12 @@ object Main {
         val gophered =
           if (a.gopherFilter) graft.text.Repetition.filterGopher(c4ed, a.textCol)
           else c4ed
+        // decontamination consumes its input from TWO branches (the 13-gram
+        // explode that builds the contaminated-id set, and the anti-join's
+        // left side) — without a cut the whole upstream battery runs twice
         val deconned = a.decontaminate match {
           case Some(b) => graft.text.Decontaminate.decontaminate(
-            gophered, a.idCol, a.textCol,
+            mat(gophered), a.idCol, a.textCol,
             PagesIO.read(spark, b, "auto"), a.textCol)
           case None => gophered
         }
@@ -342,7 +369,11 @@ object Main {
              else graft.text.SpanDedup.dedupSpans(preSpan, a.idCol, a.textCol))
               .select(col(a.idCol), col(a.textCol))
           else preSpan
-        capped.drop(a.textCol).join(spanned, Seq(a.idCol), "inner")
+        // join back from the PRE-quota frame: the battery side started from
+        // `capped`, so the inner join re-applies the quota by id — the
+        // full-width left branch (html payloads and all) must not pay the
+        // per-site window shuffle a second time
+        unblocked.drop(a.textCol).join(spanned, Seq(a.idCol), "inner")
       }
     }
     val pages = load(a.pages, stateful = true)

@@ -30,14 +30,18 @@ object HostBlocklist {
     */
   def hostKey(domain: String): String =
     UrlCanon.surt("http://" + domain.trim.stripSuffix(".").toLowerCase)
-      .takeWhile(_ != ')')
+      .takeWhile(_ != ')').replaceAll(":\\d+$", "")
 
   /** Every ancestor SURT key of the url's host, shortest first:
     * `http://a.b.example.com/x` → [com | com,example | com,example,b |
-    * com,example,b,a].
+    * com,example,b,a]. Ports never participate in blocking — a blocked
+    * domain covers every port it is served on (the SURT key keeps a
+    * non-default port on the host key, so it is stripped here; [[hostKey]]
+    * strips it from curated entries symmetrically).
     */
   def ancestorKeys(url: Column): Column = {
-    val labels = split(SiteQuota.siteKey(url), ",")
+    val labels = split(
+      regexp_replace(SiteQuota.siteKey(url), ":\\d+$", ""), ",")
     transform(sequence(lit(1), size(labels)),
       i => array_join(slice(labels, lit(1), i), ","))
   }

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *     on — silently emptying it would route it to quarantine and hide
   *     the duplicate relation from the machinery built to record it
   *     (`n_dropped = n_paras` still marks it)
+  *   - a document with ZERO non-empty paragraphs (empty, whitespace-only
+  *     or null text) passes through with its text untouched and
+  *     `n_paras = 0` — this pass never removes documents, only
+  *     paragraphs (matching [[SpanDedup]]; the callers' join-back relies
+  *     on every input id coming out the other side)
   *   - `idCol` must be unique per row (the pages-table contract; after
   *     `--canon-urls` collapse). Duplicate ids would interleave two
   *     documents' paragraphs into one rebuilt text.
@@ -94,11 +99,18 @@ object ParagraphDedup {
       .agg(count(lit(1)).as("n_paras"), rebuild("_full"))
     val keptPerDoc = elect(paras, seen).groupBy(col(idCol))
       .agg(count(lit(1)).as("_n_kept"), rebuild("_kept"))
-    totals.join(keptPerDoc, Seq(idCol), "left")
+    // base left-join from df itself (matching [[SpanDedup]]): a doc whose
+    // text is empty, whitespace-only or null explodes to ZERO paragraphs
+    // and is absent from `totals` — it must still come out the other side
+    // with its text untouched, not silently vanish from the corpus
+    df.select(col(idCol), col(textCol).as("_orig"))
+      .join(totals, Seq(idCol), "left")
+      .join(keptPerDoc, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("_kept"), col("_full")).as(textCol),
-        col("n_paras"),
-        (col("n_paras") - coalesce(col("_n_kept"), lit(0L))).as("n_dropped"))
+        coalesce(col("_kept"), col("_full"), col("_orig")).as(textCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        (coalesce(col("n_paras"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** Winning occurrences: prior-epoch hashes drop entirely (their winner

@@ -72,6 +72,14 @@ class EntrySpec extends SparkTestBase {
     assert(withTexts.textsFrom.contains("/corpus"))
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--texts-from")).isLeft)                                            // valueless
+    // the sub-document elections are not batch-pure replayable
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--texts-from", "/corpus", "--para-dedup")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--texts-from", "/corpus", "--span-dedup")).isLeft)
+    // ...but the per-row cleaning flags replay fine
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--texts-from", "/corpus", "--c4-clean", "--site-cap", "10")).isRight)
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state
@@ -170,6 +178,12 @@ class EntrySpec extends SparkTestBase {
     assert(a.pagesFormat == "table")
     val cfg = Main.toConfig(a)
     assert(cfg.reliableCheckpoints && cfg.checkpointDir == "hdfs:///ckpt")
+    // --reliable without --checkpoint-dir resolves the <state>-relative
+    // default at CONFIG time: the battery's Materializer is built from
+    // this config before clusterEpoch would apply its own default
+    val bare = Main.parse(Seq("--pages", "/p", "--state", "/st",
+      "--reliable", "--scrub-pii")).toOption.get
+    assert(Main.toConfig(bare).checkpointDir == "/st/_spark_checkpoints")
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--pages-format", "orc")).isLeft)
   }

@@ -32,6 +32,21 @@ class HostBlocklistSpec extends SparkTestBase {
     assert(HostBlocklist.hostKey("News.Example.COM.") === "com,example,news")
   }
 
+  test("a blocked domain covers non-default ports, both directions") {
+    val ported = Seq(
+      ("http://example.com:8080/spam", "apex on an odd port"),
+      ("https://news.example.com:8443/x", "subdomain on an odd port"),
+      ("http://host.org:8080/f", "unblocked host, odd port"))
+      .toDF("url", "text")
+    val kept = HostBlocklist.dropBlockedHosts(ported, "url", Seq("example.com"))
+      .select("url").as[String].collect()
+    assert(kept.toSeq === Seq("http://host.org:8080/f"))
+    // a curated entry carrying a port blocks the domain on every port
+    assert(HostBlocklist.hostKey("example.com:8080") === "com,example")
+    assert(HostBlocklist.dropBlockedHosts(ported, "url", Seq("example.com:8080"))
+      .count() === 1L)
+  }
+
   test("plan: a per-row filter — no join, no exchange") {
     val plan = HostBlocklist.dropBlockedHosts(
       pages, "url", (1 to 500).map(i => s"blocked$i.test"))

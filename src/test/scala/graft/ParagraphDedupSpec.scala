@@ -35,8 +35,25 @@ class ParagraphDedupSpec extends SparkTestBase {
     val paras = ParagraphDedup.explodeParagraphs(docs, "id", "text")
       .orderBy("id", "pos").select("para").as[String].collect()
     assert(paras.toSeq === Seq("a", "b", "c")) // doc 2 has no non-empty paragraph
+    // paragraph-less docs still come out the other side, text untouched —
+    // the pass removes paragraphs, never documents (Main's battery
+    // join-back is an inner join on id)
     val out = ParagraphDedup.dedupParagraphs(docs, "id", "text")
-    assert(out.count() === 1) // paragraph-less docs have no row (documented)
+      .orderBy("id").collect()
+    assert(out.length === 2)
+    assert(out(1).getAs[String]("text") === "  \n\n  ")
+    assert(out(1).getAs[Long]("n_paras") === 0L)
+    assert(out(1).getAs[Long]("n_dropped") === 0L)
+  }
+
+  test("null-text docs survive the pass with text null") {
+    val docs = Seq((1L, Some("a\n\nb")), (2L, None))
+      .toDF("id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out.length === 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("text")))
+    assert(out(1).getAs[Long]("n_paras") === 0L)
   }
 
   test("--para-dedup cleans text pre-pipeline; fully-duplicated docs stay visible") {

@@ -112,6 +112,27 @@ class SubDocStateSpec extends SparkTestBase {
       hashOf("Repeated paragraph body.\n\nAlpha tail."))
   }
 
+  test("--force-rescan without the sub-doc flags still wipes the hash state") {
+    val state = tempDir()
+    run(Seq(("http://e1.test/a", "Sticky paragraph body.\n\nAlpha tail.")),
+      state, Seq("--para-dedup"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(SubDocState.parasPath(state))))
+    // a rescan WITHOUT --para-dedup rebuilds the corpus state from scratch;
+    // leaving the old winner hashes behind would poison a later incremental
+    // epoch (its paragraphs anti-join hashes whose winning text the rescan
+    // re-elected or discarded)
+    run(Seq(("http://e1.test/a", "Sticky paragraph body.\n\nAlpha tail.")),
+      state, Seq("--force-rescan"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(SubDocState.parasPath(state))))
+    // and a later incremental epoch re-elects cleanly
+    run(Seq(("http://e2.test/b", "Sticky paragraph body.\n\nBeta tail.")),
+      state, Seq("--para-dedup"))
+    assert(storedHashes(state)("http://e2.test/b") ==
+      hashOf("Sticky paragraph body.\n\nBeta tail."))
+  }
+
   test("pure elections with a seen set: all occurrences of a seen hash lose") {
     val df = Seq(
       ("d1", "Seen paragraph text.\n\nFresh paragraph one."),
