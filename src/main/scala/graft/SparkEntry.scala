@@ -104,6 +104,18 @@ object SparkEntry {
     DedupPipeline.run(spark, pages, "url", "text", DedupConfig())
   }
 
+  /** A15 mix-oracle fixtures, shared between the Spark queries and the
+    * interpolated DuckDB SQL so the integer thresholds are computed ONCE
+    * (CorpusMix.thresholdFor) and can never drift between the engines.
+    * src0 keeps everything, src1 half, src2 nothing, the rest the default
+    * rate; the budgets hit all three regimes (cuts / above-supply / zero).
+    */
+  private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+  private val MixDefaultRate = 0.25
+  private val MixBudgets = Map("src0" -> 700L, "src1" -> 100000L, "src2" -> 0L)
+  private def mixU60Sql(salt: String): String =
+    s"CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS UBIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── relational core (SURVEY.md §2.1-2.7) ────────────────────────────
@@ -899,6 +911,40 @@ object SparkEntry {
         .select(col("doc_id"),
           Multimodal.imageAHash(col("blob")).as("ahash"),
           Multimodal.imageMeta(col("blob")).getField("format").as("format"))
+    }),
+
+    // A15 corpus mixing (beyond-reference, round 5): hash-deterministic
+    // rate sampling — keep ⟺ u60(doc_id, salt) < floor(rate·2^60) with
+    // per-source rates (src0 = 1.0, src1 = 0.5, src2 = 0.0, default 0.25).
+    // The oracle replays the SAME sha256 integer arithmetic in DuckDB with
+    // thresholds interpolated from the one Scala computation — a keep/drop
+    // decision that diverges on any row is a hash mismatch.
+    "q_mix_sample" -> ((s, dir) => {
+      graft.mix.CorpusMix.sampleBySourceRates(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", MixRates, salt = "mix-v1",
+          defaultRate = MixDefaultRate)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // A15 exact-budget truncation: per-source u60-ordered prefix whose
+    // running token sum stays under the budget (the crossing row is the
+    // last kept). src0's budget cuts mid-source, src1's exceeds supply
+    // (keeps all), src2's is zero (drops all), unlisted sources drop —
+    // DuckDB replays the window in closed form.
+    "q_mix_truncate" -> ((s, dir) => {
+      graft.mix.CorpusMix.truncateToBudget(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", "source", MixBudgets, salt = "mix-v1")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // A15 training-shard assignment: shard = u60(doc_id, "shard") mod 8 —
+    // the deterministic layout key of ShardedExport (uniformity and the
+    // one-file-per-shard write are pinned by MixSpec).
+    "q_mix_shard" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.mix.ShardedExport.shardOf(col("doc_id"), 8).as("shard"))
     })
   )
 
@@ -1524,7 +1570,39 @@ object SparkEntry {
         |         WHEN 1 THEN CAST(4294967295 AS BIGINT)
         |         ELSE CAST(0 AS BIGINT) END AS ahash,
         |       'jpeg' AS format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_mix_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${mixU60Sql("mix-v1")}
+         |  < CASE source
+         |      WHEN 'src0' THEN ${graft.mix.CorpusMix.thresholdFor(MixRates("src0"))}
+         |      WHEN 'src1' THEN ${graft.mix.CorpusMix.thresholdFor(MixRates("src1"))}
+         |      WHEN 'src2' THEN ${graft.mix.CorpusMix.thresholdFor(MixRates("src2"))}
+         |      ELSE ${graft.mix.CorpusMix.thresholdFor(MixDefaultRate)}
+         |    END""".stripMargin,
+
+    "q_mix_truncate" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source, ${mixU60Sql("mix-v1")} AS u60,
+         |         CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+         |              THEN 0 ELSE length(string_split(
+         |                trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+         |           AS BIGINT) AS tok
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, source, tok,
+         |         SUM(tok) OVER (PARTITION BY source ORDER BY u60, doc_id) AS cum,
+         |         CASE source WHEN 'src0' THEN ${MixBudgets("src0")}
+         |                     WHEN 'src1' THEN ${MixBudgets("src1")}
+         |                     WHEN 'src2' THEN ${MixBudgets("src2")} END AS budget
+         |  FROM u)
+         |SELECT doc_id, source FROM w WHERE cum - tok < budget""".stripMargin,
+
+    "q_mix_shard" ->
+      s"""SELECT doc_id,
+         |       CAST(${mixU60Sql("shard")} % 8 AS INTEGER) AS shard
+         |FROM documents""".stripMargin
   )
 
   // per-vector grain: DuckDB enumerates the query-vector id set; the sanity

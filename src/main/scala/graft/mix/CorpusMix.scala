@@ -1,0 +1,147 @@
+package graft.mix
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing — the training-data pipeline's LAST stage: after
+  * cleaning and dedup, assemble the final mix by sampling each source
+  * (crawl snapshot, language, domain bucket, quality tier) down to its
+  * target weight or token budget.
+  *
+  * Every decision here is DETERMINISTIC and engine-replayable: a row's
+  * fate depends only on (id, salt) and the per-source rate — never on
+  * partitioning, row order, or an RNG — so a re-run over the same corpus
+  * reproduces the mix bit-for-bit (the property that makes training data
+  * auditable), and a second engine (the DuckDB oracle) can replay the
+  * exact keep/drop set from the same SQL-expressible arithmetic.
+  *
+  * The uniform variate is [[u60]]: the first 15 hex digits of
+  * sha256(id || salt) as a long in [0, 2^60). sha256 rather than
+  * xxhash64 deliberately — both engines implement it identically, and a
+  * crypto hash's uniformity does not depend on key distribution. The
+  * keep decision compares in the INTEGER domain against a threshold
+  * computed once from the rate (floor(rate * 2^60)), so no per-row
+  * floating-point comparison can diverge between engines.
+  *
+  * Scale shape: rate-based sampling ([[sampleBySourceRates]]) is a pure
+  * per-row filter over plan literals — zero exchange, rides the scan,
+  * exactly like the host blocklist. Budget-derived rates
+  * ([[mixByTokenBudget]]) add ONE aggregation pass (partial+final agg on
+  * the source key, output = #sources rows — a config-sized result, the
+  * documented driver action). Exact-budget truncation
+  * ([[truncateToBudget]]) pays a per-source window instead; see its doc
+  * for when that is worth it.
+  *
+  * Reference analog: none — the reference dedups a personal photo
+  * library; corpus composition is what the training-data payload adds
+  * (SURVEY §2 beyond-reference rows, A15).
+  */
+object CorpusMix {
+
+  /** 2^60 as a Long (and exactly representable as a Double). */
+  val Unit60: Long = 1L << 60
+
+  /** Uniform 60-bit variate of (id, salt): first 15 hex digits of
+    * sha256(id || salt), base-16 → long in [0, 2^60). DuckDB replay:
+    * `CAST(('0x' || substr(sha256(id || salt), 1, 15)) AS UBIGINT)`.
+    */
+  def u60(id: Column, salt: String): Column =
+    conv(substring(sha2(concat(id.cast("string"), lit(salt)), 256), 1, 15),
+      16, 10).cast("long")
+
+  /** The integer keep-threshold for a rate in [0, 1]: floor(rate * 2^60).
+    * Computed ONCE (driver side) per source — IEEE-754 double arithmetic,
+    * so any engine evaluating the same expression lands on the same long.
+    */
+  def thresholdFor(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.floor(rate * Unit60.toDouble).toLong
+  }
+
+  /** Keep each row iff u60(id, salt) < floor(rate(source) * 2^60).
+    * `rates` is a CONFIG artifact (a handful of curated weights), shipped
+    * as plan literals — the filter is per-row, zero exchange. Sources
+    * absent from the map get `defaultRate` (0.0 = an explicit mix: what
+    * is not listed is not in the training set).
+    */
+  def sampleBySourceRates(df: DataFrame, idCol: String, sourceCol: String,
+                          rates: Map[String, Double], salt: String,
+                          defaultRate: Double = 0.0): DataFrame = {
+    val thr = rates.foldLeft(lit(thresholdFor(defaultRate))) {
+      case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(thresholdFor(r))).otherwise(acc)
+    }
+    df.filter(u60(col(idCol), salt) < thr)
+  }
+
+  /** Per-source outcome of a budgeted mix: measured size, the rate the
+    * budget implies, and the expected token yield (rate sampling hits the
+    * budget in expectation — binomial concentration makes the relative
+    * error O(1/sqrt(docs)) at corpus scale).
+    */
+  case class MixStat(source: String, docs: Long, tokens: Long,
+                     budget: Long, rate: Double)
+
+  /** Mix by per-source TOKEN budgets: one aggregation pass measures each
+    * source's token total, rates = min(1, budget / tokens), then the
+    * per-row [[sampleBySourceRates]] filter. The agg output is
+    * config-sized (#sources rows) — collecting it is this operator's one
+    * driver action, exactly like reading a blocklist file.
+    *
+    * `tokensOf` defaults to the engine's whitespace token count
+    * (DuckDB-replayable; q_token_count's oracle pins it).
+    */
+  def mixByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, budgets: Map[String, Long],
+                       salt: String,
+                       tokensOf: Column => Column =
+                         graft.text.TextAnalysis.tokenCount)
+      : (DataFrame, Seq[MixStat]) = {
+    require(budgets.nonEmpty, "mix budgets must name at least one source")
+    budgets.foreach { case (s, b) => require(b >= 0, s"budget for $s is negative") }
+    val totals = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("docs"), sum(tokensOf(col(textCol))).as("tokens"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stats = budgets.toSeq.sortBy(_._1).map { case (src, budget) =>
+      val (docs, tokens) = totals.getOrElse(src, (0L, 0L))
+      val rate = if (tokens <= 0L) 0.0
+                 else math.min(1.0, budget.toDouble / tokens.toDouble)
+      MixStat(src, docs, tokens, budget, rate)
+    }
+    val rates = stats.map(s => s.source -> s.rate).toMap
+    (sampleBySourceRates(df, idCol, sourceCol, rates, salt), stats)
+  }
+
+  /** EXACT-budget truncation: order each source by u60 (a deterministic
+    * uniform shuffle) and keep the longest prefix whose token sum stays
+    * within the budget — `cumsum - tokens < budget`, i.e. the row that
+    * CROSSES the budget is the last one kept, so the yield lands in
+    * (budget - max_doc_tokens, budget + max_doc_tokens).
+    *
+    * Costs a per-source window (running sum ordered by u60): one exchange
+    * on the source key, and a hot source concentrates on one partition —
+    * at 10^12 docs run [[mixByTokenBudget]] at rate (1+ε)·budget/tokens
+    * FIRST and truncate the ~budget-sized survivor set, so the window
+    * only ever sees what fits. Sources absent from `budgets` drop.
+    */
+  def truncateToBudget(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, budgets: Map[String, Long],
+                       salt: String,
+                       tokensOf: Column => Column =
+                         graft.text.TextAnalysis.tokenCount): DataFrame = {
+    require(budgets.nonEmpty, "mix budgets must name at least one source")
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (src, b)) =>
+        when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("_mix_u60").asc, col(idCol).asc)
+    df.withColumn("_mix_u60", u60(col(idCol), salt))
+      .withColumn("_mix_tok", tokensOf(col(textCol)))
+      .withColumn("_mix_cum", sum(col("_mix_tok")).over(w))
+      .filter(col("_mix_cum") - col("_mix_tok") < budget)
+      .drop("_mix_u60", "_mix_tok", "_mix_cum")
+  }
+}

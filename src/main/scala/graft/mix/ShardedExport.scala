@@ -1,0 +1,82 @@
+package graft.mix
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded training export — the sink at the very end of the pipeline:
+  * write the assembled corpus as N addressable, deterministic,
+  * size-balanced shards plus a manifest, the layout training jobs and
+  * data loaders consume (shard = the unit of shuffling, resumption and
+  * per-worker assignment downstream).
+  *
+  * Determinism contract: a document's shard depends only on (id,
+  * nShards) — [[shardOf]] is u60-based, so the assignment is uniform,
+  * engine-replayable (DuckDB oracle), and stable across runs and cluster
+  * sizes; within a shard, rows are written in id order. Re-exporting the
+  * same corpus reproduces byte-identical shard membership.
+  *
+  * Scale shape: ONE exchange — a range repartition on the shard id (a
+  * bijection partition → shard, so every task writes exactly one shard
+  * and the write parallelism is nShards). Shard count is the operator's
+  * size dial: pick nShards ≈ corpus_bytes / target_shard_bytes (64-512 MB
+  * targets keep both HDFS/S3 and loader-side streaming happy); the hash
+  * balances shard sizes to O(1/sqrt(docs_per_shard)) relative skew. The
+  * manifest aggregation reads back only the pruned stat columns.
+  */
+object ShardedExport {
+
+  /** Deterministic shard of an id: u60(id, "shard") mod nShards —
+    * uniform, independent of the mix-sampling variate (different salt).
+    * DuckDB replay: `CAST(u60 % n AS INT)`.
+    */
+  def shardOf(id: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    pmod(CorpusMix.u60(id, "shard"), lit(nShards.toLong)).cast("int")
+  }
+
+  /** Per-shard manifest row. */
+  case class ShardStat(shard: Int, docs: Long, tokens: Long)
+
+  /** Write `df` as `nShards` parquet shards under `dir`
+    * (`shard=K/part-*.parquet`, one file per shard, rows in id order)
+    * and a `_manifest.json` recording per-shard docs + token counts and
+    * the export parameters — the lineage a training job checks before
+    * trusting the data. Returns the manifest rows.
+    */
+  def exportShards(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String, dir: String, nShards: Int): Seq[ShardStat] = {
+    val sharded = df.withColumn("shard", shardOf(col(idCol), nShards))
+    // range-partition on the shard id: values 0..n-1 into n partitions is
+    // a bijection (unlike hash repartition, which collides ~1/e of the
+    // slots), so partitionBy emits exactly one file per shard directory
+    sharded.repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+    // manifest stats from the WRITTEN data (what a loader will see), with
+    // the scan pruned to the stat columns
+    val stats = spark.read.parquet(dir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(graft.text.TextAnalysis.tokenCount(col(textCol))).as("tokens"))
+      .collect()
+      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.shard).toSeq
+    val body = stats.map(s =>
+        s"""    {"shard":${s.shard},"docs":${s.docs},"tokens":${s.tokens}}""")
+      .mkString("[\n", ",\n", "\n  ]")
+    val manifest =
+      s"""{
+         |  "n_shards": $nShards,
+         |  "id_col": "$idCol",
+         |  "docs": ${stats.map(_.docs).sum},
+         |  "tokens": ${stats.map(_.tokens).sum},
+         |  "shards": $body
+         |}
+         |""".stripMargin
+    val path = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    stats
+  }
+}

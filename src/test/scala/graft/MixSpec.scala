@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mix.{CorpusMix, ShardedExport}
+
+/** A15 corpus mixing + sharded export: hash-deterministic sampling
+  * (nested across rates, engine-replayable), token-budget mixing,
+  * exact-budget truncation, and the deterministic shard layout with its
+  * manifest. The scale contracts — rate sampling is a scan-riding filter,
+  * the export is one range exchange with one file per shard — are pinned
+  * as plan/layout assertions.
+  */
+class MixSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(n).select(
+      concat(lit("http://d"), col("id"), lit(".test/p")).as("url"),
+      when(col("id") % 2 === 0, "crawl_a").otherwise("crawl_b").as("source"),
+      concat(lit("word "), col("id").cast("string"),
+        lit(" tail tokens here")).as("text"))
+
+  test("rate sampling: deterministic, near-rate, and unlisted sources drop") {
+    val df = corpus(2000)
+    val kept = CorpusMix.sampleBySourceRates(df, "url", "source",
+      Map("crawl_a" -> 0.5, "crawl_b" -> 0.1), salt = "mix-v1")
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // binomial at n=1000/source: 3σ bands
+    assert(math.abs(bySrc("crawl_a") - 500L) < 3 * math.sqrt(250.0))
+    assert(math.abs(bySrc.getOrElse("crawl_b", 0L) - 100L) < 3 * math.sqrt(90.0))
+    // bit-for-bit reproducible: same ids on a re-run over a reshuffled input
+    val again = CorpusMix.sampleBySourceRates(
+      df.repartition(7), "url", "source",
+      Map("crawl_a" -> 0.5, "crawl_b" -> 0.1), salt = "mix-v1")
+    assert(again.select("url").as[String].collect().sorted.toSeq ===
+      kept.select("url").as[String].collect().sorted.toSeq)
+    // a source with no listed rate is not in the mix
+    val explicit = CorpusMix.sampleBySourceRates(df, "url", "source",
+      Map("crawl_a" -> 1.0), salt = "mix-v1")
+    assert(explicit.filter(col("source") === "crawl_b").count() === 0L)
+    assert(explicit.filter(col("source") === "crawl_a").count() === 1000L)
+  }
+
+  test("samples nest: raising a rate only ADDS documents") {
+    val df = corpus(1000)
+    def keep(r: Double) = CorpusMix.sampleBySourceRates(
+      df, "url", "source", Map("crawl_a" -> r, "crawl_b" -> r), "mix-v1")
+      .select("url").as[String].collect().toSet
+    val k25 = keep(0.25); val k50 = keep(0.5); val k90 = keep(0.9)
+    assert(k25.subsetOf(k50) && k50.subsetOf(k90),
+      "threshold sampling on one variate must produce nested mixes")
+    // and a different salt decorrelates (a fresh mix, not the same subset)
+    val other = CorpusMix.sampleBySourceRates(
+      df, "url", "source", Map("crawl_a" -> 0.5, "crawl_b" -> 0.5), "mix-v2")
+      .select("url").as[String].collect().toSet
+    assert(other != k50)
+  }
+
+  test("plan: rate sampling is a scan-riding filter — no exchange, no join") {
+    val plan = CorpusMix.sampleBySourceRates(corpus(100), "url", "source",
+      (1 to 50).map(i => s"src$i" -> 0.5).toMap, "mix-v1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"mix sampling must stay a per-row filter:\n$plan")
+  }
+
+  test("token-budget mix: rates = min(1, budget/tokens), yield ≈ budget") {
+    val df = corpus(2000) // 5 tokens per doc -> 10k tokens per source
+    val (kept, stats) = CorpusMix.mixByTokenBudget(df, "url", "text",
+      "source", Map("crawl_a" -> 2500L, "crawl_b" -> 50000L), "mix-v1")
+    val a = stats.find(_.source == "crawl_a").get
+    val b = stats.find(_.source == "crawl_b").get
+    assert(a.tokens === 5000L && a.rate === 0.5)
+    assert(b.rate === 1.0, "budget above supply caps at keep-everything")
+    val yieldA = kept.filter(col("source") === "crawl_a")
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("text"))))
+      .as[Long].head()
+    assert(math.abs(yieldA - 2500L) < 3 * 5 * math.sqrt(250.0)) // 3σ · tok/doc
+    assert(kept.filter(col("source") === "crawl_b").count() === 1000L)
+    // a source with no budget row is absent from the mix and the stats
+    val (only, st2) = CorpusMix.mixByTokenBudget(df, "url", "text",
+      "source", Map("crawl_a" -> 2500L), "mix-v1")
+    assert(only.filter(col("source") === "crawl_b").count() === 0L)
+    assert(st2.map(_.source) === Seq("crawl_a"))
+  }
+
+  test("exact truncation: the u60-ordered prefix that crosses the budget") {
+    val df = Seq(
+      ("u1", "s", "one two"),          // 2 tokens each
+      ("u2", "s", "one two"),
+      ("u3", "s", "one two"),
+      ("u4", "s", "one two"),
+      ("other", "t", "x y z")).toDF("url", "source", "text")
+    val kept = CorpusMix.truncateToBudget(df, "url", "text", "source",
+      Map("s" -> 5L), "mix-v1")
+    // 5-token budget over 2-token docs: cum 2,4,6 -> the 6 CROSSES (4 < 5)
+    // and is the last kept; doc 4 (cum 8, prev 6 >= 5) drops; source t
+    // has no budget and drops entirely
+    assert(kept.count() === 3L)
+    assert(kept.filter(col("source") === "t").count() === 0L)
+    // the prefix is the u60 order, so it is reproducible across runs
+    val order = df.filter(col("source") === "s")
+      .withColumn("u", CorpusMix.u60(col("url"), "mix-v1"))
+      .orderBy("u").select("url").as[String].collect()
+    val keptIds = kept.select("url").as[String].collect().toSet
+    assert(keptIds === order.take(3).toSet)
+  }
+
+  test("shard assignment: uniform, in-range, salt-independent of the mix") {
+    val df = corpus(4000)
+    val counts = df.select(ShardedExport.shardOf(col("url"), 8).as("shard"))
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet === (0 until 8).toSet)
+    // 4000 over 8 shards: every shard within ±4σ of 500
+    counts.values.foreach(c =>
+      assert(math.abs(c - 500L) < 4 * math.sqrt(500.0 * 7 / 8), counts))
+  }
+
+  test("export: one file per shard, id-ordered rows, faithful manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = corpus(600)
+    val stats = ShardedExport.exportShards(spark, df, "url", "text",
+      dir, nShards = 4)
+    assert(stats.map(_.shard) === Seq(0, 1, 2, 3))
+    assert(stats.map(_.docs).sum === 600L)
+    // layout: exactly one parquet part per shard directory
+    (0 until 4).foreach { k =>
+      val parts = new java.io.File(s"$dir/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"shard $k must be one file")
+    }
+    // within a shard, rows are written in id order (loader determinism)
+    val s0 = spark.read.parquet(s"$dir/shard=0").select("url")
+      .as[String].collect()
+    assert(s0.toSeq === s0.sorted.toSeq)
+    // manifest totals agree with the data and parse as JSON
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"n_shards\": 4"))
+    assert(manifest.contains("\"docs\": 600"))
+    val tokTotal = df.agg(sum(graft.text.TextAnalysis.tokenCount(col("text"))))
+      .as[Long].head()
+    assert(stats.map(_.tokens).sum === tokTotal)
+    // re-export reproduces byte-identical shard membership
+    val again = ShardedExport.exportShards(spark, df.repartition(13),
+      "url", "text", dir, nShards = 4)
+    assert(again === stats)
+  }
+}
