@@ -56,7 +56,13 @@ object Main {
       decontaminate: Option[String] = None,
       c4Clean: Boolean = false,
       gopherFilter: Boolean = false,
-      spanDedup: Boolean = false)
+      spanDedup: Boolean = false,
+      exportShards: Option[String] = None,
+      nShards: Int = 64,
+      mixRates: Option[String] = None,
+      mixBudgets: Option[String] = None,
+      mixCol: String = "lang",
+      mixSalt: String = "mix-v1")
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -147,6 +153,19 @@ object Main {
       // text fetch for frontier docs from earlier epochs (pruned to the
       // frontier before any shuffle under --delta-cluster)
       case "--texts-from" :: v :: t   => loop(t, acc.copy(textsFrom = Some(v)))
+      // training export mode: write the kept corpus (dedup verdict applied,
+      // optionally mixed) as N deterministic id-keyed shards + manifest
+      case "--export-shards" :: v :: t => loop(t, acc.copy(exportShards = Some(v)))
+      case "--n-shards" :: v :: t     =>
+        v.toIntOption.toRight(s"--n-shards: not an int: $v")
+          .flatMap(n => loop(t, acc.copy(nShards = n)))
+      // mix config files: one `<source> <value>` per line, '#' comments;
+      // rates accept a `* <rate>` default line (what is unlisted is not in
+      // the training set otherwise)
+      case "--mix-rates" :: v :: t    => loop(t, acc.copy(mixRates = Some(v)))
+      case "--mix-budgets" :: v :: t  => loop(t, acc.copy(mixBudgets = Some(v)))
+      case "--mix-col" :: v :: t      => loop(t, acc.copy(mixCol = v))
+      case "--mix-salt" :: v :: t     => loop(t, acc.copy(mixSalt = v))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -177,7 +196,43 @@ object Main {
         "so a batch-pure replay of the corpus produces different text than " +
         "was fingerprinted; point --texts-from at already-cleaned text " +
         "(e.g. an export of the epoch outputs) or drop the sub-document flags")
+    else if (a.exportShards.isDefined && (a.paraDedup || a.spanDedup))
+      Left("--export-shards cannot be combined with --para-dedup/--span-dedup " +
+        "(same reason as --texts-from: the elections are per-epoch state, " +
+        "not batch-pure replayable); point --pages at already-cleaned text")
+    else if (a.exportShards.isDefined && a.nShards < 1)
+      Left("--n-shards must be positive")
+    else if (a.mixRates.isDefined && a.mixBudgets.isDefined)
+      Left("--mix-rates and --mix-budgets are mutually exclusive")
+    else if ((a.mixRates.isDefined || a.mixBudgets.isDefined) &&
+             a.exportShards.isEmpty)
+      Left("--mix-rates/--mix-budgets apply to the export: add --export-shards")
     else Right(a)
+
+  /** Read a mix config file: one `<source> <value>` per line (whitespace
+    * separated), `#` comments; a `*` source sets the default. Returns the
+    * map and the default-value option.
+    */
+  private[graft] def readMixFile[V](path: String, what: String,
+                                    parse: String => Option[V])
+      : Either[String, (Map[String, V], Option[V])] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val entries = src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split("\\s+", 2) match {
+            case Array(s, v) => parse(v.trim).toRight(s"$what: bad value for $s: $v")
+              .map(pv => s -> pv)
+            case _ => Left(s"$what: expected '<source> <value>': $l")
+          }
+        }.toList
+      entries.collectFirst { case Left(e) => e }.toLeft {
+        val m = entries.collect { case Right(kv) => kv }
+        (m.filter(_._1 != "*").toMap, m.collectFirst { case ("*", v) => v })
+      }
+    } finally src.close()
+  }
 
   /** Args → validated engine config (reference `Config` merge, cli.rs:58-83). */
   def toConfig(a: CliArgs): DedupConfig = {
@@ -210,7 +265,10 @@ object Main {
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
           "[--state-buckets <n>] [--delta-cluster] [--texts-from <path-or-table>] " +
           "[--pages-format auto|parquet|table|warc] | " +
-          "--state <dir-uri> --diagnose | --state <dir-uri> --compact")
+          "--state <dir-uri> --diagnose | --state <dir-uri> --compact | " +
+          "--pages <t> --state <s> --export-shards <dir> [--n-shards <n>] " +
+          "[--mix-rates <file> | --mix-budgets <file>] [--mix-col lang] " +
+          "[--mix-salt <s>]")
       sys.exit(2)
     case Right(a) =>
       // spark-submit provides the master (spark.master system property);
@@ -376,6 +434,48 @@ object Main {
         unblocked.drop(a.textCol).join(spanned, Seq(a.idCol), "inner")
       }
     }
+    // training-export mode: apply the state's dedup verdict to the corpus,
+    // optionally sample the mix, write deterministic shards + manifest —
+    // a read-only consumer of the state (same posture as --texts-from:
+    // per-row cleaning flags replay fine, sub-document flags are rejected)
+    def exportRun(dir: String): Seq[String] = {
+      import org.apache.spark.sql.functions.col
+      val corpus0 = load(a.pages)
+      val kept = Checkpoints.keepIds(spark, a.state) match {
+        case Some(ids) => corpus0.join(
+          ids.withColumnRenamed("id", a.idCol), Seq(a.idCol), "left_semi")
+        case None => corpus0 // no epoch has run: export unfiltered
+      }
+      def mixFile[V](p: String, what: String, parse: String => Option[V]) =
+        readMixFile(p, what, parse)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+      val (mixed, mixLines) = (a.mixRates, a.mixBudgets) match {
+        case (Some(f), _) =>
+          val (rates, dflt) = mixFile(f, "--mix-rates", _.toDoubleOption)
+          (graft.mix.CorpusMix.sampleBySourceRates(kept, a.idCol, a.mixCol,
+            rates, a.mixSalt, dflt.getOrElse(0.0)), Seq.empty[String])
+        case (_, Some(f)) =>
+          val (budgets, _) = mixFile(f, "--mix-budgets", _.toLongOption)
+          val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
+            kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt)
+          (df, stats.map(s =>
+            s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
+              s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""))
+        case _ => (kept, Seq.empty[String])
+      }
+      // the payload column the text was derived from has done its job —
+      // training shards carry the text, not the crawl bytes
+      val binCol =
+        if (a.pagesFormat == "warc" && a.extractFrom.isEmpty) Some("html")
+        else a.extractFrom
+      val out = binCol.fold(mixed)(mixed.drop(_))
+      val stats = graft.mix.ShardedExport.exportShards(
+        spark, out, a.idCol, a.textCol, dir, a.nShards)
+      mixLines :+ (s"""{"exported":"$dir","n_shards":${a.nShards},""" +
+        s""""docs":${stats.map(_.docs).sum},"tokens":${stats.map(_.tokens).sum}}""")
+    }
+    if (a.exportShards.isDefined) return exportRun(a.exportShards.get)
+
     val pages = load(a.pages, stateful = true)
     val (nNew, nClusters) =
       Checkpoints.clusterEpoch(spark, pages, a.idCol, a.textCol, a.state, cfg, a.action,

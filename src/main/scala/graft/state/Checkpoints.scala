@@ -617,6 +617,23 @@ object Checkpoints {
     }
   }
 
+  /** The dedup verdict as an id set — what a training export keeps: cluster
+    * representatives (every clustered doc is in exactly one cluster with
+    * exactly one representative — singletons represent themselves — so the
+    * non-representative rows ARE the planned duplicates) minus tombstoned
+    * rows. None when the state has no clusters table yet (no epoch has
+    * run); callers then export the corpus unfiltered.
+    */
+  def keepIds(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    readIfExists(spark, clustersPath(stateDir)).map { c =>
+      val reps = c.filter(col("is_representative")).select("id")
+      readExecuted(spark, stateDir) match {
+        case Some(ex) => reps.join(
+          graft.actions.Actions.tombstones(ex).select("id"), Seq("id"), "left_anti")
+        case None => reps
+      }
+    }
+
   // ------------------------------------------------------------------
   // Persisted band index — the delta-cluster frontier's slim lookup table.
   //

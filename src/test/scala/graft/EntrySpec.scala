@@ -80,6 +80,23 @@ class EntrySpec extends SparkTestBase {
     // ...but the per-row cleaning flags replay fine
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--texts-from", "/corpus", "--c4-clean", "--site-cap", "10")).isRight)
+    // training-export mode: mix flags only make sense with the export
+    val exp = Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--n-shards", "8",
+      "--mix-rates", "/r", "--mix-col", "source", "--mix-salt", "v2"))
+      .toOption.get
+    assert(exp.exportShards.contains("/out") && exp.nShards == 8 &&
+      exp.mixRates.contains("/r") && exp.mixCol == "source" &&
+      exp.mixSalt == "v2")
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--n-shards", "0")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--mix-rates", "/r",
+      "--mix-budgets", "/b")).isLeft)                 // mutually exclusive
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--mix-rates", "/r")).isLeft)                   // mix needs the export
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--para-dedup")).isLeft) // not replayable
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

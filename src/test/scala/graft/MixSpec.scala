@@ -148,4 +148,78 @@ class MixSpec extends SparkTestBase {
       "url", "text", dir, nShards = 4)
     assert(again === stats)
   }
+
+  test("mix config files parse: defaults, comments, bad lines") {
+    def write(lines: String*): String = {
+      val f = java.nio.file.Files.createTempFile("graft-mix", ".txt")
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      f.toString
+    }
+    assert(Main.readMixFile(write("# crawl mix", "crawl_a 0.5", "* 0.1"),
+      "--mix-rates", _.toDoubleOption) ===
+      Right((Map("crawl_a" -> 0.5), Some(0.1))))
+    assert(Main.readMixFile(write("crawl_a 2500", "crawl_b 50000"),
+      "--mix-budgets", _.toLongOption) ===
+      Right((Map("crawl_a" -> 2500L, "crawl_b" -> 50000L), None)))
+    assert(Main.readMixFile(write("crawl_a notanumber"),
+      "--mix-rates", _.toDoubleOption).isLeft)
+    assert(Main.readMixFile(write("justonesource"),
+      "--mix-rates", _.toDoubleOption).isLeft)
+  }
+
+  test("--export-shards CLI: dedup verdict applied, mix sampled, loader layout") {
+    def tmp(prefix: String) =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val pagesDir = tmp("graft-export-pages")
+    val state = tmp("graft-export-state")
+    // 12 docs, 6 per lang; docs 2 and 3 are exact duplicates (url-asc
+    // priority makes .../d2 the representative, .../d3 the planned dup)
+    val dupText = "Identical duplicated body text, exactly the same twice."
+    (0 until 12).map { i =>
+      // non-dup texts share NO vocabulary (every word is i-suffixed), so
+      // the near-dup channels cannot legitimately cluster them
+      val text = if (i == 2 || i == 3) dupText
+                 else s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i."
+      (s"http://site$i.test/d$i", text, if (i % 2 == 0) "en" else "de")
+    }.toDF("url", "text", "lang")
+      .write.mode("overwrite").parquet(pagesDir)
+    // epoch 1 establishes the verdict
+    Main.run(spark, Main.parse(
+      Seq("--pages", pagesDir, "--state", state)).toOption.get)
+    // export: duplicates drop, shards + manifest appear
+    val out = tmp("graft-export-out")
+    val lines = Main.run(spark, Main.parse(Seq("--pages", pagesDir,
+      "--state", state, "--export-shards", out, "--n-shards", "2"))
+      .toOption.get)
+    assert(lines.exists(_.contains(""""n_shards":2""")))
+    val exported = spark.read.parquet(out)
+    assert(exported.count() === 11) // the planned duplicate is gone
+    assert(exported.filter(col("url") === "http://site3.test/d3").count() === 0)
+    assert(exported.filter(col("url") === "http://site2.test/d2").count() === 1)
+    assert(exported.columns.toSet === Set("url", "text", "lang", "shard"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/_manifest.json")))
+    // mixed export: rates file keeps only en (default 0)
+    val rates = java.nio.file.Files.createTempFile("graft-rates", ".txt")
+    java.nio.file.Files.write(rates, "en 1.0\n".getBytes("UTF-8"))
+    val out2 = tmp("graft-export-mixed")
+    Main.run(spark, Main.parse(Seq("--pages", pagesDir, "--state", state,
+      "--export-shards", out2, "--n-shards", "2",
+      "--mix-rates", rates.toString)).toOption.get)
+    val mixed = spark.read.parquet(out2)
+    assert(mixed.filter(col("lang") === "de").count() === 0)
+    assert(mixed.filter(col("lang") === "en").count() === 6) // all en survive
+    // (the dropped duplicate d3 is a de doc — the mix dropped it anyway)
+    // budget-mixed export emits per-source stat lines
+    val budgets = java.nio.file.Files.createTempFile("graft-budgets", ".txt")
+    java.nio.file.Files.write(budgets, "en 100000\nde 100000\n".getBytes("UTF-8"))
+    val out3 = tmp("graft-export-budget")
+    val blines = Main.run(spark, Main.parse(Seq("--pages", pagesDir,
+      "--state", state, "--export-shards", out3, "--n-shards", "2",
+      "--mix-budgets", budgets.toString)).toOption.get)
+    assert(blines.count(_.contains(""""mix_source"""")) === 2)
+    assert(blines.exists(l => l.contains(""""mix_source":"en"""") &&
+      l.contains(""""rate":1.0""")))
+    assert(spark.read.parquet(out3).count() === 11)
+  }
 }
