@@ -438,6 +438,26 @@ object Bench {
     val (cleanSec, cleanRuns) = medianTimed { runBatteryOn(spark, batteryPath) }
     val cleanLine = ("clean_battery", cleanSec, cleanRuns)
 
+    // round-5g training export (A15): token-budget mix (one config-sized
+    // agg derives the rates, then the scan-riding u60 filter) + the
+    // sharded loader-shape write (one range exchange, one id-ordered file
+    // per shard, manifest read-back) — the pipeline's final stage, timed
+    // whole. The en budget cuts (~25% rate at the generator's half-en
+    // corpus); the other languages keep everything.
+    val (exportSec, exportRuns) = medianTimed {
+      import org.apache.spark.sql.functions.col
+      val corpus = spark.read.parquet(fullPath).select(
+        col("url"), col("lang"), col("text"))
+      val (mixed, _) = graft.mix.CorpusMix.mixByTokenBudget(
+        corpus, "url", "text", "lang",
+        Map("en" -> nPages * 25L, "de" -> Long.MaxValue / 4,
+          "fr" -> Long.MaxValue / 4, "es" -> Long.MaxValue / 4), "bench-mix")
+      val stats = graft.mix.ShardedExport.exportShards(
+        spark, mixed, "url", "text", s"$tmp/export", nShards = 32)
+      require(stats.map(_.docs).sum > 0, "mix_export wrote an empty corpus")
+    }
+    val exportLine = ("mix_export", exportSec, exportRuns)
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
@@ -445,7 +465,8 @@ object Bench {
       resumeResults.map { case (n, sec, _) => n -> sec } :++
       clusterResults.map { case (n, sec, _) => n -> sec } :+
       ("warc_ingest" -> warcSec) :+
-      ("clean_battery" -> cleanSec)
+      ("clean_battery" -> cleanSec) :+
+      ("mix_export" -> exportSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
@@ -455,7 +476,7 @@ object Bench {
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
       s""""skew":${arr(skewRuns)},""" +
-      (resumeResults ++ clusterResults :+ warcLine :+ cleanLine)
+      (resumeResults ++ clusterResults :+ warcLine :+ cleanLine :+ exportLine)
         .map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
         .mkString(",") + "}," +
       s""""skew_max_task_records":$maxSkewRecords,""" +

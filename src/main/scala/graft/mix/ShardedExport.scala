@@ -42,10 +42,18 @@ object ShardedExport {
     * and a `_manifest.json` recording per-shard docs + token counts and
     * the export parameters — the lineage a training job checks before
     * trusting the data. Returns the manifest rows.
+    *
+    * Each row also carries its `n_tokens` (loaders budget batches by it),
+    * computed BEFORE the write — the manifest aggregation then reads back
+    * only the (shard, n_tokens) columns, never re-scanning the text: at
+    * corpus scale the second pass over the heavy column would cost nearly
+    * as much as the export itself.
     */
   def exportShards(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String, dir: String, nShards: Int): Seq[ShardStat] = {
-    val sharded = df.withColumn("shard", shardOf(col(idCol), nShards))
+    val sharded = df
+      .withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col(textCol)))
     // range-partition on the shard id: values 0..n-1 into n partitions is
     // a bijection (unlike hash repartition, which collides ~1/e of the
     // slots), so partitionBy emits exactly one file per shard directory
@@ -53,11 +61,10 @@ object ShardedExport {
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
     // manifest stats from the WRITTEN data (what a loader will see), with
-    // the scan pruned to the stat columns
+    // the scan pruned to the two stat columns
     val stats = spark.read.parquet(dir)
       .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("docs"),
-        sum(graft.text.TextAnalysis.tokenCount(col(textCol))).as("tokens"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
       .collect()
       .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_.shard).toSeq

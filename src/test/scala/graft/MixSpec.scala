@@ -196,7 +196,8 @@ class MixSpec extends SparkTestBase {
     assert(exported.count() === 11) // the planned duplicate is gone
     assert(exported.filter(col("url") === "http://site3.test/d3").count() === 0)
     assert(exported.filter(col("url") === "http://site2.test/d2").count() === 1)
-    assert(exported.columns.toSet === Set("url", "text", "lang", "shard"))
+    assert(exported.columns.toSet ===
+      Set("url", "text", "lang", "shard", "n_tokens"))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/_manifest.json")))
     // mixed export: rates file keeps only en (default 0)
