@@ -16,7 +16,9 @@ object PlanAudit {
     "q_exact_dedup",     // hash-agg over sha2, no collect_list
     "q_window_top1",     // single sort+window, no extra exchange
     "q_signatures",      // fingerprint stage: projection-only, codegen'd
-    "q_minhash_lsh_pairs") // explode + size-join + self-join shape
+    "q_minhash_lsh_pairs", // explode + size-join + self-join shape
+    "q_mix_sample",      // A15 rate sample: filter rides the scan, no exchange
+    "q_mix_truncate")    // A15 exact budget: ONE window exchange on source
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
