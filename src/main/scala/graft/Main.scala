@@ -62,7 +62,9 @@ object Main {
       mixRates: Option[String] = None,
       mixBudgets: Option[String] = None,
       mixCol: String = "lang",
-      mixSalt: String = "mix-v1")
+      mixSalt: String = "mix-v1",
+      mixExact: Boolean = false,
+      mixHeadroom: Double = 0.05)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -166,6 +168,15 @@ object Main {
       case "--mix-budgets" :: v :: t  => loop(t, acc.copy(mixBudgets = Some(v)))
       case "--mix-col" :: v :: t      => loop(t, acc.copy(mixCol = v))
       case "--mix-salt" :: v :: t     => loop(t, acc.copy(mixSalt = v))
+      // exact-budget mixing: sample at (1+ε)·budget/tokens, then truncate
+      // the survivor set on the same u60 order — bit-identical to
+      // truncating the full source, window never sees more than ~budget
+      case "--mix-exact" :: t         => loop(t, acc.copy(mixExact = true))
+      // ε for --mix-exact's pre-truncation sample: undershoot probability
+      // is exp(−Θ(ε²·budget/max_doc_tokens)) — raise it for small sources
+      case "--mix-headroom" :: v :: t =>
+        v.toDoubleOption.filter(_ >= 0).toRight(s"--mix-headroom: not a non-negative number: $v")
+          .flatMap(h => loop(t, acc.copy(mixHeadroom = h)))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -207,6 +218,8 @@ object Main {
     else if ((a.mixRates.isDefined || a.mixBudgets.isDefined) &&
              a.exportShards.isEmpty)
       Left("--mix-rates/--mix-budgets apply to the export: add --export-shards")
+    else if (a.mixExact && a.mixBudgets.isEmpty)
+      Left("--mix-exact needs --mix-budgets (rates have no budget to hit)")
     else Right(a)
 
   /** Read a mix config file: one `<source> <value>` per line (whitespace
@@ -456,11 +469,21 @@ object Main {
             rates, a.mixSalt, dflt.getOrElse(0.0)), Seq.empty[String])
         case (_, Some(f)) =>
           val (budgets, _) = mixFile(f, "--mix-budgets", _.toLongOption)
-          val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
-            kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt)
-          (df, stats.map(s =>
-            s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
-              s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""))
+          if (a.mixExact)
+            // exact mode does its own measuring pass; per-source stat
+            // lines would cost a second agg, so the manifest's per-shard
+            // token counts are the accounting surface here
+            (graft.mix.CorpusMix.sampleThenTruncate(
+              kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt,
+              headroom = a.mixHeadroom),
+              Seq.empty[String])
+          else {
+            val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
+              kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt)
+            (df, stats.map(s =>
+              s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
+                s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""))
+          }
         case _ => (kept, Seq.empty[String])
       }
       // the payload column the text was derived from has done its job —

@@ -144,4 +144,36 @@ object CorpusMix {
       .filter(col("_mix_cum") - col("_mix_tok") < budget)
       .drop("_mix_u60", "_mix_tok", "_mix_cum")
   }
+
+  /** The corpus-scale EXACT-budget recipe [[truncateToBudget]]'s doc
+    * prescribes, as one operator: measure token totals (one config-sized
+    * agg), rate-sample each source at min(1, (1+headroom)·budget/tokens) —
+    * the scan-riding filter — and truncate only the ~budget-sized survivor
+    * set, so the per-source window never sees more than (1+headroom)·budget
+    * tokens no matter how big the source is.
+    *
+    * The composition is EXACT, not approximate: threshold sampling keeps
+    * precisely the u60-smallest fraction of each source, and truncation
+    * takes the u60-ordered prefix — the same prefix order — so as long as
+    * the sample's token supply reaches the budget crossing row, the result
+    * is bit-identical to truncating the unsampled source (pinned by
+    * MixSpec). The only failure mode is undershoot (the sample's total
+    * falls short of the budget), with probability exp(−Θ(ε²·budget /
+    * max_doc_tokens)) by Chernoff — negligible at corpus scale for
+    * ε = 0.05; detectable by comparing the kept token sum to the budget.
+    */
+  def sampleThenTruncate(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, budgets: Map[String, Long],
+                         salt: String, headroom: Double = 0.05,
+                         tokensOf: Column => Column =
+                           graft.text.TextAnalysis.tokenCount): DataFrame = {
+    require(headroom >= 0.0, s"headroom must be >= 0, got $headroom")
+    val inflated = budgets.map { case (s, b) =>
+      val inf = math.ceil(b.toDouble * (1.0 + headroom))
+      s -> (if (inf >= Long.MaxValue.toDouble) Long.MaxValue else inf.toLong)
+    }
+    val (sampled, _) =
+      mixByTokenBudget(df, idCol, textCol, sourceCol, inflated, salt, tokensOf)
+    truncateToBudget(sampled, idCol, textCol, sourceCol, budgets, salt, tokensOf)
+  }
 }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * sizes; within a shard, rows are written in id order. Re-exporting the
   * same corpus reproduces byte-identical shard membership.
   *
-  * Scale shape: ONE exchange — a range repartition on the shard id (a
-  * bijection partition → shard, so every task writes exactly one shard
-  * and the write parallelism is nShards). Shard count is the operator's
+  * Scale shape: ONE exchange and ONE evaluation — a hash repartition on
+  * the shard id (all rows of a shard land in one partition, so each
+  * shard directory is exactly one file; range partitioning would make
+  * the task→shard map a bijection but pays a separate bounds-sampling
+  * job = a second full pass over the corpus). Shard count is the operator's
   * size dial: pick nShards ≈ corpus_bytes / target_shard_bytes (64-512 MB
   * targets keep both HDFS/S3 and loader-side streaming happy); the hash
   * balances shard sizes to O(1/sqrt(docs_per_shard)) relative skew. The
@@ -54,10 +56,16 @@ object ShardedExport {
     val sharded = df
       .withColumn("shard", shardOf(col(idCol), nShards))
       .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col(textCol)))
-    // range-partition on the shard id: values 0..n-1 into n partitions is
-    // a bijection (unlike hash repartition, which collides ~1/e of the
-    // slots), so partitionBy emits exactly one file per shard directory
-    sharded.repartitionByRange(nShards, col("shard"))
+    // HASH-partition on the shard id — NOT repartitionByRange: range
+    // partitioning computes its bounds with a separate sampling job that
+    // evaluates the whole child once more, i.e. a second full pass over
+    // the corpus at scale. Hash keeps one evaluation and still puts ALL
+    // rows of shard k in exactly one partition (the partition is a
+    // function of the value), so partitionBy still emits exactly one file
+    // per shard directory; the price is occupancy — ~1/e of the n write
+    // tasks draw no shard and a few draw 2-3 (bounded small), which IO
+    // parallelism absorbs where a duplicate compute pass would not.
+    sharded.repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
     // manifest stats from the WRITTEN data (what a loader will see), with

@@ -97,6 +97,17 @@ class EntrySpec extends SparkTestBase {
       "--mix-rates", "/r")).isLeft)                   // mix needs the export
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--para-dedup")).isLeft) // not replayable
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--mix-budgets", "/b", "--mix-exact"))
+      .exists(_.mixExact))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--mix-rates", "/r", "--mix-exact")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--mix-budgets", "/b", "--mix-exact",
+      "--mix-headroom", "0.5")).exists(_.mixHeadroom == 0.5))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--mix-budgets", "/b", "--mix-exact",
+      "--mix-headroom", "-1")).isLeft)
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

@@ -108,6 +108,26 @@ class MixSpec extends SparkTestBase {
     assert(keptIds === order.take(3).toSet)
   }
 
+  test("sample-then-truncate ≡ truncate: same-variate prefixes compose exactly") {
+    val df = corpus(2000) // 5 tokens/doc, 10k tokens per source
+    val budgets = Map("crawl_a" -> 2000L, "crawl_b" -> 500L)
+    val direct = CorpusMix.truncateToBudget(df, "url", "text", "source",
+      budgets, "mix-v1").select("url").as[String].collect().sorted.toSeq
+    // the scale recipe: sample at (1+ε)·budget/tokens first, truncate the
+    // survivor set — bit-identical to truncating the full source, because
+    // threshold sampling keeps exactly the u60-smallest fraction and the
+    // truncation prefix is the same u60 order
+    val recipe = CorpusMix.sampleThenTruncate(df, "url", "text", "source",
+      budgets, "mix-v1", headroom = 0.25)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(recipe === direct)
+    // and the pre-truncation window really does see only the sample: the
+    // 20% rate admits ~400 of 1000 crawl_a docs, not the source
+    val (sampled, _) = CorpusMix.mixByTokenBudget(df, "url", "text", "source",
+      budgets.map { case (s, b) => s -> (b * 5 / 4) }, "mix-v1")
+    assert(sampled.filter(col("source") === "crawl_a").count() < 600L)
+  }
+
   test("shard assignment: uniform, in-range, salt-independent of the mix") {
     val df = corpus(4000)
     val counts = df.select(ShardedExport.shardOf(col("url"), 8).as("shard"))
@@ -222,5 +242,26 @@ class MixSpec extends SparkTestBase {
     assert(blines.exists(l => l.contains(""""mix_source":"en"""") &&
       l.contains(""""rate":1.0""")))
     assert(spark.read.parquet(out3).count() === 11)
+    // --mix-exact: the export equals truncateToBudget over the same
+    // verdict-filtered corpus (out3 is exactly that corpus: keep-all budgets)
+    val exact = java.nio.file.Files.createTempFile("graft-exact", ".txt")
+    java.nio.file.Files.write(exact, "en 20\nde 100000\n".getBytes("UTF-8"))
+    val out4 = tmp("graft-export-exact")
+    // headroom 3.0: at SIX docs per source the default ε=0.05 undershoots
+    // with real probability (the Chernoff bound needs budget ≫ doc
+    // tokens); the big ε makes the pre-sample keep-all here, and the
+    // genuine sample∘truncate composition is pinned at n=2000 by the
+    // library spec above
+    Main.run(spark, Main.parse(Seq("--pages", pagesDir, "--state", state,
+      "--export-shards", out4, "--n-shards", "2",
+      "--mix-budgets", exact.toString, "--mix-exact",
+      "--mix-headroom", "3.0")).toOption.get)
+    val base = spark.read.parquet(out3).select("url", "lang", "text")
+    val want = CorpusMix.truncateToBudget(base, "url", "text", "lang",
+      Map("en" -> 20L, "de" -> 100000L), "mix-v1")
+      .select("url").as[String].collect().toSet
+    assert(want.nonEmpty && want.size < 11, s"budget must cut: $want")
+    assert(spark.read.parquet(out4)
+      .select("url").as[String].collect().toSet === want)
   }
 }
