@@ -64,7 +64,8 @@ object Main {
       mixCol: String = "lang",
       mixSalt: String = "mix-v1",
       mixExact: Boolean = false,
-      mixHeadroom: Double = 0.05)
+      mixHeadroom: Double = 0.05,
+      packLen: Option[Int] = None)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -177,6 +178,11 @@ object Main {
       case "--mix-headroom" :: v :: t =>
         v.toDoubleOption.filter(_ >= 0).toRight(s"--mix-headroom: not a non-negative number: $v")
           .flatMap(h => loop(t, acc.copy(mixHeadroom = h)))
+      // sequence packing: write a GPT-style fixed-length example plan
+      // (dir/_pack) and order shard rows so a sequential read IS the stream
+      case "--pack-len" :: v :: t =>
+        v.toIntOption.filter(_ >= 1).toRight(s"--pack-len: not a positive int: $v")
+          .flatMap(n => loop(t, acc.copy(packLen = Some(n))))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -220,6 +226,8 @@ object Main {
       Left("--mix-rates/--mix-budgets apply to the export: add --export-shards")
     else if (a.mixExact && a.mixBudgets.isEmpty)
       Left("--mix-exact needs --mix-budgets (rates have no budget to hit)")
+    else if (a.packLen.isDefined && a.exportShards.isEmpty)
+      Left("--pack-len applies to the export: add --export-shards")
     else Right(a)
 
   /** Read a mix config file: one `<source> <value>` per line (whitespace
@@ -462,11 +470,18 @@ object Main {
       def mixFile[V](p: String, what: String, parse: String => Option[V]) =
         readMixFile(p, what, parse)
           .fold(e => throw new IllegalArgumentException(e), identity)
-      val (mixed, mixLines) = (a.mixRates, a.mixBudgets) match {
+      val (mixed, mixLines, epochCol) = (a.mixRates, a.mixBudgets) match {
         case (Some(f), _) =>
           val (rates, dflt) = mixFile(f, "--mix-rates", _.toDoubleOption)
-          (graft.mix.CorpusMix.sampleBySourceRates(kept, a.idCol, a.mixCol,
-            rates, a.mixSalt, dflt.getOrElse(0.0)), Seq.empty[String])
+          val d = dflt.getOrElse(0.0)
+          // rates above 1 = up-sampling: repeat curated sources, each copy
+          // tagged with its epoch ordinal (sharded independently below)
+          if ((rates.valuesIterator ++ Iterator(d)).exists(_ > 1.0))
+            (graft.mix.CorpusMix.upsampleBySourceRates(kept, a.idCol, a.mixCol,
+              rates, a.mixSalt, d), Seq.empty[String], Some("epoch"))
+          else
+            (graft.mix.CorpusMix.sampleBySourceRates(kept, a.idCol, a.mixCol,
+              rates, a.mixSalt, d), Seq.empty[String], None)
         case (_, Some(f)) =>
           val (budgets, _) = mixFile(f, "--mix-budgets", _.toLongOption)
           if (a.mixExact)
@@ -476,15 +491,15 @@ object Main {
             (graft.mix.CorpusMix.sampleThenTruncate(
               kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt,
               headroom = a.mixHeadroom),
-              Seq.empty[String])
+              Seq.empty[String], None)
           else {
             val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
               kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt)
             (df, stats.map(s =>
               s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
-                s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""))
+                s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""), None)
           }
-        case _ => (kept, Seq.empty[String])
+        case _ => (kept, Seq.empty[String], None)
       }
       // the payload column the text was derived from has done its job —
       // training shards carry the text, not the crawl bytes
@@ -493,9 +508,19 @@ object Main {
         else a.extractFrom
       val out = binCol.fold(mixed)(mixed.drop(_))
       val stats = graft.mix.ShardedExport.exportShards(
-        spark, out, a.idCol, a.textCol, dir, a.nShards)
-      mixLines :+ (s"""{"exported":"$dir","n_shards":${a.nShards},""" +
-        s""""docs":${stats.map(_.docs).sum},"tokens":${stats.map(_.tokens).sum}}""")
+        spark, out, a.idCol, a.textCol, dir, a.nShards,
+        epochCol = epochCol, packOrder = a.packLen.isDefined)
+      // the pack plan reads back only (shard, id, n_tokens) from the
+      // written shards — the corpus is never evaluated a second time
+      val packLines = a.packLen.toSeq.map { len =>
+        val (examples, rows) = graft.mix.SequencePack.writePlan(
+          spark, dir, a.idCol, len, a.nShards, epochCol)
+        s"""{"packed":"$dir/_pack","seq_len":$len,""" +
+          s""""examples":$examples,"plan_rows":$rows}"""
+      }
+      mixLines ++ packLines :+
+        (s"""{"exported":"$dir","n_shards":${a.nShards},""" +
+          s""""docs":${stats.map(_.docs).sum},"tokens":${stats.map(_.tokens).sum}}""")
     }
     if (a.exportShards.isDefined) return exportRun(a.exportShards.get)
 

@@ -18,7 +18,9 @@ object PlanAudit {
     "q_signatures",      // fingerprint stage: projection-only, codegen'd
     "q_minhash_lsh_pairs", // explode + size-join + self-join shape
     "q_mix_sample",      // A15 rate sample: filter rides the scan, no exchange
-    "q_mix_truncate")    // A15 exact budget: ONE window exchange on source
+    "q_mix_truncate",    // A15 exact budget: ONE window exchange on source
+    "q_mix_upsample",    // A16 up-sample: generator rides the scan, no exchange
+    "q_pack_plan")       // A17 packing: ONE window exchange on shard, slim cols
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

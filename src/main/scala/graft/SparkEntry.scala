@@ -113,6 +113,9 @@ object SparkEntry {
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
   private val MixDefaultRate = 0.25
   private val MixBudgets = Map("src0" -> 700L, "src1" -> 100000L, "src2" -> 0L)
+  // up-sampling rates hit every regime: integer+fraction (2.5), exactly-1,
+  // pure fraction (0.25), and a zero default dropping the other 17 sources
+  private val MixUpRates = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
   private def mixU60Sql(salt: String): String =
     s"CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS UBIGINT)"
 
@@ -945,6 +948,31 @@ object SparkEntry {
     "q_mix_shard" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         graft.mix.ShardedExport.shardOf(col("doc_id"), 8).as("shard"))
+    }),
+
+    // A16 up-sampled mixing (beyond-reference, round 5): rates above 1
+    // repeat curated sources — copies = floor(rate) + [u60 < frac·2^60],
+    // one row per epoch ordinal via a scan-riding generator. DuckDB
+    // replays explode(sequence) as unnest(generate_series) over the same
+    // integer arithmetic; any divergent copy count is a row-count mismatch.
+    "q_mix_upsample" -> ((s, dir) => {
+      graft.mix.CorpusMix.upsampleBySourceRates(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", MixUpRates, salt = "mix-v1", defaultRate = 0.0)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // A17 sequence packing (beyond-reference, round 5): concatenate each
+    // shard's docs in u60-"pack" order and cut every 64 tokens — one row
+    // per (example, doc) overlap with the in-example position and the
+    // doc's token slice. Closed-form window + generator arithmetic;
+    // DuckDB replays it exactly (integer div both sides).
+    "q_pack_plan" -> ((s, dir) => {
+      graft.mix.SequencePack.plan(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", seqLen = 64, nShards = 4)
+        .select(col("shard"), col("example"), col("doc_id"),
+          col("pos"), col("tok_start"), col("tok_end"))
     })
   )
 
@@ -1602,7 +1630,52 @@ object SparkEntry {
     "q_mix_shard" ->
       s"""SELECT doc_id,
          |       CAST(${mixU60Sql("shard")} % 8 AS INTEGER) AS shard
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "q_mix_upsample" -> {
+      def cp(s: String) = graft.mix.CorpusMix.copiesFor(MixUpRates(s))
+      s"""WITH c AS (
+         |  SELECT doc_id, source,
+         |         CAST(CASE source WHEN 'src0' THEN ${cp("src0")._1}
+         |                          WHEN 'src1' THEN ${cp("src1")._1}
+         |                          WHEN 'src2' THEN ${cp("src2")._1}
+         |                          ELSE 0 END AS BIGINT)
+         |         + CASE WHEN ${mixU60Sql("mix-v1")} <
+         |             CASE source WHEN 'src0' THEN ${cp("src0")._2}
+         |                         WHEN 'src1' THEN ${cp("src1")._2}
+         |                         WHEN 'src2' THEN ${cp("src2")._2}
+         |                         ELSE 0 END
+         |           THEN 1 ELSE 0 END AS copies
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |       CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+         |FROM c""".stripMargin
+    },
+
+    "q_pack_plan" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(${mixU60Sql("shard")} % 4 AS INTEGER) AS shard,
+         |         ${mixU60Sql("pack")} AS u,
+         |         CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+         |              THEN 0 ELSE length(string_split(
+         |                trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+         |           AS BIGINT) AS tok
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, shard, tok,
+         |         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY u, doc_id)
+         |           AS BIGINT) AS cum
+         |  FROM t WHERE tok > 0),
+         |g AS (
+         |  SELECT shard, doc_id, tok, cum - tok AS off,
+         |         unnest(generate_series((cum - tok) // 64, (cum - 1) // 64)) AS example
+         |  FROM w)
+         |SELECT shard, CAST(example AS BIGINT) AS example, doc_id,
+         |       CAST(greatest(0, off - example * 64) AS BIGINT) AS pos,
+         |       CAST(greatest(0, example * 64 - off) AS BIGINT) AS tok_start,
+         |       CAST(least(tok, (example + 1) * 64 - off) AS BIGINT) AS tok_end
+         |FROM g""".stripMargin
   )
 
   // per-vector grain: DuckDB enumerates the query-vector id set; the sanity

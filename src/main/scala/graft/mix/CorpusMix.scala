@@ -145,6 +145,58 @@ object CorpusMix {
       .drop("_mix_u60", "_mix_tok", "_mix_cum")
   }
 
+  /** Split an UP-sampling rate into (whole epochs, fractional-epoch keep
+    * threshold): a document sees `whole` guaranteed epochs plus one more
+    * iff u60(id, salt) < thr — i.e. copies(id) = whole + [u60 < thr],
+    * E[copies] = rate. Same integer-domain arithmetic as [[thresholdFor]],
+    * so both engines land on the same copy count for every id.
+    */
+  def copiesFor(rate: Double): (Long, Long) = {
+    require(rate >= 0.0 && rate <= 4096.0,
+      s"up-sampling rate must be in [0, 4096], got $rate")
+    val whole = math.floor(rate).toLong
+    (whole, thresholdFor(rate - whole))
+  }
+
+  /** UP-sampled mixing — rates may EXCEED 1: the standard data-recipe move
+    * of repeating curated sources (e.g. an encyclopedia at 3.4 epochs)
+    * while the crawl stays at ≤ 1. Each row is emitted copies(id) times
+    * with an `epochCol` ordinal 0..copies-1, where copies = floor(rate) +
+    * [u60(id, salt) < floor(frac(rate)·2^60)] — deterministic, so re-runs
+    * reproduce the exact multiset and DuckDB replays it
+    * (unnest(generate_series(0, copies-1)) ≡ Spark's explode(sequence)).
+    *
+    * Properties (MixSpec-pinned): for rate ≤ 1 this degenerates to
+    * [[sampleBySourceRates]] plus a constant epoch-0 column (same keep
+    * set — the fractional epoch IS the sample); raising a rate only ADDS
+    * (id, epoch) pairs (the fractional keep-set nests by the threshold
+    * order, the whole part appends ordinals), so recipe iteration is
+    * monotone, never a reshuffle of what a smaller rate already chose.
+    *
+    * Scale shape: a per-row generator riding the scan — zero exchange,
+    * zero join; the copies expression ships as plan literals like the
+    * rate filter. Downstream, shard assignment must key on (id, epoch)
+    * so repeats spread across shards (ShardedExport handles this when
+    * given the epoch column).
+    */
+  def upsampleBySourceRates(df: DataFrame, idCol: String, sourceCol: String,
+                            rates: Map[String, Double], salt: String,
+                            defaultRate: Double = 0.0,
+                            epochCol: String = "epoch"): DataFrame = {
+    val (dWhole, dThr) = copiesFor(defaultRate)
+    val whole = rates.foldLeft(lit(dWhole)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(copiesFor(r)._1)).otherwise(acc)
+    }
+    val thr = rates.foldLeft(lit(dThr)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(copiesFor(r)._2)).otherwise(acc)
+    }
+    val copies =
+      whole + when(u60(col(idCol), salt) < thr, lit(1L)).otherwise(lit(0L))
+    // explode(null) drops the row, so copies == 0 vanishes without a filter
+    df.withColumn(epochCol,
+      explode(when(copies >= lit(1L), sequence(lit(0L), copies - lit(1L)))))
+  }
+
   /** The corpus-scale EXACT-budget recipe [[truncateToBudget]]'s doc
     * prescribes, as one operator: measure token totals (one config-sized
     * agg), rate-sample each source at min(1, (1+headroom)·budget/tokens) —

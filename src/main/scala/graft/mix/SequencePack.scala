@@ -1,0 +1,130 @@
+package graft.mix
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step between a sharded corpus and a training
+  * loader: concatenate each shard's documents (in a deterministic,
+  * decorrelated order) into one token stream and cut it into fixed-length
+  * examples of `seqLen` tokens, documents splitting across example
+  * boundaries GPT-style. The output is a PLAN — one row per
+  * (example, document) overlap saying which token slice of which doc
+  * lands where — not re-materialized text: the loader streams the shard
+  * file in order, concatenates, and cuts, or seeks into example k via
+  * the plan.
+  *
+  * Determinism contract: the pack order within a shard is
+  * u60(id[#epoch], "pack") — a salted uniform shuffle, so (a) it is
+  * reproducible bit-for-bit across runs/engines, (b) neighbouring
+  * documents in an example are decorrelated (consecutive crawl urls of
+  * one site never pack adjacently by construction), and (c) it is
+  * independent of the shard-assignment variate (different salt).
+  *
+  * Closed-form arithmetic (DuckDB-replayable, q_pack_plan): with
+  * off = running token sum before the doc and cum = off + tok, the doc
+  * overlaps examples floor(off/L) .. floor((cum-1)/L); in example e it
+  * occupies in-example position max(0, off − e·L) with its token slice
+  * [max(0, e·L − off), min(tok, (e+1)·L − off)). Every example except
+  * each shard's last is exactly L tokens with zero padding — the packing
+  * is waste-free by construction.
+  *
+  * Scale shape: ONE exchange on the shard key for the window (the same
+  * key the export already shuffles on), then a per-row generator for the
+  * example spans. [[planFromShards]] runs AFTER the shards are written
+  * and reads back only (shard, id, n_tokens) — column pruning keeps the
+  * text out of the plan pass entirely, the same trick the export
+  * manifest uses.
+  *
+  * Reference analog: none — loader-shape layout is what the
+  * training-data payload adds (SURVEY §2 beyond-reference rows, A17).
+  */
+object SequencePack {
+
+  /** The identity a repeated corpus packs by: id, or id#epoch when the
+    * mix up-samples (each copy packs — and shards — independently).
+    */
+  def packKey(id: Column, epoch: Option[Column]): Column =
+    epoch.fold(id.cast("string"))(e =>
+      concat(id.cast("string"), lit("#"), e.cast("string")))
+
+  /** Pack-order variate: u60 of the pack key under the "pack" salt. */
+  def packOrderOf(id: Column, epoch: Option[Column]): Column =
+    CorpusMix.u60(packKey(id, epoch), "pack")
+
+  /** The plan over a frame that already carries a shard column and a
+    * token count (no text touched). Zero-token docs contribute nothing
+    * to the stream and are dropped from the plan.
+    */
+  def planWithTokens(df: DataFrame, idCol: String, tokCol: String,
+                     seqLen: Int, shardCol: String = "shard",
+                     epochCol: Option[String] = None): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val epoch = epochCol.map(col)
+    val ord = Seq(packOrderOf(col(idCol), epoch).asc, col(idCol).asc) ++
+      epoch.map(_.asc)
+    val w = Window.partitionBy(col(shardCol)).orderBy(ord: _*)
+    val L = lit(seqLen.toLong)
+    val outCols =
+      Seq(col(shardCol), col("example"), col(idCol)) ++ epoch ++ Seq(
+        greatest(lit(0L), col("_pk_off") - col("example") * L).as("pos"),
+        greatest(lit(0L), col("example") * L - col("_pk_off")).as("tok_start"),
+        least(col("_pk_tok"), (col("example") + lit(1L)) * L - col("_pk_off"))
+          .as("tok_end"))
+    df.withColumn("_pk_tok", col(tokCol).cast("long"))
+      .filter(col("_pk_tok") > 0)
+      .withColumn("_pk_cum", sum(col("_pk_tok")).over(w))
+      .withColumn("_pk_off", col("_pk_cum") - col("_pk_tok"))
+      // integer div (not floor of a double division): offsets are exact longs
+      .withColumn("example", explode(sequence(
+        expr(s"_pk_off div ${seqLen}L"),
+        expr(s"(_pk_cum - 1) div ${seqLen}L"))))
+      .select(outCols: _*)
+  }
+
+  /** The plan straight from a corpus frame: assigns shards and counts
+    * tokens first (the oracle-query entry point; the CLI path uses
+    * [[planFromShards]] so the corpus is only evaluated once).
+    */
+  def plan(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
+           nShards: Int, epochCol: Option[String] = None,
+           tokensOf: Column => Column =
+             graft.text.TextAnalysis.tokenCount): DataFrame = {
+    val key = packKey(col(idCol), epochCol.map(col))
+    planWithTokens(
+      df.withColumn("shard", ShardedExport.shardOf(key, nShards))
+        .withColumn("_pk_tok_in", tokensOf(col(textCol))),
+      idCol, "_pk_tok_in", seqLen, "shard", epochCol)
+  }
+
+  /** The plan from an already-written shard directory: reads back ONLY
+    * (shard, id[, epoch], n_tokens) — the text column never loads — and
+    * recomputes the same pack order the export wrote the rows in, so the
+    * plan's example stream equals a sequential read of each shard file.
+    */
+  def planFromShards(spark: SparkSession, dir: String, idCol: String,
+                     seqLen: Int, epochCol: Option[String] = None): DataFrame = {
+    val cols = Seq(col("shard").cast("int").as("shard"), col(idCol)) ++
+      epochCol.map(col) ++ Seq(col("n_tokens"))
+    planWithTokens(spark.read.parquet(dir).select(cols: _*),
+      idCol, "n_tokens", seqLen, "shard", epochCol)
+  }
+
+  /** Write the plan next to the shards (`dir/_pack`, one file per shard,
+    * (shard, example) order — the `_` prefix keeps corpus readers of
+    * `dir` from seeing it) and return (examples, planRows).
+    */
+  def writePlan(spark: SparkSession, dir: String, idCol: String,
+                seqLen: Int, nShards: Int,
+                epochCol: Option[String] = None): (Long, Long) = {
+    val plan = planFromShards(spark, dir, idCol, seqLen, epochCol)
+    plan.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("example"), col("pos"))
+      .write.mode("overwrite").parquet(s"$dir/_pack")
+    val back = spark.read.parquet(s"$dir/_pack")
+    val agg = back.agg(
+      countDistinct(col("shard"), col("example")).as("examples"),
+      count(lit(1)).as("rows")).collect()(0)
+    (agg.getLong(0), agg.getLong(1))
+  }
+}

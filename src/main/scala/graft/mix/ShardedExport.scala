@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * Determinism contract: a document's shard depends only on (id,
   * nShards) — [[shardOf]] is u60-based, so the assignment is uniform,
   * engine-replayable (DuckDB oracle), and stable across runs and cluster
-  * sizes; within a shard, rows are written in id order. Re-exporting the
-  * same corpus reproduces byte-identical shard membership.
+  * sizes; within a shard, rows are written in id order (pack-order when
+  * `packOrder` is set — see [[SequencePack]]; up-sampled corpora shard
+  * and order by (id, epoch)). Re-exporting the same corpus reproduces
+  * byte-identical shard membership.
   *
   * Scale shape: ONE exchange and ONE evaluation — a hash repartition on
   * the shard id (all rows of a shard land in one partition, so each
@@ -52,9 +54,22 @@ object ShardedExport {
     * as much as the export itself.
     */
   def exportShards(spark: SparkSession, df: DataFrame, idCol: String,
-                   textCol: String, dir: String, nShards: Int): Seq[ShardStat] = {
+                   textCol: String, dir: String, nShards: Int,
+                   epochCol: Option[String] = None,
+                   packOrder: Boolean = false): Seq[ShardStat] = {
+    // up-sampled corpora shard by (id, epoch) so a document's repeat
+    // copies spread across shards instead of stacking in one
+    val key = SequencePack.packKey(col(idCol), epochCol.map(col))
+    // pack mode writes rows in the pack-order variate instead of id order,
+    // so a sequential read of the shard file IS the example token stream
+    // SequencePack's plan describes (the sort keys need not be output
+    // columns; the variate is recomputable from the written ids)
+    val order: Seq[Column] =
+      (if (packOrder) Seq(SequencePack.packOrderOf(col(idCol), epochCol.map(col)))
+       else Seq.empty[Column]) ++
+        Seq(col(idCol)) ++ epochCol.map(col)
     val sharded = df
-      .withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("shard", shardOf(key, nShards))
       .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col(textCol)))
     // HASH-partition on the shard id — NOT repartitionByRange: range
     // partitioning computes its bounds with a separate sampling job that
@@ -66,7 +81,7 @@ object ShardedExport {
     // tasks draw no shard and a few draw 2-3 (bounded small), which IO
     // parallelism absorbs where a duplicate compute pass would not.
     sharded.repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
+      .sortWithinPartitions(col("shard") +: order: _*)
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
     // manifest stats from the WRITTEN data (what a loader will see), with
     // the scan pruned to the two stat columns

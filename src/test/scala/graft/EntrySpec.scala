@@ -108,6 +108,13 @@ class EntrySpec extends SparkTestBase {
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--mix-budgets", "/b", "--mix-exact",
       "--mix-headroom", "-1")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--pack-len", "8192"))
+      .exists(_.packLen.contains(8192)))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--pack-len", "8192")).isLeft)                   // packing needs the export
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--pack-len", "0")).isLeft)
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

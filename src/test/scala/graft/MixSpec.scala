@@ -128,6 +128,48 @@ class MixSpec extends SparkTestBase {
     assert(sampled.filter(col("source") === "crawl_a").count() < 600L)
   }
 
+  test("up-sampling: copies = floor(rate) + fractional epoch, deterministic") {
+    val df = corpus(1000) // 500 per source
+    val up = CorpusMix.upsampleBySourceRates(df, "url", "source",
+      Map("crawl_a" -> 2.5, "crawl_b" -> 0.5), "mix-v1")
+    val rows = up.select("url", "source", "epoch")
+      .as[(String, String, Long)].collect()
+    // per-doc epochs are contiguous ordinals 0..copies-1
+    rows.groupBy(_._1).values.foreach { spans =>
+      assert(spans.map(_._3).sorted.toSeq === (0L until spans.length).toSeq)
+    }
+    // crawl_a docs appear exactly 2 or 3 times, total ~2.5x (3σ binomial)
+    val aCounts = rows.filter(_._2 == "crawl_a").groupBy(_._1).map(_._2.length)
+    assert(aCounts.forall(c => c == 2 || c == 3))
+    assert(math.abs(rows.count(_._2 == "crawl_a") - 1250) < 3 * math.sqrt(125.0))
+    // crawl_b at 0.5: plain sampling with epoch 0
+    assert(rows.filter(_._2 == "crawl_b").forall(_._3 == 0L))
+    // bit-for-bit reproducible over a reshuffled input
+    val again = CorpusMix.upsampleBySourceRates(df.repartition(7), "url",
+      "source", Map("crawl_a" -> 2.5, "crawl_b" -> 0.5), "mix-v1")
+      .select("url", "epoch").as[(String, Long)].collect().sorted.toSeq
+    assert(again === rows.map(r => (r._1, r._3)).sorted.toSeq)
+  }
+
+  test("up-sampling degenerates to sampling at rate <= 1; recipes nest") {
+    val df = corpus(1000)
+    val rates = Map("crawl_a" -> 0.4, "crawl_b" -> 0.7)
+    val plain = CorpusMix.sampleBySourceRates(df, "url", "source", rates,
+      "mix-v1").select("url").as[String].collect().toSet
+    val up = CorpusMix.upsampleBySourceRates(df, "url", "source", rates,
+      "mix-v1")
+    assert(up.select("epoch").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(up.select("url").as[String].collect().toSet === plain,
+      "the fractional epoch IS the plain sample at the same rate")
+    // raising a rate only ADDS (id, epoch) pairs — recipe iteration is
+    // monotone across both the fractional and the whole part
+    def pairs(r: Double) = CorpusMix.upsampleBySourceRates(df, "url",
+      "source", Map("crawl_a" -> r, "crawl_b" -> r), "mix-v1")
+      .select("url", "epoch").as[(String, Long)].collect().toSet
+    val p1 = pairs(0.75); val p2 = pairs(2.25); val p3 = pairs(2.75)
+    assert(p1.subsetOf(p2) && p2.subsetOf(p3))
+  }
+
   test("shard assignment: uniform, in-range, salt-independent of the mix") {
     val df = corpus(4000)
     val counts = df.select(ShardedExport.shardOf(col("url"), 8).as("shard"))
@@ -263,5 +305,23 @@ class MixSpec extends SparkTestBase {
     assert(want.nonEmpty && want.size < 11, s"budget must cut: $want")
     assert(spark.read.parquet(out4)
       .select("url").as[String].collect().toSet === want)
+    // up-sampled + packed export: en at 2.0 epochs, de unlisted (rate 0) —
+    // 6 en survivors × exactly 2 copies, epoch column written, shard key
+    // spreads copies, pack plan lands under _pack (invisible to corpus reads)
+    val uprates = java.nio.file.Files.createTempFile("graft-uprates", ".txt")
+    java.nio.file.Files.write(uprates, "en 2.0\n".getBytes("UTF-8"))
+    val out5 = tmp("graft-export-up")
+    val ulines = Main.run(spark, Main.parse(Seq("--pages", pagesDir,
+      "--state", state, "--export-shards", out5, "--n-shards", "2",
+      "--mix-rates", uprates.toString, "--pack-len", "8")).toOption.get)
+    val up = spark.read.parquet(out5)
+    assert(up.count() === 12L)
+    assert(up.filter(col("lang") === "de").count() === 0L)
+    assert(up.groupBy("url").count().as[(String, Long)].collect()
+      .forall(_._2 == 2L), "every en doc appears in exactly 2 epochs")
+    assert(ulines.exists(l => l.contains(""""seq_len":8""") &&
+      l.contains(""""examples":""")))
+    assert(spark.read.parquet(s"$out5/_pack").count() >= 1L)
+    assert(!up.columns.contains("example"), "_pack must not leak into the corpus")
   }
 }
