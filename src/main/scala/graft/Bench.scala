@@ -458,6 +458,17 @@ object Bench {
     }
     val exportLine = ("mix_export", exportSec, exportRuns)
 
+    // round-5g sequence packing (A17): the loader-layout pass over the
+    // written export — reads back only (shard, url, n_tokens), one window
+    // exchange on shard, span generator; text never loads (the plan cost
+    // is independent of document size by construction)
+    val (packSec, packRuns) = medianTimed {
+      val (examples, rows) = graft.mix.SequencePack.writePlan(
+        spark, s"$tmp/export", "url", seqLen = 2048, nShards = 32)
+      require(examples > 0 && rows >= examples, "pack_plan planned nothing")
+    }
+    val packLine = ("pack_plan", packSec, packRuns)
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
@@ -466,7 +477,8 @@ object Bench {
       clusterResults.map { case (n, sec, _) => n -> sec } :+
       ("warc_ingest" -> warcSec) :+
       ("clean_battery" -> cleanSec) :+
-      ("mix_export" -> exportSec)
+      ("mix_export" -> exportSec) :+
+      ("pack_plan" -> packSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
@@ -476,7 +488,7 @@ object Bench {
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
       s""""skew":${arr(skewRuns)},""" +
-      (resumeResults ++ clusterResults :+ warcLine :+ cleanLine :+ exportLine)
+      (resumeResults ++ clusterResults :+ warcLine :+ cleanLine :+ exportLine :+ packLine)
         .map { case (n, _, runs) => "\"" + n + "\":" + arr(runs) }
         .mkString(",") + "}," +
       s""""skew_max_task_records":$maxSkewRecords,""" +
