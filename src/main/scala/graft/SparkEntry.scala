@@ -962,6 +962,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
+    // A18 per-document rate sampling (beyond-reference, round 5): each doc
+    // keeps with ITS OWN probability — here the oracled quality score as a
+    // permille — via (u60 >> 30)·1000 < permille·2^30, pure integer
+    // arithmetic on a 30-bit slice of the variate (exact at 0 and 1000).
+    // The permille derivation mirrors q_quality's oracled arithmetic.
+    "q_mix_bydoc" -> ((s, dir) => {
+      val mille = least(greatest(round(
+          graft.text.TextAnalysis.qualityScore(col("text")) * 1000, 0),
+        lit(0.0)), lit(1000.0)).cast("long")
+      graft.mix.CorpusMix.sampleByRatePerMille(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .withColumn("rate_mille", mille),
+          "doc_id", col("rate_mille"), "mix-v1")
+        .select(col("doc_id"), col("rate_mille"))
+    }),
+
     // A17 sequence packing (beyond-reference, round 5): concatenate each
     // shard's docs in u60-"pack" order and cut every 64 tokens — one row
     // per (example, doc) overlap with the in-example position and the
@@ -1631,6 +1647,35 @@ object SparkEntry {
       s"""SELECT doc_id,
          |       CAST(${mixU60Sql("shard")} % 8 AS INTEGER) AS shard
          |FROM documents""".stripMargin,
+
+    "q_mix_bydoc" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+         |         THEN 0 ELSE length(string_split(
+         |           trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+         |         THEN 0 ELSE length(list_distinct(string_split(
+         |           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))) END AS BIGINT)
+         |      AS n_distinct,
+         |    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+         |         AS BIGINT) AS n_punct
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(least(greatest(round(
+         |           round(least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * 0.4
+         |             + (CASE WHEN n_tokens = 0 THEN 0.0
+         |                     ELSE CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) END) * 0.5
+         |             + (1.0 - (CASE WHEN n_tokens = 0 THEN 0.0
+         |                     ELSE least(CAST(n_punct AS DOUBLE)
+         |                       / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0) END)) * 0.1, 6)
+         |           * 1000), 0), 1000) AS BIGINT) AS rate_mille
+         |  FROM f)
+         |SELECT doc_id, rate_mille FROM q
+         |WHERE (${mixU60Sql("mix-v1")} >> 30) * 1000
+         |      < CAST(rate_mille AS UBIGINT) * 1073741824""".stripMargin,
 
     "q_mix_upsample" -> {
       def cp(s: String) = graft.mix.CorpusMix.copiesFor(MixUpRates(s))

@@ -197,6 +197,28 @@ object CorpusMix {
       explode(when(copies >= lit(1L), sequence(lit(0L), copies - lit(1L)))))
   }
 
+  /** Per-DOCUMENT rate sampling — the quality-weighted keep (CCNet /
+    * FineWeb style): each row carries its own keep probability as an
+    * integer PERMILLE column in [0, 1000] (derived upstream from a quality
+    * score, a perplexity bucket, a site reputation — any oracled per-row
+    * signal), and keeps iff
+    *
+    *   (u60(id, salt) >> 30) * 1000  <  rateMille << 30
+    *
+    * — pure integer arithmetic on a 30-bit slice of the variate, so the
+    * decision is engine-replayable with zero float ops (P(keep) is within
+    * 2^-30 of rateMille/1000, and EXACT at 0 and 1000: permille 0 keeps
+    * nothing, 1000 keeps everything). Same scale shape as
+    * [[sampleBySourceRates]]: a per-row filter riding the scan, zero
+    * exchange; the permille expression is the caller's plan, typically
+    * also scan-riding.
+    */
+  def sampleByRatePerMille(df: DataFrame, idCol: String, rateMille: Column,
+                           salt: String): DataFrame =
+    df.filter(
+      shiftright(u60(col(idCol), salt), 30) * lit(1000L) <
+        rateMille.cast("long") * lit(1L << 30))
+
   /** The corpus-scale EXACT-budget recipe [[truncateToBudget]]'s doc
     * prescribes, as one operator: measure token totals (one config-sized
     * agg), rate-sample each source at min(1, (1+headroom)·budget/tokens) —

@@ -170,6 +170,31 @@ class MixSpec extends SparkTestBase {
     assert(p1.subsetOf(p2) && p2.subsetOf(p3))
   }
 
+  test("per-document permille sampling: endpoint-exact, near-rate, monotone") {
+    val df = spark.range(22000).select(
+      concat(lit("u"), col("id")).as("url"),
+      (col("id") % 11 * 100).cast("long").as("mille")) // 0,100,…,1000 × 2000
+    val kept = CorpusMix.sampleByRatePerMille(df, "url", col("mille"), "mix-v1")
+    val byMille = kept.groupBy("mille").count().as[(Long, Long)].collect().toMap
+    assert(!byMille.contains(0L), "permille 0 keeps nothing, exactly")
+    assert(byMille(1000L) === 2000L, "permille 1000 keeps everything, exactly")
+    Seq(300L, 700L).foreach { m =>
+      val p = m / 1000.0
+      assert(math.abs(byMille(m) - 2000 * p) < 4 * math.sqrt(2000 * p * (1 - p)),
+        s"permille $m kept ${byMille(m)}")
+    }
+    // monotone per document: a doc kept at permille r stays kept at r' > r
+    def at(m: Long) = CorpusMix.sampleByRatePerMille(
+      df.withColumn("mille", lit(m)), "url", col("mille"), "mix-v1")
+      .select("url").as[String].collect().toSet
+    val k3 = at(300L); val k7 = at(700L)
+    assert(k3.subsetOf(k7))
+    // and deterministic under reshuffle
+    assert(CorpusMix.sampleByRatePerMille(df.repartition(9), "url",
+        col("mille"), "mix-v1").select("url").as[String].collect().sorted.toSeq
+      === kept.select("url").as[String].collect().sorted.toSeq)
+  }
+
   test("shard assignment: uniform, in-range, salt-independent of the mix") {
     val df = corpus(4000)
     val counts = df.select(ShardedExport.shardOf(col("url"), 8).as("shard"))
