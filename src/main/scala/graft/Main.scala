@@ -64,7 +64,7 @@ object Main {
       mixCol: String = "lang",
       mixSalt: String = "mix-v1",
       mixExact: Boolean = false,
-      mixHeadroom: Double = 0.05,
+      mixHeadroom: Option[Double] = None,
       packLen: Option[Int] = None)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
@@ -177,7 +177,7 @@ object Main {
       // is exp(−Θ(ε²·budget/max_doc_tokens)) — raise it for small sources
       case "--mix-headroom" :: v :: t =>
         v.toDoubleOption.filter(_ >= 0).toRight(s"--mix-headroom: not a non-negative number: $v")
-          .flatMap(h => loop(t, acc.copy(mixHeadroom = h)))
+          .flatMap(h => loop(t, acc.copy(mixHeadroom = Some(h))))
       // sequence packing: write a GPT-style fixed-length example plan
       // (dir/_pack) and order shard rows so a sequential read IS the stream
       case "--pack-len" :: v :: t =>
@@ -226,6 +226,8 @@ object Main {
       Left("--mix-rates/--mix-budgets apply to the export: add --export-shards")
     else if (a.mixExact && a.mixBudgets.isEmpty)
       Left("--mix-exact needs --mix-budgets (rates have no budget to hit)")
+    else if (a.mixHeadroom.isDefined && !a.mixExact)
+      Left("--mix-headroom only affects --mix-exact's pre-sample: add --mix-exact")
     else if (a.packLen.isDefined && a.exportShards.isEmpty)
       Left("--pack-len applies to the export: add --export-shards")
     else Right(a)
@@ -490,7 +492,7 @@ object Main {
             // token counts are the accounting surface here
             (graft.mix.CorpusMix.sampleThenTruncate(
               kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt,
-              headroom = a.mixHeadroom),
+              headroom = a.mixHeadroom.getOrElse(0.05)),
               Seq.empty[String], None)
           else {
             val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(

@@ -234,20 +234,46 @@ object CorpusMix {
     * MixSpec). The only failure mode is undershoot (the sample's total
     * falls short of the budget), with probability exp(−Θ(ε²·budget /
     * max_doc_tokens)) by Chernoff — negligible at corpus scale for
-    * ε = 0.05; detectable by comparing the kept token sum to the budget.
+    * ε = 0.05; `failOnUndershoot` (default ON) DETECTS it for the price
+    * of one aggregation over the ~budget-sized result and fails the job
+    * loudly — a silent short mix masquerading as "exact" is worse than a
+    * re-run with a bigger ε.
     */
   def sampleThenTruncate(df: DataFrame, idCol: String, textCol: String,
                          sourceCol: String, budgets: Map[String, Long],
                          salt: String, headroom: Double = 0.05,
                          tokensOf: Column => Column =
-                           graft.text.TextAnalysis.tokenCount): DataFrame = {
+                           graft.text.TextAnalysis.tokenCount,
+                         failOnUndershoot: Boolean = true): DataFrame = {
     require(headroom >= 0.0, s"headroom must be >= 0, got $headroom")
     val inflated = budgets.map { case (s, b) =>
       val inf = math.ceil(b.toDouble * (1.0 + headroom))
       s -> (if (inf >= Long.MaxValue.toDouble) Long.MaxValue else inf.toLong)
     }
-    val (sampled, _) =
+    val (sampled, stats) =
       mixByTokenBudget(df, idCol, textCol, sourceCol, inflated, salt, tokensOf)
-    truncateToBudget(sampled, idCol, textCol, sourceCol, budgets, salt, tokensOf)
+    val out =
+      truncateToBudget(sampled, idCol, textCol, sourceCol, budgets, salt, tokensOf)
+    if (failOnUndershoot) {
+      // undershoot ⟺ the pre-sample actually CUT the source (rate < 1: the
+      // unsampled remainder could have supplied more) AND the kept tokens
+      // fall short of the budget (the crossing row never existed). A source
+      // merely smaller than its budget keeps rate = 1 and passes.
+      val rates = stats.map(s => s.source -> s.rate).toMap
+      val keptTok = out
+        .groupBy(col(sourceCol).cast("string").as("source"))
+        .agg(sum(tokensOf(col(textCol))).as("tokens"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val short = budgets.toSeq.sortBy(_._1).collect {
+        case (src, b) if rates.getOrElse(src, 0.0) < 1.0 &&
+            keptTok.getOrElse(src, 0L) < b =>
+          s"$src (kept ${keptTok.getOrElse(src, 0L)} of $b)"
+      }
+      if (short.nonEmpty) throw new IllegalStateException(
+        "exact-budget undershoot: the pre-truncation sample ran out of " +
+          s"tokens for ${short.mkString(", ")} — raise the headroom (ε) " +
+          "and re-run; the result would NOT equal truncating the full source")
+    }
+    out
   }
 }

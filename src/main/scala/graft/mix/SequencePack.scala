@@ -52,6 +52,16 @@ object SequencePack {
   def packOrderOf(id: Column, epoch: Option[Column]): Column =
     CorpusMix.u60(packKey(id, epoch), "pack")
 
+  /** THE pack ordering — the one sort-key list the export write and the
+    * plan window must share byte-for-byte (the loader contract is
+    * "sequential file read ≡ plan stream"; two drifting copies of this
+    * list would break it silently). Variate first, then the total
+    * (id, epoch) tiebreak.
+    */
+  def packOrdering(idCol: String, epochCol: Option[String]): Seq[Column] =
+    Seq(packOrderOf(col(idCol), epochCol.map(col)), col(idCol)) ++
+      epochCol.map(col)
+
   /** The plan over a frame that already carries a shard column and a
     * token count (no text touched). Zero-token docs contribute nothing
     * to the stream and are dropped from the plan.
@@ -61,9 +71,8 @@ object SequencePack {
                      epochCol: Option[String] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val epoch = epochCol.map(col)
-    val ord = Seq(packOrderOf(col(idCol), epoch).asc, col(idCol).asc) ++
-      epoch.map(_.asc)
-    val w = Window.partitionBy(col(shardCol)).orderBy(ord: _*)
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(packOrdering(idCol, epochCol).map(_.asc): _*)
     val L = lit(seqLen.toLong)
     val outCols =
       Seq(col(shardCol), col("example"), col(idCol)) ++ epoch ++ Seq(
@@ -113,10 +122,32 @@ object SequencePack {
   /** Write the plan next to the shards (`dir/_pack`, one file per shard,
     * (shard, example) order — the `_` prefix keeps corpus readers of
     * `dir` from seeing it) and return (examples, planRows).
+    *
+    * Guards the loader contract: the export manifest must record
+    * `row_order: pack` (ShardedExport writes it), else the persisted plan
+    * would describe a token stream the shard files are NOT in — seeking
+    * via it would read wrong slices. Pass `requirePackOrder = false` only
+    * for a plan consumed purely by id-join (never by file position).
     */
   def writePlan(spark: SparkSession, dir: String, idCol: String,
                 seqLen: Int, nShards: Int,
-                epochCol: Option[String] = None): (Long, Long) = {
+                epochCol: Option[String] = None,
+                requirePackOrder: Boolean = true): (Long, Long) = {
+    if (requirePackOrder) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val manifest =
+        if (fs.exists(path)) {
+          val in = fs.open(path)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        } else ""
+      require(manifest.contains("\"row_order\": \"pack\""),
+        s"$dir was not exported in pack order (manifest row_order) — " +
+          "export with packOrder=true (CLI: --pack-len sets it) before " +
+          "writing a seekable pack plan, or pass requirePackOrder=false " +
+          "for a join-by-id-only plan")
+    }
     val plan = planFromShards(spark, dir, idCol, seqLen, epochCol)
     plan.repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("example"), col("pos"))

@@ -60,14 +60,13 @@ object ShardedExport {
     // up-sampled corpora shard by (id, epoch) so a document's repeat
     // copies spread across shards instead of stacking in one
     val key = SequencePack.packKey(col(idCol), epochCol.map(col))
-    // pack mode writes rows in the pack-order variate instead of id order,
-    // so a sequential read of the shard file IS the example token stream
-    // SequencePack's plan describes (the sort keys need not be output
+    // pack mode writes rows in SequencePack.packOrdering — the ONE shared
+    // sort-key list — so a sequential read of the shard file IS the example
+    // token stream the plan describes (the sort keys need not be output
     // columns; the variate is recomputable from the written ids)
     val order: Seq[Column] =
-      (if (packOrder) Seq(SequencePack.packOrderOf(col(idCol), epochCol.map(col)))
-       else Seq.empty[Column]) ++
-        Seq(col(idCol)) ++ epochCol.map(col)
+      if (packOrder) SequencePack.packOrdering(idCol, epochCol)
+      else Seq(col(idCol)) ++ epochCol.map(col)
     val sharded = df
       .withColumn("shard", shardOf(key, nShards))
       .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col(textCol)))
@@ -94,10 +93,16 @@ object ShardedExport {
     val body = stats.map(s =>
         s"""    {"shard":${s.shard},"docs":${s.docs},"tokens":${s.tokens}}""")
       .mkString("[\n", ",\n", "\n  ]")
+    // row_order / epoch_keyed are LINEAGE a consumer must check before
+    // trusting file positions: "pack" = sequential read is the example
+    // stream (SequencePack.writePlan enforces it); epoch_keyed = doc
+    // counts include up-sampled repeat copies, rows carry their ordinal
     val manifest =
       s"""{
          |  "n_shards": $nShards,
          |  "id_col": "$idCol",
+         |  "row_order": "${if (packOrder) "pack" else "id"}",
+         |  "epoch_keyed": ${epochCol.isDefined},
          |  "docs": ${stats.map(_.docs).sum},
          |  "tokens": ${stats.map(_.tokens).sum},
          |  "shards": $body

@@ -104,10 +104,13 @@ class EntrySpec extends SparkTestBase {
       "--export-shards", "/out", "--mix-rates", "/r", "--mix-exact")).isLeft)
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--mix-budgets", "/b", "--mix-exact",
-      "--mix-headroom", "0.5")).exists(_.mixHeadroom == 0.5))
+      "--mix-headroom", "0.5")).exists(_.mixHeadroom.contains(0.5)))
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--mix-budgets", "/b", "--mix-exact",
       "--mix-headroom", "-1")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--mix-budgets", "/b",
+      "--mix-headroom", "0.5")).isLeft)  // headroom is --mix-exact's knob
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--pack-len", "8192"))
       .exists(_.packLen.contains(8192)))

@@ -128,6 +128,34 @@ class MixSpec extends SparkTestBase {
     assert(sampled.filter(col("source") === "crawl_a").count() < 600L)
   }
 
+  test("exact-budget undershoot fails loudly instead of shipping a short mix") {
+    // one 100-token doc whose variate falls ABOVE the pre-sample threshold
+    // plus one small doc below it: at headroom 0 the sample keeps only the
+    // small doc (≈5 of 100 budget tokens) while the full source could pay —
+    // the documented failure mode, which must throw, not under-deliver
+    val thr = CorpusMix.thresholdFor(100.0 / 105.0)
+    def u(id: String) = CorpusMix.u60(lit(id), "mix-v1")
+    val ids = (0 until 200).map(i => s"http://u$i.test/p")
+    val us = spark.range(1).select(array(ids.map(u): _*)).as[Seq[Long]].head()
+    val big = ids(us.indexWhere(_ >= thr))
+    val small = ids(us.indexWhere(_ < thr))
+    val df = Seq(
+      (big, "solo", Seq.fill(100)("w").mkString(" ")),
+      (small, "solo", "five tiny tokens right here")
+    ).toDF("url", "source", "text")
+    val e = intercept[IllegalStateException] {
+      CorpusMix.sampleThenTruncate(df, "url", "text", "source",
+        Map("solo" -> 100L), "mix-v1", headroom = 0.0)
+    }
+    assert(e.getMessage.contains("undershoot") && e.getMessage.contains("solo"))
+    // enough headroom → rate hits 1, sample = source, no throw, exact result
+    val ok = CorpusMix.sampleThenTruncate(df, "url", "text", "source",
+      Map("solo" -> 100L), "mix-v1", headroom = 1.0)
+    // u(small) < u(big), so the prefix is small (cum 5) then big (the
+    // crossing row, kept): both survive — identical to direct truncation
+    assert(ok.count() === 2L)
+  }
+
   test("up-sampling: copies = floor(rate) + fractional epoch, deterministic") {
     val df = corpus(1000) // 500 per source
     val up = CorpusMix.upsampleBySourceRates(df, "url", "source",

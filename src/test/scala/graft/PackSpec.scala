@@ -98,6 +98,20 @@ class PackSpec extends SparkTestBase {
     }
   }
 
+  test("writePlan refuses an id-ordered export (the seek contract would lie)") {
+    val df = corpus(100)
+    val out = java.nio.file.Files.createTempDirectory("graft-pack-id").toString
+    ShardedExport.exportShards(spark, df, "url", "text", out, nShards = 2)
+    val e = intercept[IllegalArgumentException] {
+      SequencePack.writePlan(spark, out, "url", seqLen = 16, nShards = 2)
+    }
+    assert(e.getMessage.contains("pack order"))
+    // the explicit opt-out still works for join-by-id consumers
+    val (examples, rows) = SequencePack.writePlan(spark, out, "url",
+      seqLen = 16, nShards = 2, requirePackOrder = false)
+    assert(examples >= 1 && rows >= examples)
+  }
+
   test("up-sampled corpora pack by (id, epoch): copies spread and tile") {
     val df = graft.mix.CorpusMix.upsampleBySourceRates(
       corpus(200).withColumn("source", lit("wiki")),
