@@ -65,7 +65,8 @@ object Main {
       mixSalt: String = "mix-v1",
       mixExact: Boolean = false,
       mixHeadroom: Option[Double] = None,
-      packLen: Option[Int] = None)
+      packLen: Option[Int] = None,
+      tokenMetric: String = "ws")
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -183,6 +184,9 @@ object Main {
       case "--pack-len" :: v :: t =>
         v.toIntOption.filter(_ >= 1).toRight(s"--pack-len: not a positive int: $v")
           .flatMap(n => loop(t, acc.copy(packLen = Some(n))))
+      // the unit budgets / n_tokens / the pack plan count in: whitespace
+      // words (default) or the BPE-ish subword count for model-token budgets
+      case "--token-metric" :: v :: t => loop(t, acc.copy(tokenMetric = v))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -230,6 +234,10 @@ object Main {
       Left("--mix-headroom only affects --mix-exact's pre-sample: add --mix-exact")
     else if (a.packLen.isDefined && a.exportShards.isEmpty)
       Left("--pack-len applies to the export: add --export-shards")
+    else if (!graft.mix.TokenMetric.Names.contains(a.tokenMetric))
+      Left(s"--token-metric must be one of ${graft.mix.TokenMetric.Names.mkString("/")}")
+    else if (a.tokenMetric != "ws" && a.exportShards.isEmpty)
+      Left("--token-metric applies to the export: add --export-shards")
     else Right(a)
 
   /** Read a mix config file: one `<source> <value>` per line (whitespace
@@ -472,6 +480,7 @@ object Main {
       def mixFile[V](p: String, what: String, parse: String => Option[V]) =
         readMixFile(p, what, parse)
           .fold(e => throw new IllegalArgumentException(e), identity)
+      val tok = graft.mix.TokenMetric.of(a.tokenMetric)
       val (mixed, mixLines, epochCol) = (a.mixRates, a.mixBudgets) match {
         case (Some(f), _) =>
           val (rates, dflt) = mixFile(f, "--mix-rates", _.toDoubleOption)
@@ -492,11 +501,11 @@ object Main {
             // token counts are the accounting surface here
             (graft.mix.CorpusMix.sampleThenTruncate(
               kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt,
-              headroom = a.mixHeadroom.getOrElse(0.05)),
+              headroom = a.mixHeadroom.getOrElse(0.05), tokensOf = tok),
               Seq.empty[String], None)
           else {
             val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
-              kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt)
+              kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt, tok)
             (df, stats.map(s =>
               s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
                 s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""), None)
@@ -511,7 +520,8 @@ object Main {
       val out = binCol.fold(mixed)(mixed.drop(_))
       val stats = graft.mix.ShardedExport.exportShards(
         spark, out, a.idCol, a.textCol, dir, a.nShards,
-        epochCol = epochCol, packOrder = a.packLen.isDefined)
+        epochCol = epochCol, packOrder = a.packLen.isDefined,
+        tokenMetric = a.tokenMetric)
       // the pack plan reads back only (shard, id, n_tokens) from the
       // written shards — the corpus is never evaluated a second time
       val packLines = a.packLen.toSeq.map { len =>

@@ -56,7 +56,8 @@ object ShardedExport {
   def exportShards(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String, dir: String, nShards: Int,
                    epochCol: Option[String] = None,
-                   packOrder: Boolean = false): Seq[ShardStat] = {
+                   packOrder: Boolean = false,
+                   tokenMetric: String = "ws"): Seq[ShardStat] = {
     // up-sampled corpora shard by (id, epoch) so a document's repeat
     // copies spread across shards instead of stacking in one
     val key = SequencePack.packKey(col(idCol), epochCol.map(col))
@@ -69,7 +70,7 @@ object ShardedExport {
       else Seq(col(idCol)) ++ epochCol.map(col)
     val sharded = df
       .withColumn("shard", shardOf(key, nShards))
-      .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("n_tokens", TokenMetric.of(tokenMetric)(col(textCol)))
     // HASH-partition on the shard id — NOT repartitionByRange: range
     // partitioning computes its bounds with a separate sampling job that
     // evaluates the whole child once more, i.e. a second full pass over
@@ -103,6 +104,7 @@ object ShardedExport {
          |  "id_col": "$idCol",
          |  "row_order": "${if (packOrder) "pack" else "id"}",
          |  "epoch_keyed": ${epochCol.isDefined},
+         |  "token_metric": "$tokenMetric",
          |  "docs": ${stats.map(_.docs).sum},
          |  "tokens": ${stats.map(_.tokens).sum},
          |  "shards": $body

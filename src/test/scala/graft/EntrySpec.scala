@@ -118,6 +118,13 @@ class EntrySpec extends SparkTestBase {
       "--pack-len", "8192")).isLeft)                   // packing needs the export
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--pack-len", "0")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--token-metric", "subword"))
+      .exists(_.tokenMetric == "subword"))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--token-metric", "bogus")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--token-metric", "subword")).isLeft)  // export-scoped knob
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

@@ -264,6 +264,23 @@ class MixSpec extends SparkTestBase {
     assert(again === stats)
   }
 
+  test("token metric seam: subword n_tokens and manifest lineage") {
+    val df = corpus(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokmetric").toString
+    ShardedExport.exportShards(spark, df, "url", "text", dir, nShards = 2,
+      tokenMetric = "subword")
+    val expect = df.select(col("url"),
+        graft.text.TextAnalysis.subwordCount(col("text")))
+      .as[(String, Long)].collect().toMap
+    spark.read.parquet(dir).select("url", "n_tokens").as[(String, Long)]
+      .collect().foreach { case (u, n) => assert(n === expect(u)) }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"token_metric\": \"subword\""))
+    assert(manifest.contains("\"row_order\": \"id\""))
+    assert(manifest.contains("\"epoch_keyed\": false"))
+  }
+
   test("mix config files parse: defaults, comments, bad lines") {
     def write(lines: String*): String = {
       val f = java.nio.file.Files.createTempFile("graft-mix", ".txt")
