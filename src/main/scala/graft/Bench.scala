@@ -62,9 +62,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // local-cluster: executors are SEPARATE JVMs launched by an in-process
-    // worker (needs SPARK_HOME); each gets its own G1 over its own capped
-    // heap — the dense regime by construction (BASELINE.md round-4
-    // diagnosis). The app classes reach them via spark.jars.
+    // worker — the launch needs BOTH SPARK_HOME (=/opt/spark here) and
+    // SPARK_SCALA_VERSION=2.13 in the environment (without the latter the
+    // worker's command builder hunts for source-build directories and dies
+    // with "Cannot find any build directories"). Each executor gets its own
+    // G1 over its own capped heap — the dense regime by construction
+    // (BASELINE.md round-4 diagnosis). The app classes reach them via
+    // spark.jars (run `sbt package` first).
     val withExec =
       if (master.startsWith("local-cluster")) {
         val jar = sys.env.get("SPARK_GRAFT_JAR").orElse {
