@@ -66,7 +66,8 @@ object Main {
       mixExact: Boolean = false,
       mixHeadroom: Option[Double] = None,
       packLen: Option[Int] = None,
-      tokenMetric: String = "ws")
+      tokenMetric: String = "ws",
+      exportFormat: String = "parquet")
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -187,6 +188,9 @@ object Main {
       // the unit budgets / n_tokens / the pack plan count in: whitespace
       // words (default) or the BPE-ish subword count for model-token budgets
       case "--token-metric" :: v :: t => loop(t, acc.copy(tokenMetric = v))
+      // loader container: parquet (default; prunable read-back, pack plans)
+      // or gzipped json-lines (the loader lingua franca; observe-fused stats)
+      case "--export-format" :: v :: t => loop(t, acc.copy(exportFormat = v))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -238,6 +242,13 @@ object Main {
       Left(s"--token-metric must be one of ${graft.mix.TokenMetric.Names.mkString("/")}")
     else if (a.tokenMetric != "ws" && a.exportShards.isEmpty)
       Left("--token-metric applies to the export: add --export-shards")
+    else if (!Set("parquet", "jsonl").contains(a.exportFormat))
+      Left("--export-format must be parquet or jsonl")
+    else if (a.exportFormat != "parquet" && a.exportShards.isEmpty)
+      Left("--export-format applies to the export: add --export-shards")
+    else if (a.packLen.isDefined && a.exportFormat != "parquet")
+      Left("--pack-len needs the parquet format: the plan pass reads back " +
+        "(shard, id, n_tokens) with column pruning, which jsonl cannot do")
     else Right(a)
 
   /** Read a mix config file: one `<source> <value>` per line (whitespace
@@ -518,21 +529,30 @@ object Main {
         if (a.pagesFormat == "warc" && a.extractFrom.isEmpty) Some("html")
         else a.extractFrom
       val out = binCol.fold(mixed)(mixed.drop(_))
-      val stats = graft.mix.ShardedExport.exportShards(
-        spark, out, a.idCol, a.textCol, dir, a.nShards,
-        epochCol = epochCol, packOrder = a.packLen.isDefined,
-        tokenMetric = a.tokenMetric)
-      // the pack plan reads back only (shard, id, n_tokens) from the
-      // written shards — the corpus is never evaluated a second time
-      val packLines = a.packLen.toSeq.map { len =>
-        val (examples, rows) = graft.mix.SequencePack.writePlan(
-          spark, dir, a.idCol, len, a.nShards, epochCol)
-        s"""{"packed":"$dir/_pack","seq_len":$len,""" +
-          s""""examples":$examples,"plan_rows":$rows}"""
+      if (a.exportFormat == "jsonl") {
+        val (docs, tokens) = graft.mix.ShardedExport.exportShardsJsonl(
+          spark, out, a.idCol, a.textCol, dir, a.nShards,
+          epochCol = epochCol, tokenMetric = a.tokenMetric)
+        mixLines :+
+          (s"""{"exported":"$dir","format":"jsonl","n_shards":${a.nShards},""" +
+            s""""docs":$docs,"tokens":$tokens}""")
+      } else {
+        val stats = graft.mix.ShardedExport.exportShards(
+          spark, out, a.idCol, a.textCol, dir, a.nShards,
+          epochCol = epochCol, packOrder = a.packLen.isDefined,
+          tokenMetric = a.tokenMetric)
+        // the pack plan reads back only (shard, id, n_tokens) from the
+        // written shards — the corpus is never evaluated a second time
+        val packLines = a.packLen.toSeq.map { len =>
+          val (examples, rows) = graft.mix.SequencePack.writePlan(
+            spark, dir, a.idCol, len, a.nShards, epochCol)
+          s"""{"packed":"$dir/_pack","seq_len":$len,""" +
+            s""""examples":$examples,"plan_rows":$rows}"""
+        }
+        mixLines ++ packLines :+
+          (s"""{"exported":"$dir","n_shards":${a.nShards},""" +
+            s""""docs":${stats.map(_.docs).sum},"tokens":${stats.map(_.tokens).sum}}""")
       }
-      mixLines ++ packLines :+
-        (s"""{"exported":"$dir","n_shards":${a.nShards},""" +
-          s""""docs":${stats.map(_.docs).sum},"tokens":${stats.map(_.tokens).sum}}""")
     }
     if (a.exportShards.isDefined) return exportRun(a.exportShards.get)
 

@@ -53,35 +53,64 @@ object ShardedExport {
     * corpus scale the second pass over the heavy column would cost nearly
     * as much as the export itself.
     */
+  /** The shared front half of every export format: shard assignment
+    * ((id, epoch)-keyed so up-sampled repeat copies spread), n_tokens in
+    * the configured metric, the HASH repartition, and the in-shard sort.
+    *
+    * HASH — NOT repartitionByRange: range partitioning computes its
+    * bounds with a separate sampling job that evaluates the whole child
+    * once more, i.e. a second full pass over the corpus at scale. Hash
+    * keeps one evaluation and still puts ALL rows of shard k in exactly
+    * one partition (the partition is a function of the value), so
+    * partitionBy still emits exactly one file per shard directory; the
+    * price is occupancy — ~1/e of the n write tasks draw no shard and a
+    * few draw 2-3 (bounded small), which IO parallelism absorbs where a
+    * duplicate compute pass would not.
+    *
+    * Pack mode sorts by SequencePack.packOrdering — the ONE shared
+    * sort-key list — so a sequential read of the shard file IS the
+    * example token stream the plan describes (sort keys need not be
+    * output columns; the variate is recomputable from the written ids).
+    */
+  private def shardedOrdered(df: DataFrame, idCol: String, textCol: String,
+                             nShards: Int, epochCol: Option[String],
+                             packOrder: Boolean,
+                             tokenMetric: String): DataFrame = {
+    val key = SequencePack.packKey(col(idCol), epochCol.map(col))
+    val order: Seq[Column] =
+      if (packOrder) SequencePack.packOrdering(idCol, epochCol)
+      else Seq(col(idCol)) ++ epochCol.map(col)
+    df.withColumn("shard", shardOf(key, nShards))
+      .withColumn("n_tokens", TokenMetric.of(tokenMetric)(col(textCol)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard") +: order: _*)
+  }
+
+  /** Write the manifest text at `dir/_manifest.json` (overwrite). */
+  private def writeManifest(spark: SparkSession, dir: String,
+                            manifest: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The shared lineage fields every format's manifest records. */
+  private def lineageFields(nShards: Int, idCol: String, packOrder: Boolean,
+                            epochCol: Option[String],
+                            tokenMetric: String): String =
+    s"""  "n_shards": $nShards,
+       |  "id_col": "$idCol",
+       |  "row_order": "${if (packOrder) "pack" else "id"}",
+       |  "epoch_keyed": ${epochCol.isDefined},
+       |  "token_metric": "$tokenMetric",""".stripMargin
+
   def exportShards(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String, dir: String, nShards: Int,
                    epochCol: Option[String] = None,
                    packOrder: Boolean = false,
                    tokenMetric: String = "ws"): Seq[ShardStat] = {
-    // up-sampled corpora shard by (id, epoch) so a document's repeat
-    // copies spread across shards instead of stacking in one
-    val key = SequencePack.packKey(col(idCol), epochCol.map(col))
-    // pack mode writes rows in SequencePack.packOrdering — the ONE shared
-    // sort-key list — so a sequential read of the shard file IS the example
-    // token stream the plan describes (the sort keys need not be output
-    // columns; the variate is recomputable from the written ids)
-    val order: Seq[Column] =
-      if (packOrder) SequencePack.packOrdering(idCol, epochCol)
-      else Seq(col(idCol)) ++ epochCol.map(col)
-    val sharded = df
-      .withColumn("shard", shardOf(key, nShards))
-      .withColumn("n_tokens", TokenMetric.of(tokenMetric)(col(textCol)))
-    // HASH-partition on the shard id — NOT repartitionByRange: range
-    // partitioning computes its bounds with a separate sampling job that
-    // evaluates the whole child once more, i.e. a second full pass over
-    // the corpus at scale. Hash keeps one evaluation and still puts ALL
-    // rows of shard k in exactly one partition (the partition is a
-    // function of the value), so partitionBy still emits exactly one file
-    // per shard directory; the price is occupancy — ~1/e of the n write
-    // tasks draw no shard and a few draw 2-3 (bounded small), which IO
-    // parallelism absorbs where a duplicate compute pass would not.
-    sharded.repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard") +: order: _*)
+    shardedOrdered(df, idCol, textCol, nShards, epochCol, packOrder, tokenMetric)
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
     // manifest stats from the WRITTEN data (what a loader will see), with
     // the scan pruned to the two stat columns
@@ -98,22 +127,72 @@ object ShardedExport {
     // trusting file positions: "pack" = sequential read is the example
     // stream (SequencePack.writePlan enforces it); epoch_keyed = doc
     // counts include up-sampled repeat copies, rows carry their ordinal
-    val manifest =
+    writeManifest(spark, dir,
       s"""{
-         |  "n_shards": $nShards,
-         |  "id_col": "$idCol",
-         |  "row_order": "${if (packOrder) "pack" else "id"}",
-         |  "epoch_keyed": ${epochCol.isDefined},
-         |  "token_metric": "$tokenMetric",
+         |${lineageFields(nShards, idCol, packOrder, epochCol, tokenMetric)}
+         |  "format": "parquet",
          |  "docs": ${stats.map(_.docs).sum},
          |  "tokens": ${stats.map(_.tokens).sum},
          |  "shards": $body
          |}
-         |""".stripMargin
-    val path = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+         |""".stripMargin)
     stats
+  }
+
+  /** Write the corpus as gzipped JSON-LINES shards (`shard=K/part-*.txt.gz`,
+    * one file per shard, same deterministic membership and row order as the
+    * parquet format) — the other loader lingua franca: every row is one
+    * JSON object carrying all columns plus `n_tokens`.
+    *
+    * Accounting differs from parquet BY NECESSITY: a jsonl file cannot be
+    * re-scanned with column pruning (reading (shard, n_tokens) back would
+    * re-parse — and re-decompress — every byte of text, a second full pass
+    * at corpus scale). So doc/token totals are OBSERVE-fused onto the write
+    * itself (a `CollectMetrics` node — zero extra pass, the same accounting
+    * trick the epoch pipeline uses), and the per-shard manifest rows carry
+    * file BYTES from a directory listing (what a loader balances streams
+    * by) instead of per-shard token sums. Returns (docs, tokens).
+    */
+  def exportShardsJsonl(spark: SparkSession, df: DataFrame, idCol: String,
+                        textCol: String, dir: String, nShards: Int,
+                        epochCol: Option[String] = None,
+                        packOrder: Boolean = false,
+                        tokenMetric: String = "ws"): (Long, Long) = {
+    val prepped = shardedOrdered(df, idCol, textCol, nShards, epochCol,
+      packOrder, tokenMetric)
+    val obs = org.apache.spark.sql.Observation(s"jsonl_export_$dir")
+    val payloadCols = prepped.columns.filterNot(_ == "shard").map(col)
+    prepped
+      .observe(obs, count(lit(1)).as("docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+      .select(col("shard"), to_json(struct(payloadCols: _*)).as("value"))
+      .write.partitionBy("shard").mode("overwrite")
+      .option("compression", "gzip").text(dir)
+    val row = obs.get
+    val (docs, tokens) = (row("docs").asInstanceOf[Long],
+      row("tokens").asInstanceOf[Long])
+    // per-shard bytes from the listing — free, and the quantity a
+    // streaming loader actually balances by
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardBytes = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map { s =>
+        val k = s.getPath.getName.stripPrefix("shard=").toInt
+        k -> fs.listStatus(s.getPath).map(_.getLen).sum
+      }.sortBy(_._1)
+    val body = shardBytes.map { case (k, b) =>
+        s"""    {"shard":$k,"bytes":$b}""" }
+      .mkString("[\n", ",\n", "\n  ]")
+    writeManifest(spark, dir,
+      s"""{
+         |${lineageFields(nShards, idCol, packOrder, epochCol, tokenMetric)}
+         |  "format": "jsonl",
+         |  "docs": $docs,
+         |  "tokens": $tokens,
+         |  "shards": $body
+         |}
+         |""".stripMargin)
+    (docs, tokens)
   }
 }

@@ -125,6 +125,16 @@ class EntrySpec extends SparkTestBase {
       "--export-shards", "/out", "--token-metric", "bogus")).isLeft)
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--token-metric", "subword")).isLeft)  // export-scoped knob
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--export-format", "jsonl"))
+      .exists(_.exportFormat == "jsonl"))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--export-format", "csv")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-format", "jsonl")).isLeft)   // export-scoped knob
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--export-format", "jsonl",
+      "--pack-len", "64")).isLeft)           // plans need prunable parquet
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

@@ -281,6 +281,35 @@ class MixSpec extends SparkTestBase {
     assert(manifest.contains("\"epoch_keyed\": false"))
   }
 
+  test("jsonl export: gzipped one-file shards, round-trip, observe-fused stats") {
+    val df = corpus(300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val (docs, tokens) = ShardedExport.exportShardsJsonl(
+      spark, df, "url", "text", dir, nShards = 4)
+    assert(docs === 300L)
+    assert(tokens === df.agg(sum(
+      graft.text.TextAnalysis.tokenCount(col("text")))).as[Long].head())
+    (0 until 4).foreach { k =>
+      val parts = new java.io.File(s"$dir/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".txt.gz"))
+      assert(parts.length === 1, s"shard $k must be one gzipped file")
+    }
+    // round-trip: every row is a complete JSON object incl n_tokens
+    val back = spark.read.json(dir)
+    assert(back.count() === 300L)
+    assert(back.columns.toSet === Set("url", "source", "text", "n_tokens", "shard"))
+    // membership is the SAME shard function as the parquet format
+    val mismatch = back.withColumn("expect",
+        ShardedExport.shardOf(col("url"), 4).cast("long"))
+      .filter(col("shard").cast("long") =!= col("expect")).count()
+    assert(mismatch === 0L)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"format\": \"jsonl\""))
+    assert(manifest.contains("\"docs\": 300"))
+    assert(manifest.contains("\"bytes\":"))
+  }
+
   test("mix config files parse: defaults, comments, bad lines") {
     def write(lines: String*): String = {
       val f = java.nio.file.Files.createTempFile("graft-mix", ".txt")
