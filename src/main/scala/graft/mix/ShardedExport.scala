@@ -80,8 +80,12 @@ object ShardedExport {
     val order: Seq[Column] =
       if (packOrder) SequencePack.packOrdering(idCol, epochCol)
       else Seq(col(idCol)) ++ epochCol.map(col)
+    // coalesce: a null text row (unextracted doc) budgets as 0 tokens
+    // everywhere — manifest sums, pack plans, and every jsonl line carry
+    // a concrete n_tokens, never a hole
     df.withColumn("shard", shardOf(key, nShards))
-      .withColumn("n_tokens", TokenMetric.of(tokenMetric)(col(textCol)))
+      .withColumn("n_tokens",
+        coalesce(TokenMetric.of(tokenMetric)(col(textCol)), lit(0L)))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard") +: order: _*)
   }
@@ -140,9 +144,10 @@ object ShardedExport {
   }
 
   /** Write the corpus as gzipped JSON-LINES shards (`shard=K/part-*.txt.gz`,
-    * one file per shard, same deterministic membership and row order as the
-    * parquet format) — the other loader lingua franca: every row is one
-    * JSON object carrying all columns plus `n_tokens`.
+    * one file per shard, same deterministic membership and id-order rows
+    * as the parquet format) — the other loader lingua franca: every row is
+    * one JSON object that ALWAYS carries `n_tokens` (coalesced to 0 for
+    * null text; other null columns are omitted per JSON-lines convention).
     *
     * Accounting differs from parquet BY NECESSITY: a jsonl file cannot be
     * re-scanned with column pruning (reading (shard, n_tokens) back would
@@ -156,11 +161,13 @@ object ShardedExport {
   def exportShardsJsonl(spark: SparkSession, df: DataFrame, idCol: String,
                         textCol: String, dir: String, nShards: Int,
                         epochCol: Option[String] = None,
-                        packOrder: Boolean = false,
                         tokenMetric: String = "ws"): (Long, Long) = {
+    // no packOrder here ON PURPOSE: a jsonl dir can never back a seekable
+    // pack plan (no prunable read-back), so offering the knob would mint a
+    // manifest whose row_order:pack lineage writePlan's guard TRUSTS
     val prepped = shardedOrdered(df, idCol, textCol, nShards, epochCol,
-      packOrder, tokenMetric)
-    val obs = org.apache.spark.sql.Observation(s"jsonl_export_$dir")
+      packOrder = false, tokenMetric)
+    val obs = org.apache.spark.sql.Observation()
     val payloadCols = prepped.columns.filterNot(_ == "shard").map(col)
     prepped
       .observe(obs, count(lit(1)).as("docs"),
@@ -168,25 +175,34 @@ object ShardedExport {
       .select(col("shard"), to_json(struct(payloadCols: _*)).as("value"))
       .write.partitionBy("shard").mode("overwrite")
       .option("compression", "gzip").text(dir)
-    val row = obs.get
-    val (docs, tokens) = (row("docs").asInstanceOf[Long],
-      row("tokens").asInstanceOf[Long])
+    // same guard as Checkpoints.observedLong: an empty-relation-pruned
+    // metric node reads as (0, 0) instead of blocking forever
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    val (docs, tokens) =
+      if (row.length == 0) (0L, 0L) else (row.getLong(0), row.getLong(1))
     // per-shard bytes from the listing — free, and the quantity a
-    // streaming loader actually balances by
+    // streaming loader actually balances by. Only data files count (no
+    // hidden .crc checksum side-files), and non-numeric partition dirs
+    // (a null id's __HIVE_DEFAULT_PARTITION__) must not crash the listing
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shardBytes = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .map { s =>
-        val k = s.getPath.getName.stripPrefix("shard=").toInt
-        k -> fs.listStatus(s.getPath).map(_.getLen).sum
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("shard=").toIntOption.map { k =>
+          k -> fs.listStatus(s.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+              !f.getPath.getName.startsWith("_"))
+            .map(_.getLen).sum
+        }
       }.sortBy(_._1)
     val body = shardBytes.map { case (k, b) =>
         s"""    {"shard":$k,"bytes":$b}""" }
       .mkString("[\n", ",\n", "\n  ]")
     writeManifest(spark, dir,
       s"""{
-         |${lineageFields(nShards, idCol, packOrder, epochCol, tokenMetric)}
+         |${lineageFields(nShards, idCol, packOrder = false, epochCol, tokenMetric)}
          |  "format": "jsonl",
          |  "docs": $docs,
          |  "tokens": $tokens,

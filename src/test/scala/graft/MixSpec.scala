@@ -308,6 +308,14 @@ class MixSpec extends SparkTestBase {
     assert(manifest.contains("\"format\": \"jsonl\""))
     assert(manifest.contains("\"docs\": 300"))
     assert(manifest.contains("\"bytes\":"))
+    // manifest bytes count DATA files only (no .crc checksum side-files)
+    val f0 = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".txt.gz")).head
+    assert(manifest.contains(s""""shard":0,"bytes":${f0.length}"""))
+    // in-shard rows are id-ordered, same contract as the parquet format
+    // (one gz file = one unsplittable read partition = file order)
+    val s0 = spark.read.json(f0.getPath).select("url").as[String].collect()
+    assert(s0.toSeq === s0.sorted.toSeq && s0.nonEmpty)
   }
 
   test("mix config files parse: defaults, comments, bad lines") {
