@@ -67,7 +67,8 @@ object Main {
       mixHeadroom: Option[Double] = None,
       packLen: Option[Int] = None,
       tokenMetric: String = "ws",
-      exportFormat: String = "parquet")
+      exportFormat: String = "parquet",
+      verifyExport: Option[String] = None)
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -191,6 +192,9 @@ object Main {
       // loader container: parquet (default; prunable read-back, pack plans)
       // or gzipped json-lines (the loader lingua franca; observe-fused stats)
       case "--export-format" :: v :: t => loop(t, acc.copy(exportFormat = v))
+      // standalone integrity check of a shard dir against its manifest —
+      // what a training job runs before trusting an export it didn't write
+      case "--verify-export" :: v :: t => loop(t, acc.copy(verifyExport = Some(v)))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown or valueless flag: $flag")
       case other :: _                => Left(s"unexpected argument: $other")
     }
@@ -198,8 +202,10 @@ object Main {
   }
 
   private def validate(a: CliArgs): Either[String, CliArgs] =
-    if (a.state.isEmpty) Left("--state <dir-uri> is required")
-    else if (a.pages.isEmpty && !a.diagnose && !a.compact)
+    if (a.state.isEmpty && a.verifyExport.isEmpty)
+      Left("--state <dir-uri> is required")
+    else if (a.pages.isEmpty && !a.diagnose && !a.compact &&
+             a.verifyExport.isEmpty)
       Left("--pages <path-or-table> is required")
     else if (!graft.actions.Actions.ValidActions.contains(a.action))
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
@@ -336,6 +342,14 @@ object Main {
     * emitted JSON lines.
     */
   def run(spark: SparkSession, a: CliArgs): Seq[String] = {
+    a.verifyExport.foreach { dir =>
+      val (issues, docs, tokens) =
+        graft.mix.ShardedExport.verifyExport(spark, dir)
+      return Seq(s"""{"verified":${issues.isEmpty},"dir":"$dir",""" +
+        s""""docs":$docs,"tokens":$tokens,""" +
+        issues.map(i => "\"" + i.replace("\"", "'") + "\"")
+          .mkString("\"issues\":[", ",", "]}"))
+    }
     if (a.diagnose)
       // inspection mode (reference `diagnose_database` user command):
       // report state consistency and exit without processing anything

@@ -143,6 +143,99 @@ object ShardedExport {
     stats
   }
 
+  /** Trust-but-verify for a shard directory: recompute what the manifest
+    * claims from the data actually on disk and report every disagreement —
+    * the check a training job runs before pointing loaders at an export it
+    * did not produce itself (manifests go stale when humans copy partial
+    * directories around; a silent mismatch starves or double-feeds
+    * workers). Parquet verifies doc/token totals, the shard function
+    * (every row's u60 assignment equals its directory), and the
+    * one-data-file-per-shard layout — all from a pruned scan, text never
+    * loads. Jsonl verifies the per-shard byte figures against a fresh
+    * listing and the doc/token totals by re-reading the json (a full
+    * parse: jsonl has no prunable read-back, which is why this mode
+    * exists as an explicit opt-in, not an automatic gate).
+    * Returns (issues — empty means verified, docs, tokens).
+    */
+  def verifyExport(spark: SparkSession, dir: String): (Seq[String], Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
+    if (!fs.exists(mPath)) return (Seq("missing _manifest.json"), 0L, 0L)
+    // an unreadable manifest (checksum mismatch after a hand edit, torn
+    // copy) is a verification FAILURE to report, not an exception to throw
+    val m =
+      try {
+        val in = fs.open(mPath)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          return (Seq(s"unreadable _manifest.json: ${e.getMessage}"), 0L, 0L)
+      }
+    def longField(name: String): Option[Long] =
+      ("\"" + name + "\": (\\d+)").r.findFirstMatchIn(m).map(_.group(1).toLong)
+    def strField(name: String): Option[String] =
+      ("\"" + name + "\": \"([^\"]*)\"").r.findFirstMatchIn(m).map(_.group(1))
+    val issues = scala.collection.mutable.ArrayBuffer[String]()
+    val format = strField("format").getOrElse("parquet")
+    val nShards = longField("n_shards").getOrElse(0L).toInt
+    val idCol = strField("id_col").getOrElse("url")
+    val epochKeyed = m.contains("\"epoch_keyed\": true")
+    // layout: every shard=K dir holds exactly one data file, K in range
+    val shardDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    shardDirs.foreach { s =>
+      val name = s.getPath.getName.stripPrefix("shard=")
+      val dataFiles = fs.listStatus(s.getPath).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_"))
+      name.toIntOption match {
+        case Some(k) if k >= 0 && k < nShards =>
+          if (dataFiles.length != 1)
+            issues += s"shard $k has ${dataFiles.length} data files (expected 1)"
+        case _ => issues += s"unexpected partition directory: ${s.getPath.getName}"
+      }
+    }
+    val (docs, tokens) = format match {
+      case "jsonl" =>
+        val listed = shardDirs.flatMap { s =>
+          s.getPath.getName.stripPrefix("shard=").toIntOption.map { k =>
+            k -> fs.listStatus(s.getPath).filter(f =>
+              f.isFile && !f.getPath.getName.startsWith(".") &&
+                !f.getPath.getName.startsWith("_")).map(_.getLen).sum
+          }
+        }.toMap
+        val claimed = """\{"shard":(\d+),"bytes":(\d+)\}""".r.findAllMatchIn(m)
+          .map(g => g.group(1).toInt -> g.group(2).toLong).toMap
+        if (listed != claimed)
+          issues += s"per-shard bytes differ from the manifest: " +
+            s"listed $listed vs claimed $claimed"
+        val back = spark.read.json(dir)
+        val agg = back.agg(count(lit(1)), sum(coalesce(col("n_tokens"), lit(0L))))
+          .collect()(0)
+        (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+      case _ =>
+        val df = spark.read.parquet(dir)
+        val key =
+          if (epochKeyed) SequencePack.packKey(col(idCol), Some(col("epoch")))
+          else col(idCol)
+        val agg = df.agg(count(lit(1)),
+          sum(coalesce(col("n_tokens"), lit(0L))),
+          sum(when(shardOf(key, math.max(1, nShards)).cast("long") =!=
+            col("shard").cast("long"), 1L).otherwise(0L))).collect()(0)
+        val misplaced = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+        if (misplaced > 0L)
+          issues += s"$misplaced rows sit in a shard their id does not hash to"
+        (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+    }
+    longField("docs").foreach(d =>
+      if (d != docs) issues += s"manifest claims $d docs, data holds $docs")
+    longField("tokens").foreach(t =>
+      if (t != tokens) issues += s"manifest claims $t tokens, data holds $tokens")
+    (issues.toSeq, docs, tokens)
+  }
+
   /** Write the corpus as gzipped JSON-LINES shards (`shard=K/part-*.txt.gz`,
     * one file per shard, same deterministic membership and id-order rows
     * as the parquet format) — the other loader lingua franca: every row is

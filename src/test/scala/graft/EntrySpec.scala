@@ -135,6 +135,9 @@ class EntrySpec extends SparkTestBase {
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--export-format", "jsonl",
       "--pack-len", "64")).isLeft)           // plans need prunable parquet
+    // --verify-export is standalone: needs neither --pages nor --state
+    assert(Main.parse(Seq("--verify-export", "/out"))
+      .exists(_.verifyExport.contains("/out")))
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

@@ -316,6 +316,9 @@ class MixSpec extends SparkTestBase {
     // (one gz file = one unsplittable read partition = file order)
     val s0 = spark.read.json(f0.getPath).select("url").as[String].collect()
     assert(s0.toSeq === s0.sorted.toSeq && s0.nonEmpty)
+    // the verifier replays the jsonl accounting (bytes + full re-read)
+    val (issues, vd, vt) = ShardedExport.verifyExport(spark, dir)
+    assert(issues.isEmpty && vd === 300L && vt === tokens, issues)
   }
 
   test("mix config files parse: defaults, comments, bad lines") {
@@ -430,5 +433,21 @@ class MixSpec extends SparkTestBase {
       l.contains(""""examples":""")))
     assert(spark.read.parquet(s"$out5/_pack").count() >= 1L)
     assert(!up.columns.contains("example"), "_pack must not leak into the corpus")
+    // trust-but-verify: the standalone checker agrees with a fresh export
+    // (epoch-keyed shard function and all), then catches a doctored manifest
+    val vOk = Main.run(spark, Main.parse(Seq("--verify-export", out5)).toOption.get)
+    assert(vOk.exists(_.contains(""""verified":true""")), vOk)
+    val mp = java.nio.file.Paths.get(s"$out5/_manifest.json")
+    val doctored = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace("\"docs\": 12", "\"docs\": 13")
+    java.nio.file.Files.write(mp, doctored.getBytes("UTF-8"))
+    // the hand edit left a stale hadoop .crc sidecar; with it in place the
+    // verifier reports "unreadable" (also correct) — drop it to reach the
+    // accounting comparison
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out5/._manifest.json.crc"))
+    val vBad = Main.run(spark, Main.parse(Seq("--verify-export", out5)).toOption.get)
+    assert(vBad.exists(l => l.contains(""""verified":false""") &&
+      l.contains("13 docs")), vBad)
   }
 }
