@@ -61,14 +61,23 @@ object Main {
       nShards: Int = 64,
       mixRates: Option[String] = None,
       mixBudgets: Option[String] = None,
-      mixCol: String = "lang",
+      mixFrom: Option[String] = None,
+      mixCol: String = "",
       mixSalt: String = "mix-v1",
       mixExact: Boolean = false,
       mixHeadroom: Option[Double] = None,
       packLen: Option[Int] = None,
       tokenMetric: String = "ws",
       exportFormat: String = "parquet",
-      verifyExport: Option[String] = None)
+      verifyExport: Option[String] = None) {
+    /** The column mix rates/budgets key on: an explicit --mix-col wins;
+      * a --mix-from union keys on its corpus tag; else the lang column.
+      */
+    def mixKeyCol: String =
+      if (mixCol.nonEmpty) mixCol
+      else if (mixFrom.isDefined) "source"
+      else "lang"
+  }
 
   /** Pure, testable arg parser (reference `cli.rs` parse → validate).
     * Left(message) on any unknown flag, missing value or missing required.
@@ -170,6 +179,10 @@ object Main {
       // the training set otherwise)
       case "--mix-rates" :: v :: t    => loop(t, acc.copy(mixRates = Some(v)))
       case "--mix-budgets" :: v :: t  => loop(t, acc.copy(mixBudgets = Some(v)))
+      // multi-corpus export: a sources file (one `<name> <path-or-table>`
+      // per line) unions SEPARATE corpora — tagged `source` — in place of
+      // --pages; rates/budgets then key on the corpus name
+      case "--mix-from" :: v :: t     => loop(t, acc.copy(mixFrom = Some(v)))
       case "--mix-col" :: v :: t      => loop(t, acc.copy(mixCol = v))
       case "--mix-salt" :: v :: t     => loop(t, acc.copy(mixSalt = v))
       // exact-budget mixing: sample at (1+ε)·budget/tokens, then truncate
@@ -205,8 +218,13 @@ object Main {
     if (a.state.isEmpty && a.verifyExport.isEmpty)
       Left("--state <dir-uri> is required")
     else if (a.pages.isEmpty && !a.diagnose && !a.compact &&
-             a.verifyExport.isEmpty)
+             a.verifyExport.isEmpty && a.mixFrom.isEmpty)
       Left("--pages <path-or-table> is required")
+    else if (a.mixFrom.isDefined && a.pages.nonEmpty)
+      Left("--mix-from and --pages are mutually exclusive: the sources " +
+        "file IS the corpus list")
+    else if (a.mixFrom.isDefined && a.exportShards.isEmpty)
+      Left("--mix-from assembles the export corpus: add --export-shards")
     else if (!graft.actions.Actions.ValidActions.contains(a.action))
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
     else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
@@ -278,6 +296,37 @@ object Main {
       entries.collectFirst { case Left(e) => e }.toLeft {
         val m = entries.collect { case Right(kv) => kv }
         (m.filter(_._1 != "*").toMap, m.collectFirst { case ("*", v) => v })
+      }
+    } finally src.close()
+  }
+
+  /** Read a `--mix-from` sources file: one `<name> <path-or-table>` per
+    * line, `#` comments. Order-preserving, and duplicate names are an
+    * ERROR (unlike mix VALUES, where last-wins is a harmless override, a
+    * duplicated corpus line silently doubling a corpus would corrupt the
+    * mix); `*` is reserved for mix defaults and means nothing here.
+    */
+  private[graft] def readSourcesFile(path: String)
+      : Either[String, Seq[(String, String)]] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val entries = src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split("\\s+", 2) match {
+            case Array(n, p) if n != "*" => Right(n -> p.trim)
+            case Array("*", _) => Left(s"--mix-from: '*' is not a corpus name: $l")
+            case _ => Left(s"--mix-from: expected '<name> <path-or-table>': $l")
+          }
+        }.toList
+      entries.collectFirst { case Left(e) => e }.toLeft(()).flatMap { _ =>
+        val named = entries.collect { case Right(kv) => kv }
+        val dups = named.map(_._1).groupBy(identity).collect {
+          case (n, vs) if vs.size > 1 => n
+        }
+        if (dups.nonEmpty)
+          Left(s"--mix-from: duplicate corpus names: ${dups.mkString(", ")}")
+        else Right(named)
       }
     } finally src.close()
   }
@@ -496,7 +545,18 @@ object Main {
     // per-row cleaning flags replay fine, sub-document flags are rejected)
     def exportRun(dir: String): Seq[String] = {
       import org.apache.spark.sql.functions.col
-      val corpus0 = load(a.pages)
+      // the corpus is either ONE table (--pages) or a UNION of separate
+      // corpora (--mix-from), each branch loaded through the same routing /
+      // extraction / cleaning path and tagged with its corpus name — the
+      // tag then keys the mix (a.mixKeyCol defaults to it)
+      val corpus0 = a.mixFrom match {
+        case Some(f) =>
+          val sources = readSourcesFile(f)
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          graft.mix.CorpusMix.unionCorpora(
+            sources.map { case (name, path) => name -> load(path) })
+        case None => load(a.pages)
+      }
       val kept = Checkpoints.keepIds(spark, a.state) match {
         case Some(ids) => corpus0.join(
           ids.withColumnRenamed("id", a.idCol), Seq(a.idCol), "left_semi")
@@ -513,10 +573,10 @@ object Main {
           // rates above 1 = up-sampling: repeat curated sources, each copy
           // tagged with its epoch ordinal (sharded independently below)
           if ((rates.valuesIterator ++ Iterator(d)).exists(_ > 1.0))
-            (graft.mix.CorpusMix.upsampleBySourceRates(kept, a.idCol, a.mixCol,
+            (graft.mix.CorpusMix.upsampleBySourceRates(kept, a.idCol, a.mixKeyCol,
               rates, a.mixSalt, d), Seq.empty[String], Some("epoch"))
           else
-            (graft.mix.CorpusMix.sampleBySourceRates(kept, a.idCol, a.mixCol,
+            (graft.mix.CorpusMix.sampleBySourceRates(kept, a.idCol, a.mixKeyCol,
               rates, a.mixSalt, d), Seq.empty[String], None)
         case (_, Some(f)) =>
           val (budgets, _) = mixFile(f, "--mix-budgets", _.toLongOption)
@@ -525,12 +585,12 @@ object Main {
             // lines would cost a second agg, so the manifest's per-shard
             // token counts are the accounting surface here
             (graft.mix.CorpusMix.sampleThenTruncate(
-              kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt,
+              kept, a.idCol, a.textCol, a.mixKeyCol, budgets, a.mixSalt,
               headroom = a.mixHeadroom.getOrElse(0.05), tokensOf = tok),
               Seq.empty[String], None)
           else {
             val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
-              kept, a.idCol, a.textCol, a.mixCol, budgets, a.mixSalt, tok)
+              kept, a.idCol, a.textCol, a.mixKeyCol, budgets, a.mixSalt, tok)
             (df, stats.map(s =>
               s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
                 s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""), None)

@@ -116,8 +116,12 @@ object SparkEntry {
   // up-sampling rates hit every regime: integer+fraction (2.5), exactly-1,
   // pure fraction (0.25), and a zero default dropping the other 17 sources
   private val MixUpRates = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+  // A20 union-mix rates key on the corpus TAG, not a column of either table
+  private val MixUnionRates = Map("docs" -> 0.6, "parts" -> 0.35)
+  private def mixU60SqlOn(idExpr: String, salt: String): String =
+    s"CAST(('0x' || substr(sha256($idExpr || '$salt'), 1, 15)) AS UBIGINT)"
   private def mixU60Sql(salt: String): String =
-    s"CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS UBIGINT)"
+    mixU60SqlOn("CAST(doc_id AS VARCHAR)", salt)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -950,6 +954,28 @@ object SparkEntry {
         graft.mix.ShardedExport.shardOf(col("doc_id"), 8).as("shard"))
     }),
 
+    // A20 multi-corpus union mixing (beyond-reference, round 5): real
+    // training mixes draw from SEPARATE corpora, not one table's column —
+    // union two differently-shaped tables (documents; part names standing
+    // in for a second corpus), tag each with its corpus NAME, and
+    // rate-sample on the tag with the same integer-domain arithmetic.
+    // DuckDB replays the union and the thresholds verbatim: a row tagged
+    // into the wrong corpus or a keep decision diverging anywhere is a
+    // hash mismatch. Part ids get a 'p' prefix — the identity contract
+    // (ids unique ACROSS corpora) made explicit.
+    "q_mix_union" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val parts = t(s, dir, "part")
+        .select(concat(lit("p"), col("p_partkey")).as("id"),
+          col("p_name").as("text"))
+      graft.mix.CorpusMix.sampleBySourceRates(
+          graft.mix.CorpusMix.unionCorpora(
+            Seq("docs" -> docs, "parts" -> parts)),
+          "id", "source", MixUnionRates, salt = "mix-v1")
+        .select(col("id"), col("source"))
+    }),
+
     // A16 up-sampled mixing (beyond-reference, round 5): rates above 1
     // repeat curated sources — copies = floor(rate) + [u60 < frac·2^60],
     // one row per epoch ordinal via a scan-riding generator. DuckDB
@@ -1676,6 +1702,20 @@ object SparkEntry {
          |SELECT doc_id, rate_mille FROM q
          |WHERE (${mixU60Sql("mix-v1")} >> 30) * 1000
          |      < CAST(rate_mille AS UBIGINT) * 1073741824""".stripMargin,
+
+    "q_mix_union" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id, 'docs' AS source FROM documents
+         |  UNION ALL
+         |  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS id, 'parts' AS source
+         |  FROM part)
+         |SELECT id, source FROM u
+         |WHERE ${mixU60SqlOn("id", "mix-v1")}
+         |  < CASE source
+         |      WHEN 'docs' THEN ${graft.mix.CorpusMix.thresholdFor(MixUnionRates("docs"))}
+         |      WHEN 'parts' THEN ${graft.mix.CorpusMix.thresholdFor(MixUnionRates("parts"))}
+         |      ELSE 0
+         |    END""".stripMargin,
 
     "q_mix_upsample" -> {
       def cp(s: String) = graft.mix.CorpusMix.copiesFor(MixUpRates(s))

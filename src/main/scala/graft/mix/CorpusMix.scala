@@ -59,6 +59,36 @@ object CorpusMix {
     math.floor(rate * Unit60.toDouble).toLong
   }
 
+  /** Assemble ONE corpus from several — real training mixes draw from
+    * SEPARATE corpora (a crawl snapshot, a curated encyclopedia, a code
+    * dump), not from one table's column: tag each frame with its corpus
+    * name in `sourceCol` and union them by column NAME, missing columns
+    * filling null (corpora rarely share more than (id, text) — the export
+    * needs nothing else, and a shared extra column passes through where
+    * present). The tag then keys every downstream mix decision
+    * ([[sampleBySourceRates]] rates, [[mixByTokenBudget]] budgets,
+    * [[upsampleBySourceRates]] epochs) exactly as a column-derived source
+    * would.
+    *
+    * Scale shape: a union is a plan-level concatenation — zero exchange,
+    * zero join; each branch keeps its OWN pushdown and column pruning
+    * (a filter over the union dups into every branch's scan), and the tag
+    * ships as a per-branch plan literal. Identity contract: the id column
+    * must be unique ACROSS corpora (web-corpus ids are urls, which are;
+    * corpora that can collide should pre-prefix ids with the corpus name)
+    * — two corpora sharing an id would share every u60 draw downstream:
+    * same keep/drop fate, same shard, adjacent rows.
+    */
+  def unionCorpora(corpora: Seq[(String, DataFrame)],
+                   sourceCol: String = "source"): DataFrame = {
+    require(corpora.nonEmpty, "unionCorpora needs at least one corpus")
+    val names = corpora.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate corpus names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    corpora.map { case (name, df) => df.withColumn(sourceCol, lit(name)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Keep each row iff u60(id, salt) < floor(rate(source) * 2^60).
     * `rates` is a CONFIG artifact (a handful of curated weights), shipped
     * as plan literals — the filter is per-row, zero exchange. Sources

@@ -138,6 +138,19 @@ class EntrySpec extends SparkTestBase {
     // --verify-export is standalone: needs neither --pages nor --state
     assert(Main.parse(Seq("--verify-export", "/out"))
       .exists(_.verifyExport.contains("/out")))
+    // --mix-from unions separate corpora IN PLACE OF --pages, and the mix
+    // key defaults to the corpus tag
+    assert(Main.parse(Seq("--mix-from", "/srcs", "--state", "/s",
+      "--export-shards", "/out")).exists(a =>
+      a.mixFrom.contains("/srcs") && a.mixKeyCol == "source"))
+    assert(Main.parse(Seq("--mix-from", "/srcs", "--state", "/s")).isLeft)
+    assert(Main.parse(Seq("--mix-from", "/srcs", "--pages", "/p",
+      "--state", "/s", "--export-shards", "/out")).isLeft)
+    assert(Main.parse(Seq("--mix-from", "/srcs", "--state", "/s",
+      "--export-shards", "/out", "--mix-col", "lang"))
+      .exists(_.mixKeyCol == "lang"))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s"))
+      .exists(_.mixKeyCol == "lang"))
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

@@ -223,6 +223,42 @@ class MixSpec extends SparkTestBase {
       === kept.select("url").as[String].collect().sorted.toSeq)
   }
 
+  test("union corpora: tag + align by name; sampling keys on the tag") {
+    // corpus A carries an extra column corpus B lacks — unionByName fills null
+    val a = spark.range(400).select(
+      concat(lit("http://a"), col("id"), lit(".test/")).as("url"),
+      lit("alpha body words").as("text"), lit("en").as("lang"))
+    val b = spark.range(400).select(
+      concat(lit("http://b"), col("id"), lit(".test/")).as("url"),
+      lit("beta body").as("text"))
+    val u = CorpusMix.unionCorpora(Seq("web" -> a, "books" -> b))
+    assert(u.count() === 800)
+    assert(u.filter(col("source") === "books").filter(col("lang").isNotNull)
+      .count() === 0)
+    assert(u.filter(col("source") === "web").filter(col("lang") =!= "en")
+      .count() === 0)
+    // sampling the union ≡ sampling each corpus alone: the tag is the key
+    // and decisions are per-row, so assembly order cannot leak into fates
+    val rates = Map("web" -> 0.7, "books" -> 0.2)
+    val whole = CorpusMix.sampleBySourceRates(u, "url", "source", rates, "mix-v1")
+      .select("url").as[String].collect().toSet
+    val apart = Seq("web" -> a, "books" -> b).map { case (n, df) =>
+      CorpusMix.sampleBySourceRates(CorpusMix.unionCorpora(Seq(n -> df)),
+        "url", "source", rates, "mix-v1")
+        .select("url").as[String].collect().toSet
+    }.reduce(_ ++ _)
+    assert(whole === apart)
+    // scale shape: union + tag + sample is still scan-riding — no exchange
+    val plan = CorpusMix.sampleBySourceRates(u, "url", "source", rates, "mix-v1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"union mixing must stay per-row over unioned scans:\n$plan")
+    // a silently doubled corpus would corrupt the mix: duplicate names throw
+    intercept[IllegalArgumentException] {
+      CorpusMix.unionCorpora(Seq("web" -> a, "web" -> b))
+    }
+  }
+
   test("shard assignment: uniform, in-range, salt-independent of the mix") {
     val df = corpus(4000)
     val counts = df.select(ShardedExport.shardOf(col("url"), 8).as("shard"))
@@ -449,5 +485,50 @@ class MixSpec extends SparkTestBase {
     val vBad = Main.run(spark, Main.parse(Seq("--verify-export", out5)).toOption.get)
     assert(vBad.exists(l => l.contains(""""verified":false""") &&
       l.contains("13 docs")), vBad)
+  }
+
+  test("--mix-from CLI: separate corpora union under tag-keyed rates") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val cA = tmp("graft-mixfrom-a"); val cB = tmp("graft-mixfrom-b")
+    (0 until 8).map(i => (s"http://a$i.test/", s"alpha$i beta$i gamma$i"))
+      .toDF("url", "text").write.mode("overwrite").parquet(cA)
+    (0 until 8).map(i => (s"http://b$i.test/", s"delta$i epsilon$i"))
+      .toDF("url", "text").write.mode("overwrite").parquet(cB)
+    val srcs = java.nio.file.Files.createTempFile("graft-sources", ".txt")
+    java.nio.file.Files.write(srcs,
+      s"# corpora\nweb $cA\nbooks $cB\n".getBytes("UTF-8"))
+    val rates = java.nio.file.Files.createTempFile("graft-mf-rates", ".txt")
+    java.nio.file.Files.write(rates, "web 1.0\nbooks 1.0\n".getBytes("UTF-8"))
+    // fresh state (no epoch has run): the export is verdict-unfiltered
+    val state = tmp("graft-mixfrom-state")
+    val out = tmp("graft-mixfrom-out")
+    Main.run(spark, Main.parse(Seq("--mix-from", srcs.toString,
+      "--state", state, "--export-shards", out, "--n-shards", "2",
+      "--mix-rates", rates.toString)).toOption.get)
+    val got = spark.read.parquet(out)
+    assert(got.count() === 16)
+    assert(got.filter(col("source") === "web").count() === 8)
+    assert(got.filter(col("source") === "books").count() === 8)
+    // rates key on the corpus TAG: an unlisted corpus drops wholesale
+    val rOnly = java.nio.file.Files.createTempFile("graft-mf-only", ".txt")
+    java.nio.file.Files.write(rOnly, "web 1.0\n".getBytes("UTF-8"))
+    val out2 = tmp("graft-mixfrom-only")
+    Main.run(spark, Main.parse(Seq("--mix-from", srcs.toString,
+      "--state", state, "--export-shards", out2, "--n-shards", "2",
+      "--mix-rates", rOnly.toString)).toOption.get)
+    val only = spark.read.parquet(out2)
+    assert(only.count() === 8)
+    assert(only.filter(col("source") =!= "web").count() === 0)
+    // the standalone verifier accepts the union export's accounting
+    val (issues, vd, _) = ShardedExport.verifyExport(spark, out)
+    assert(issues.isEmpty && vd === 16L, issues)
+    // sources-file hygiene: duplicate corpus names and '*' are errors
+    assert(Main.readSourcesFile(srcs.toString).isRight)
+    val dup = java.nio.file.Files.createTempFile("graft-mf-dup", ".txt")
+    java.nio.file.Files.write(dup, s"web $cA\nweb $cB\n".getBytes("UTF-8"))
+    assert(Main.readSourcesFile(dup.toString).isLeft)
+    val star = java.nio.file.Files.createTempFile("graft-mf-star", ".txt")
+    java.nio.file.Files.write(star, s"* $cA\n".getBytes("UTF-8"))
+    assert(Main.readSourcesFile(star.toString).isLeft)
   }
 }
