@@ -207,7 +207,8 @@ object Bench {
 
     val headline = Seq("q_dedup_clusters", "q_minhash_lsh_pairs", "q_exact_dedup",
       "q1_agg", "q_embedding_knn", "q_ngram_jaccard", "q_events_hourly",
-      "q_token_count", "q_window_top1", "q_para_dedup", "q_url_canon")
+      "q_token_count", "q_window_top1", "q_para_dedup", "q_url_canon",
+      "q_semdedup")
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()

@@ -95,6 +95,108 @@ object SparkEntry {
         lit(recall >= recallBound).as(recallCol))
   }
 
+  /** PER-VECTOR invariant frame for [[Ann.semDeDup]] (A22). Same contract
+    * as [[annInvariants]]: one row per input vec_id, every boolean pinned
+    * TRUE by a DuckDB oracle that independently enumerates the vec_id set.
+    * The τ-edge set is RECOMPUTED here from the raw vectors with plain SQL
+    * building blocks only (posexplode → integer dot → norms → round-6
+    * cosine), scoped to the operator's own cell assignment — none of
+    * Ann.scala's helpers participate — so the checks are
+    * cross-implementation, not self-agreement:
+    *  - covered: the verdict has exactly one row for this vector;
+    *  - one_keep: its component keeps exactly one member, and kept_by is
+    *    constant across the component;
+    *  - keeper_farthest: the kept member minimizes (centroid_cos, id) —
+    *    the SemDeDup keeper rule, checked against the verdict's own
+    *    centroid column;
+    *  - dropped_connected: a dropped vector has ≥1 independent τ-edge
+    *    (nothing is ever discarded without evidence);
+    *  - edges_within_cluster: no independent τ-edge crosses components —
+    *    an edge the operator MISSED would put its endpoints in different
+    *    components and flip both rows;
+    *  - exact_dups_coclustered: vectors with bit-identical quantized
+    *    embeddings share a component (the recall floor: cos=1 pairs can
+    *    never be split, since identical vectors always land in the same
+    *    cell and pair at cosine 1).
+    */
+  private[graft] def semDedupInvariants(s: SparkSession, vecs: DataFrame,
+                            op: DataFrame => DataFrame, tau: Double): DataFrame = {
+    val out = op(vecs).localCheckpoint()
+    // an output row whose id is NOT in vecs would be invisible to the
+    // per-id joins below (they start from the vecs side) — a phantom-id
+    // count folded into `covered` makes any insertion flip every row,
+    // while deletions stay per-row local through n_rows
+    val noPhantoms = out.join(
+      vecs.select(col("vec_id").as("id")), Seq("id"), "left_anti").isEmpty
+
+    // independent τ-edge recompute within the operator's cells
+    val q = vecs.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "idx", "v")
+      .select(col("vec_id"), col("idx"),
+        round(col("v").cast("double") * 1000).cast("long").as("qv"))
+    val norms = q.groupBy("vec_id")
+      .agg(sqrt(sum(col("qv") * col("qv")).cast("double")).as("nrm"))
+    val withCell = q.join(out.select(col("id").as("vec_id"), col("cell")), "vec_id")
+    val edges = withCell
+      .select(col("cell"), col("idx"), col("vec_id").as("a"), col("qv").as("qa"))
+      .join(withCell.select(col("cell"), col("idx"),
+        col("vec_id").as("b"), col("qv").as("qb")), Seq("cell", "idx"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("qa") * col("qb")).as("dot"))
+      .join(norms.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
+      .withColumn("cos",
+        round(when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(col("dot").cast("double") / (col("na") * col("nb"))), 6))
+      .filter(col("cos") >= tau)
+      .select("a", "b").localCheckpoint()
+
+    // per-component aggregates from the verdict
+    val perCluster = out.groupBy("sem_cluster").agg(
+      (sum(when(col("keep"), 1).otherwise(0)) === 1 &&
+        countDistinct(col("kept_by")) === 1).as("c_one_keep"),
+      (min(struct(col("centroid_cos"), col("id"))).getField("id")
+        === first(col("kept_by"))).as("c_keeper_farthest"))
+
+    // endpoint sets from the independent edges
+    val connected = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+      .withColumn("has_edge", lit(true))
+    val crossing = edges
+      .join(out.select(col("id").as("a"), col("sem_cluster").as("ca")), "a")
+      .join(out.select(col("id").as("b"), col("sem_cluster").as("cb")), "b")
+      .filter(col("ca") =!= col("cb"))
+    val crossingIds = crossing.select(col("a").as("id"))
+      .union(crossing.select(col("b").as("id"))).distinct()
+      .withColumn("crosses", lit(true))
+
+    // exact-duplicate groups: bit-identical quantized embeddings
+    val vhash = vecs.select(col("vec_id"),
+      xxhash64(transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long"))).as("vh"))
+    val dupGroups = vhash
+      .join(out.select(col("id").as("vec_id"), col("sem_cluster")), "vec_id")
+      .groupBy("vh").agg(countDistinct(col("sem_cluster")).as("n_comp"))
+
+    vecs.select(col("vec_id").as("id")).join(vhash.withColumnRenamed("vec_id", "id"), "id")
+      .join(out.groupBy("id").agg(count(lit(1)).as("n_rows"),
+        first(col("sem_cluster")).as("sem_cluster"), first(col("keep")).as("keep"),
+        first(col("kept_by")).as("kept_by")), Seq("id"), "left")
+      .join(perCluster, Seq("sem_cluster"), "left")
+      .join(connected, Seq("id"), "left")
+      .join(crossingIds, Seq("id"), "left")
+      .join(dupGroups, Seq("vh"), "left")
+      .select(col("id"),
+        (lit(noPhantoms) && coalesce(col("n_rows"), lit(0L)) === 1 &&
+          col("keep") === (col("id") === col("kept_by"))).as("covered"),
+        coalesce(col("c_one_keep"), lit(false)).as("one_keep"),
+        coalesce(col("c_keeper_farthest"), lit(false)).as("keeper_farthest"),
+        (col("keep") || coalesce(col("has_edge"), lit(false)))
+          .as("dropped_connected"),
+        (!coalesce(col("crosses"), lit(false))).as("edges_within_cluster"),
+        (coalesce(col("n_comp"), lit(0L)) === 1).as("exact_dups_coclustered"))
+  }
+
   /** Flagship query: full near-dup detection + clustering over the
     * deterministic synthetic pages corpus (BASELINE.json input_hint shape).
     * Driver smoke-checks rows > 0.
@@ -788,6 +890,17 @@ object SparkEntry {
       t(s, dir, "embeddings"),
       e => Ann.ivfKnn(e, "vec_id", "embedding", k = 3, nProbe = 12),
       recallBound = 0.80, recallCol = "recall_ge_080")),
+
+    // A22 SemDeDup (beyond-reference, round 5): semantic dedup — cluster
+    // embeddings with the IVF k-means, τ-edge within cells, union-find the
+    // components, keep the farthest-from-centroid member. τ=0.35 sits in
+    // this corpus's real neighbor band (top cosines 0.26-0.51), so the
+    // verdict has genuine multi-member components to exercise the keeper
+    // rule and connectivity invariants on, not just singletons.
+    "q_semdedup" -> ((s, dir) => semDedupInvariants(s,
+      t(s, dir, "embeddings"),
+      e => Ann.semDeDup(e, "vec_id", "embedding", tau = 0.35, nCells = 12),
+      tau = 0.35)),
 
     // ── events: windowed/sessionized aggregation ────────────────────────
 
@@ -1521,6 +1634,12 @@ object SparkEntry {
 
     "q_ann_lsh" -> annInvariantOracle("recall_ge_090"),
     "q_ann_ivf" -> annInvariantOracle("recall_ge_080"),
+
+    "q_semdedup" ->
+      """SELECT vec_id AS id, true AS covered, true AS one_keep,
+        |       true AS keeper_farthest, true AS dropped_connected,
+        |       true AS edges_within_cluster, true AS exact_dups_coclustered
+        |FROM embeddings""".stripMargin,
 
     "q_embedding_knn" ->
       """WITH q AS (

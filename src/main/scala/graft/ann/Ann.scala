@@ -341,4 +341,72 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication over embeddings, the diversity-preserving leg the
+    * lexical passes (MinHash/SimHash/suffix-array) cannot see: two
+    * documents phrased completely differently but meaning the same thing
+    * share no shingles, yet their embeddings are near-parallel.
+    *
+    * The paper's recipe, re-expressed on the pieces this engine already
+    * has: (1) coarse-cluster the corpus — here the [[ivfIndex]] k-means
+    * (deterministic hash-sampled seeds + Lloyd rounds, bit-stable across
+    * partitionings); (2) within each cluster only, mark pairs with cosine
+    * ≥ `tau` as semantic duplicates; (3) resolve the duplicate components
+    * with the SAME distributed union-find the text pipeline uses; (4) keep
+    * exactly ONE member per component — the member FARTHEST from its cell
+    * centroid (the paper's keeper choice: extreme points preserve corpus
+    * diversity; ties break on id asc so the verdict is total).
+    *
+    * Output, one row per input vector:
+    * (id, cell, centroid_cos, sem_cluster, kept_by, keep) — singletons
+    * (no ≥tau neighbor in their cell) keep themselves.
+    *
+    * Scale shape: pairing is CONFINED to cells (Θ(n²/k) per cell instead
+    * of n², and k auto-sizes to √n), each inverted list is hard-capped at
+    * `maxListSize` members with logged drops (a capped-out member can
+    * only become a singleton keep — never a crash, never a quadratic
+    * task); the pair join runs on bare (cell, id) with vectors re-joined
+    * per surviving pair for scoring; the union-find iterates on dense
+    * codes. Approximation contract (the paper's own): duplicates split
+    * across DIFFERENT cells are missed — recall grows with fewer, larger
+    * cells, cost with the square of cell size.
+    */
+  def semDeDup(vecs: DataFrame, idCol: String, vecCol: String, tau: Double,
+               nCells: Int = 0, maxListSize: Int = 100000, kmeansIters: Int = 2,
+               mat: graft.state.Materializer = graft.state.Materializer.local)
+      : DataFrame = {
+    val idx = ivfIndex(vecs, idCol, vecCol, nCells, maxListSize, kmeansIters, mat)
+    // cell assignment + centroid similarity (pairCos already rounds to 6dp,
+    // so the keeper ordering is bit-stable across engines/partitionings)
+    val assign = idx.ranked.filter(col("crank") === 1)
+      .select(col("id"), col("cell"), col("csim").as("centroid_cos"))
+    // within-cell unordered candidate pairs on SLIM ids; quantized vectors
+    // re-join (from the already-built lists) only to score survivors
+    val members = idx.lists.select(col("cell"), col("nbr_id"))
+    val pairs = members.select(col("cell"), col("nbr_id").as("id_a"))
+      .join(members.select(col("cell"), col("nbr_id").as("id_b")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val qa = idx.lists.select(col("nbr_id").as("id_a"),
+      col("qw").as("qva"), col("nr").as("na"))
+    val qb = idx.lists.select(col("nbr_id").as("id_b"),
+      col("qw").as("qvb"), col("nr").as("nb"))
+    val edges = pairs.join(qa, "id_a").join(qb, "id_b")
+      .withColumn("cos", pairCos(col("na"), col("nb"), qdot(col("qva"), col("qvb"))))
+      .filter(col("cos") >= tau)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comp = graft.cluster.Clustering.clusters(
+        vecs.sparkSession, assign.select("id"), "id", edges, mat = mat)
+      .withColumnRenamed("cluster_id", "sem_cluster")
+    // keeper = farthest-from-centroid member (centroid_cos asc, id asc):
+    // one window pass labels every member with its component's keeper
+    val w = Window.partitionBy("sem_cluster")
+      .orderBy(col("centroid_cos").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    assign.join(comp, "id")
+      .withColumn("kept_by", first(col("id")).over(w))
+      .withColumn("keep", col("id") === col("kept_by"))
+      .select("id", "cell", "centroid_cos", "sem_cluster", "kept_by", "keep")
+  }
 }

@@ -218,4 +218,96 @@ class AnnSpec extends SparkTestBase {
     val pairs = Ann.embeddingNearDups(z, "vec_id", "embedding", -1.0).collect()
     assert(pairs.length == 1 && pairs(0).getDouble(2) == 0.0)
   }
+
+  test("semdedup: one keeper per semantic component, farthest-from-centroid rule") {
+    // plant exact duplicates of vectors 0 and 1 under fresh ids: the recall
+    // floor (cos=1 pairs can never split) must hold end-to-end
+    val dups = vecs.filter(col("vec_id") < 2)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val corpus = vecs.union(dups).cache()
+    val out = Ann.semDeDup(corpus, "vec_id", "embedding", tau = 0.9, nCells = 3)
+      .cache()
+    assert(out.count() === 62)
+    // the 3 planted clusters are tight (within-cluster cos ≈ 0.99) and far
+    // apart (cross cos ≈ 0.15): at τ=0.9 components can FRAGMENT when a
+    // planted cluster straddles a cell boundary (the paper's documented
+    // cross-cell miss) but can never MERGE across planted clusters — so
+    // the component count sits in [3, 6] and every component is PURE
+    val nComps = out.select("sem_cluster").distinct().count()
+    assert(nComps >= 3 && nComps <= 6, s"components: $nComps")
+    assert(out.filter(col("keep")).count() === nComps) // one keeper each
+    val planted = when(col("id") >= 1000L, (col("id") - 1000L) % 3)
+      .otherwise(col("id") % 3)
+    val impure = out.withColumn("p", planted).groupBy("sem_cluster")
+      .agg(countDistinct(col("p")).as("np")).filter(col("np") > 1).count()
+    assert(impure === 0, "a semantic component merged across planted clusters")
+    // keeper rule: the kept member minimizes (centroid_cos, id)
+    val viol = out.groupBy("sem_cluster").agg(
+        min(struct(col("centroid_cos"), col("id"))).getField("id").as("want"),
+        first(col("kept_by")).as("got"))
+      .filter(col("want") =!= col("got")).count()
+    assert(viol === 0)
+    // exact duplicates share a component, always
+    val c0 = out.filter(col("id").isin(0L, 1000L))
+      .select("sem_cluster").distinct().count()
+    val c1 = out.filter(col("id").isin(1L, 1001L))
+      .select("sem_cluster").distinct().count()
+    assert(c0 === 1 && c1 === 1)
+    // the verdict is partition-layout independent (hash seeds, quantized
+    // arithmetic and the keeper window are all deterministic)
+    val again = Ann.semDeDup(corpus.repartition(7), "vec_id", "embedding",
+      tau = 0.9, nCells = 3).collect().map(_.toString).sorted
+    assert(again.sameElements(out.collect().map(_.toString).sorted))
+  }
+
+  test("semdedup invariants are cross-implementation: injected faults flip real rows") {
+    import org.apache.spark.sql.DataFrame
+    val clean = Ann.semDeDup(vecs, "vec_id", "embedding", tau = 0.9, nCells = 3)
+      .localCheckpoint()
+    def inv(tamper: DataFrame => DataFrame) =
+      SparkEntry.semDedupInvariants(spark, vecs, _ => tamper(clean), tau = 0.9)
+        .cache()
+    val allCols = Seq("covered", "one_keep", "keeper_farthest",
+      "dropped_connected", "edges_within_cluster", "exact_dups_coclustered")
+    val ok = inv(identity)
+    assert(ok.filter(allCols.map(c => !col(c)).reduce(_ || _)).count() === 0)
+
+    // a dropped member of a multi-member component, and its keeper
+    val dropped = clean.filter(!col("keep")).select("id", "sem_cluster", "kept_by")
+      .orderBy("id").first()
+    val (dId, dComp) = (dropped.getLong(0), dropped.getLong(1))
+
+    // (1) flipped keep bit: the component now keeps two → one_keep flips
+    // for its members, and the flipped row's verdict is self-inconsistent
+    val twoKeeps = inv(df => df.withColumn("keep",
+      when(col("id") === dId, lit(true)).otherwise(col("keep"))))
+    assert(twoKeeps.filter(col("id") === dId &&
+      (!col("one_keep") || !col("covered"))).count() === 1)
+
+    // (2) a member reassigned to a phantom component: its τ-edges now
+    // cross components → edges_within_cluster flips on that row
+    val moved = inv(df => df.withColumn("sem_cluster",
+      when(col("id") === dId, lit(999999L)).otherwise(col("sem_cluster"))))
+    assert(moved.filter(col("id") === dId && !col("edges_within_cluster"))
+      .count() === 1)
+
+    // (3) a vector dropped from the verdict entirely: covered flips for it
+    val gone = inv(df => df.filter(col("id") =!= dId))
+    assert(gone.filter(col("id") === dId && !col("covered")).count() === 1)
+    assert(gone.filter(col("id") =!= dId && !col("covered")).count() === 0)
+
+    // (4) a phantom row under an id not in the corpus: the per-id joins
+    // cannot see it, so the global anti-join flips covered EVERYWHERE
+    val phantomRow = inv(df => df.union(
+      df.filter(col("id") === dId).withColumn("id", lit(777777L))))
+    assert(phantomRow.filter(!col("covered")).count() === ok.count())
+
+    // (5) kept_by pointing at a non-keeper: the keeper-rule recheck flips
+    // for the whole component (countDistinct(kept_by) breaks)
+    val badRef = inv(df => df.withColumn("kept_by",
+      when(col("id") === dId, col("id")).otherwise(col("kept_by"))))
+    assert(badRef.filter(col("id") === dId &&
+      (!col("one_keep") || !col("covered"))).count() === 1)
+    assert(dComp >= 0L) // silence unused warning paths on tiny fixtures
+  }
 }
