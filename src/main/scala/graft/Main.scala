@@ -69,6 +69,8 @@ object Main {
       packLen: Option[Int] = None,
       tokenMetric: String = "ws",
       exportFormat: String = "parquet",
+      embeddings: Option[String] = None,
+      semdedupTau: Option[Double] = None,
       verifyExport: Option[String] = None) {
     /** The column mix rates/budgets key on: an explicit --mix-col wins;
       * a --mix-from union keys on its corpus tag; else the lang column.
@@ -202,6 +204,13 @@ object Main {
       // the unit budgets / n_tokens / the pack plan count in: whitespace
       // words (default) or the BPE-ish subword count for model-token budgets
       case "--token-metric" :: v :: t => loop(t, acc.copy(tokenMetric = v))
+      // semantic dedup at export (A22 SemDeDup): drop the ids the
+      // embedding-space verdict votes out; the table must carry the corpus
+      // id column plus an `embedding` array<float> column
+      case "--embeddings" :: v :: t => loop(t, acc.copy(embeddings = Some(v)))
+      case "--semdedup-tau" :: v :: t =>
+        v.toDoubleOption.toRight(s"--semdedup-tau: not a number: $v")
+          .flatMap(d => loop(t, acc.copy(semdedupTau = Some(d))))
       // loader container: parquet (default; prunable read-back, pack plans)
       // or gzipped json-lines (the loader lingua franca; observe-fused stats)
       case "--export-format" :: v :: t => loop(t, acc.copy(exportFormat = v))
@@ -229,6 +238,14 @@ object Main {
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
     else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
       Left("--jaccard must be in (0, 1]")
+    else if (a.semdedupTau.exists(tau => tau <= 0 || tau > 1))
+      Left("--semdedup-tau must be in (0, 1]")
+    else if (a.semdedupTau.isDefined && a.embeddings.isEmpty)
+      Left("--semdedup-tau needs --embeddings <path-or-table>")
+    else if (a.embeddings.isDefined && a.semdedupTau.isEmpty)
+      Left("--embeddings has no effect without --semdedup-tau")
+    else if (a.semdedupTau.isDefined && a.exportShards.isEmpty)
+      Left("--semdedup-tau is an export-stage filter: add --export-shards")
     else if (!Set("html", "html-paras", "plaintext").contains(a.extractor))
       Left("--extractor must be html, html-paras or plaintext")
     else if (!Set("auto", "parquet", "table", "warc").contains(a.pagesFormat))
@@ -365,7 +382,7 @@ object Main {
           "--state <dir-uri> --diagnose | --state <dir-uri> --compact | " +
           "--pages <t> --state <s> --export-shards <dir> [--n-shards <n>] " +
           "[--mix-rates <file> | --mix-budgets <file>] [--mix-col lang] " +
-          "[--mix-salt <s>]")
+          "[--mix-salt <s>] [--embeddings <t> --semdedup-tau <0..1>]")
       sys.exit(2)
     case Right(a) =>
       // spark-submit provides the master (spark.master system property);
@@ -557,10 +574,21 @@ object Main {
             sources.map { case (name, path) => name -> load(path) })
         case None => load(a.pages)
       }
-      val kept = Checkpoints.keepIds(spark, a.state) match {
+      val lexKept = Checkpoints.keepIds(spark, a.state) match {
         case Some(ids) => corpus0.join(
           ids.withColumnRenamed("id", a.idCol), Seq(a.idCol), "left_semi")
         case None => corpus0 // no epoch has run: export unfiltered
+      }
+      // semantic dedup (A22 SemDeDup): drop the ids the embedding-space
+      // verdict votes out. Docs WITHOUT an embedding row carry no evidence
+      // and survive, so the verdict applies as an anti-join on the DROPPED
+      // id set — slim ids, the same shuffle shape as the state verdict
+      val kept = (a.embeddings, a.semdedupTau) match {
+        case (Some(ep), Some(tau)) =>
+          val verdict = graft.ann.Ann.semDeDup(load(ep), a.idCol, "embedding", tau)
+          lexKept.join(verdict.filter(!col("keep")).select(col("id").as(a.idCol)),
+            Seq(a.idCol), "left_anti")
+        case _ => lexKept
       }
       def mixFile[V](p: String, what: String, parse: String => Option[V]) =
         readMixFile(p, what, parse)

@@ -151,6 +151,21 @@ class EntrySpec extends SparkTestBase {
       .exists(_.mixKeyCol == "lang"))
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s"))
       .exists(_.mixKeyCol == "lang"))
+    // --semdedup-tau applies the embedding verdict at export: needs its
+    // embeddings table, an export target, and a tau in (0, 1]
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--embeddings", "/e",
+      "--semdedup-tau", "0.8")).exists(a =>
+      a.embeddings.contains("/e") && a.semdedupTau.contains(0.8)))
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--semdedup-tau", "0.8")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--embeddings", "/e")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--embeddings", "/e", "--semdedup-tau", "0.8")).isLeft)
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--embeddings", "/e",
+      "--semdedup-tau", "1.5")).isLeft)
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

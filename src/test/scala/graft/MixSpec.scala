@@ -487,6 +487,32 @@ class MixSpec extends SparkTestBase {
       l.contains("13 docs")), vBad)
   }
 
+  test("--semdedup-tau CLI: the embedding verdict drops semantic dups at export") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val corp = tmp("graft-sem-corpus")
+    (0 until 6).map(i => (s"http://d$i.test/", s"body $i unique words $i"))
+      .toDF("url", "text").write.mode("overwrite").parquet(corp)
+    // d0 and d1 carry identical embeddings (semantic dups), d2-d4 are
+    // orthogonal, d5 has NO embedding row — no evidence, must survive
+    val emb = tmp("graft-sem-emb")
+    Seq(
+      ("http://d0.test/", Seq(1f, 0f, 0f, 0f)),
+      ("http://d1.test/", Seq(1f, 0f, 0f, 0f)),
+      ("http://d2.test/", Seq(0f, 1f, 0f, 0f)),
+      ("http://d3.test/", Seq(0f, 0f, 1f, 0f)),
+      ("http://d4.test/", Seq(0f, 0f, 0f, 1f)))
+      .toDF("url", "embedding").write.mode("overwrite").parquet(emb)
+    val state = tmp("graft-sem-state"); val out = tmp("graft-sem-out")
+    Main.run(spark, Main.parse(Seq("--pages", corp, "--state", state,
+      "--export-shards", out, "--n-shards", "2",
+      "--embeddings", emb, "--semdedup-tau", "0.95")).toOption.get)
+    val got = spark.read.parquet(out).select("url").as[String].collect().toSet
+    assert(got.size === 5, got)
+    assert(got.count(u => u == "http://d0.test/" || u == "http://d1.test/") === 1)
+    assert(Set("http://d2.test/", "http://d3.test/", "http://d4.test/",
+      "http://d5.test/").subsetOf(got))
+  }
+
   test("--mix-from CLI: separate corpora union under tag-keyed rates") {
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val cA = tmp("graft-mixfrom-a"); val cB = tmp("graft-mixfrom-b")
