@@ -260,6 +260,16 @@ class AnnSpec extends SparkTestBase {
     assert(again.sameElements(out.collect().map(_.toString).sorted))
   }
 
+  test("semdedup: zero tau-edges leave everyone a singleton keeper") {
+    val ortho = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.semDeDup(ortho, "vec_id", "embedding", tau = 0.5, nCells = 2)
+    assert(out.count() === 4)
+    assert(out.filter(col("keep")).count() === 4)
+    assert(out.filter(col("sem_cluster") =!= col("id")).count() === 0)
+  }
+
   test("semdedup invariants are cross-implementation: injected faults flip real rows") {
     import org.apache.spark.sql.DataFrame
     val clean = Ann.semDeDup(vecs, "vec_id", "embedding", tau = 0.9, nCells = 3)
