@@ -236,9 +236,12 @@ object Main {
       Left("--mix-from assembles the export corpus: add --export-shards")
     else if (!graft.actions.Actions.ValidActions.contains(a.action))
       Left(s"--action must be one of ${graft.actions.Actions.ValidActions.mkString("/")}")
-    else if (a.jaccardThreshold.exists(j => j <= 0 || j > 1))
+    else if (a.jaccardThreshold.exists(j => j.isNaN || j <= 0 || j > 1))
       Left("--jaccard must be in (0, 1]")
-    else if (a.semdedupTau.exists(tau => tau <= 0 || tau > 1))
+    // NaN fails every comparison, so 'tau <= 0 || tau > 1' alone would
+    // accept it and turn the whole pass into a silent no-op (cos >= NaN
+    // is never true) — reject it explicitly
+    else if (a.semdedupTau.exists(tau => tau.isNaN || tau <= 0 || tau > 1))
       Left("--semdedup-tau must be in (0, 1]")
     else if (a.semdedupTau.isDefined && a.embeddings.isEmpty)
       Left("--semdedup-tau needs --embeddings <path-or-table>")
@@ -380,7 +383,8 @@ object Main {
           "[--state-buckets <n>] [--delta-cluster] [--texts-from <path-or-table>] " +
           "[--pages-format auto|parquet|table|warc] | " +
           "--state <dir-uri> --diagnose | --state <dir-uri> --compact | " +
-          "--pages <t> --state <s> --export-shards <dir> [--n-shards <n>] " +
+          "(--pages <t> | --mix-from <sources-file>) --state <s> " +
+          "--export-shards <dir> [--n-shards <n>] " +
           "[--mix-rates <file> | --mix-budgets <file>] [--mix-col lang] " +
           "[--mix-salt <s>] [--embeddings <t> --semdedup-tau <0..1>]")
       sys.exit(2)
@@ -585,7 +589,18 @@ object Main {
       // id set — slim ids, the same shuffle shape as the state verdict
       val kept = (a.embeddings, a.semdedupTau) match {
         case (Some(ep), Some(tau)) =>
-          val verdict = graft.ann.Ann.semDeDup(load(ep), a.idCol, "embedding", tau)
+          // the side table reads RAW (parquet path or catalog table) —
+          // never through the corpus routing/extraction/cleaning path,
+          // which expects page columns the embeddings table doesn't have
+          val emb = PagesIO.read(spark, ep, "auto")
+          // and the verdict forms over the EXPORT CANDIDATES only: an
+          // embedding whose doc the lexical verdict already dropped (or
+          // that is not in this corpus at all) must not join a component —
+          // it could win the keeper election for docs it cannot represent,
+          // and the whole component would silently vanish from the export
+          val candidates = emb.join(
+            lexKept.select(a.idCol), Seq(a.idCol), "left_semi")
+          val verdict = graft.ann.Ann.semDeDup(candidates, a.idCol, "embedding", tau)
           lexKept.join(verdict.filter(!col("keep")).select(col("id").as(a.idCol)),
             Seq(a.idCol), "left_anti")
         case _ => lexKept

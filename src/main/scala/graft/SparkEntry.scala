@@ -117,10 +117,15 @@ object SparkEntry {
     *  - exact_dups_coclustered: vectors with bit-identical quantized
     *    embeddings share a component (the recall floor: cos=1 pairs can
     *    never be split, since identical vectors always land in the same
-    *    cell and pair at cosine 1).
+    *    cell and pair at cosine 1). Zero-norm duplicates are exempt
+    *    (pairCos defines their cosine as 0 — they legitimately stay
+    *    apart), as are members beyond the operator's inverted-list cap
+    *    (they pair with no one by spec; the checker replicates the
+    *    deterministic cap rank via `maxListSize`).
     */
   private[graft] def semDedupInvariants(s: SparkSession, vecs: DataFrame,
-                            op: DataFrame => DataFrame, tau: Double): DataFrame = {
+                            op: DataFrame => DataFrame, tau: Double,
+                            maxListSize: Int = 100000): DataFrame = {
     val out = op(vecs).localCheckpoint()
     // an output row whose id is NOT in vecs would be invisible to the
     // per-id joins below (they start from the vecs side) — a phantom-id
@@ -136,7 +141,18 @@ object SparkEntry {
         round(col("v").cast("double") * 1000).cast("long").as("qv"))
     val norms = q.groupBy("vec_id")
       .agg(sqrt(sum(col("qv") * col("qv")).cast("double")).as("nrm"))
+    // replicate the operator's DETERMINISTIC inverted-list cap (its
+    // documented spec: the xxhash64-ranked first maxListSize members of
+    // each cell pair, the rest become singleton keeps) — without this, a
+    // triggered cap would make the recompute see edges the operator is
+    // defined NOT to score, failing a correct run
+    val listed = out.select(col("id"), col("cell"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("cell").orderBy(xxhash64(col("id")), col("id"))))
+      .filter(col("lrank") <= maxListSize)
+      .select(col("id").as("vec_id"))
     val withCell = q.join(out.select(col("id").as("vec_id"), col("cell")), "vec_id")
+      .join(listed, "vec_id")
     val edges = withCell
       .select(col("cell"), col("idx"), col("vec_id").as("a"), col("qv").as("qa"))
       .join(withCell.select(col("cell"), col("idx"),
@@ -170,11 +186,16 @@ object SparkEntry {
       .union(crossing.select(col("b").as("id"))).distinct()
       .withColumn("crosses", lit(true))
 
-    // exact-duplicate groups: bit-identical quantized embeddings
+    // exact-duplicate groups: bit-identical quantized embeddings. Zero-norm
+    // vectors are excluded — pairCos defines their cosine as 0, so two
+    // identical zero vectors legitimately stay apart; and so are list-cap
+    // casualties, which pair with no one by the operator's spec
     val vhash = vecs.select(col("vec_id"),
       xxhash64(transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long"))).as("vh"))
     val dupGroups = vhash
+      .join(norms.filter(col("nrm") > 0.0).select("vec_id"), "vec_id")
+      .join(listed, "vec_id")
       .join(out.select(col("id").as("vec_id"), col("sem_cluster")), "vec_id")
       .groupBy("vh").agg(countDistinct(col("sem_cluster")).as("n_comp"))
 
@@ -194,7 +215,7 @@ object SparkEntry {
         (col("keep") || coalesce(col("has_edge"), lit(false)))
           .as("dropped_connected"),
         (!coalesce(col("crosses"), lit(false))).as("edges_within_cluster"),
-        (coalesce(col("n_comp"), lit(0L)) === 1).as("exact_dups_coclustered"))
+        (coalesce(col("n_comp"), lit(1L)) === 1).as("exact_dups_coclustered"))
   }
 
   /** Flagship query: full near-dup detection + clustering over the

@@ -270,6 +270,32 @@ class AnnSpec extends SparkTestBase {
     assert(out.filter(col("sem_cluster") =!= col("id")).count() === 0)
   }
 
+  test("semdedup invariants respect the list cap and exempt zero-norm duplicates") {
+    val allCols = Seq("covered", "one_keep", "keeper_farthest",
+      "dropped_connected", "edges_within_cluster", "exact_dups_coclustered")
+    def bad(df: org.apache.spark.sql.DataFrame) =
+      df.filter(allCols.map(c => !col(c)).reduce(_ || _)).count()
+    // a triggered cap (5 of ~20 per cell pair, the rest are singleton
+    // keeps by spec) must still read as a fully valid run
+    val capped = Ann.semDeDup(vecs, "vec_id", "embedding", tau = 0.9,
+      nCells = 3, maxListSize = 5).localCheckpoint()
+    assert(capped.count() === 60)
+    assert(bad(SparkEntry.semDedupInvariants(spark, vecs, _ => capped,
+      tau = 0.9, maxListSize = 5)) === 0)
+    // identical ZERO vectors have pairCos 0 and legitimately stay apart;
+    // identical nonzero vectors still must co-cluster with one keeper
+    val z = Seq((1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f)), (4L, Seq(1f, 0f, 0f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val outZ = Ann.semDeDup(z, "vec_id", "embedding", tau = 0.95, nCells = 2)
+      .localCheckpoint()
+    assert(bad(SparkEntry.semDedupInvariants(spark, z, _ => outZ, tau = 0.95)) === 0)
+    assert(outZ.filter(col("id").isin(3L, 4L))
+      .select("sem_cluster").distinct().count() === 1)
+    assert(outZ.filter(col("id").isin(3L, 4L) && col("keep")).count() === 1)
+    assert(outZ.filter(col("id").isin(1L, 2L) && col("keep")).count() === 2)
+  }
+
   test("semdedup invariants are cross-implementation: injected faults flip real rows") {
     import org.apache.spark.sql.DataFrame
     val clean = Ann.semDeDup(vecs, "vec_id", "embedding", tau = 0.9, nCells = 3)

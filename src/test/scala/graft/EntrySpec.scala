@@ -166,6 +166,10 @@ class EntrySpec extends SparkTestBase {
     assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
       "--export-shards", "/out", "--embeddings", "/e",
       "--semdedup-tau", "1.5")).isLeft)
+    // NaN passes naive range checks and would silently no-op the pass
+    assert(Main.parse(Seq("--pages", "/p", "--state", "/s",
+      "--export-shards", "/out", "--embeddings", "/e",
+      "--semdedup-tau", "NaN")).isLeft)
     // maintenance modes need no --pages
     assert(Main.parse(Seq("--state", "/s", "--compact")).isRight)
     assert(Main.parse(Seq("--compact")).isLeft)                           // still needs --state

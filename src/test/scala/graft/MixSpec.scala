@@ -493,9 +493,15 @@ class MixSpec extends SparkTestBase {
     (0 until 6).map(i => (s"http://d$i.test/", s"body $i unique words $i"))
       .toDF("url", "text").write.mode("overwrite").parquet(corp)
     // d0 and d1 carry identical embeddings (semantic dups), d2-d4 are
-    // orthogonal, d5 has NO embedding row — no evidence, must survive
+    // orthogonal, d5 has NO embedding row — no evidence, must survive.
+    // a-ghost is an embedding for a doc NOT in the corpus: it sorts first
+    // on the keeper tie-break, so if stray embeddings could join
+    // components it would win d0/d1's election and the export would lose
+    // the whole component — the verdict must form over export candidates
+    // only
     val emb = tmp("graft-sem-emb")
     Seq(
+      ("http://a-ghost.test/", Seq(1f, 0f, 0f, 0f)),
       ("http://d0.test/", Seq(1f, 0f, 0f, 0f)),
       ("http://d1.test/", Seq(1f, 0f, 0f, 0f)),
       ("http://d2.test/", Seq(0f, 1f, 0f, 0f)),
