@@ -46,6 +46,8 @@ object Main {
       noEstimateTier: Boolean = false,
       previewChars: Option[Int] = None,
       stateBuckets: Option[Int] = None,
+      stateBloomFpp: Option[Double] = None,
+      stateBloomExpected: Option[Long] = None,
       deltaCluster: Boolean = false,
       textsFrom: Option[String] = None,
       canonUrls: Boolean = false,
@@ -161,6 +163,17 @@ object Main {
       case "--state-buckets" :: v :: t =>
         v.toIntOption.toRight(s"--state-buckets: not an int: $v")
           .flatMap(b => loop(t, acc.copy(stateBuckets = Some(b))))
+      // slice-keyed state prune: Bloom-sketch the incoming slice's ids
+      // and filter the corpus-aged state scan before the resume anti-join
+      // (byte-identical result at any fpp; see state/SlicePrune.scala)
+      case "--state-bloom-fpp" :: v :: t =>
+        v.toDoubleOption.filter(f => f >= 0 && f < 1)
+          .toRight(s"--state-bloom-fpp: not a number in [0,1): $v")
+          .flatMap(f => loop(t, acc.copy(stateBloomFpp = Some(f))))
+      case "--state-bloom-expected" :: v :: t =>
+        v.toLongOption.filter(_ > 0)
+          .toRight(s"--state-bloom-expected: not a positive long: $v")
+          .flatMap(n => loop(t, acc.copy(stateBloomExpected = Some(n))))
       // delta-incremental clustering: near-pair discovery runs only over
       // this epoch's re-verify frontier; prior connectivity enters
       // union-find as assignment edges (epoch cost scales with the delta)
@@ -366,7 +379,9 @@ object Main {
     val withC = a.containmentCap.fold(withH)(c => withH.copy(containmentMaxBucket = c))
     val withP = a.previewChars.fold(withC)(p => withC.copy(previewChars = p))
     val withB = a.stateBuckets.fold(withP)(b => withP.copy(stateBuckets = b))
-    val withD = if (a.deltaCluster) withB.copy(deltaCluster = true) else withB
+    val withBf = a.stateBloomFpp.fold(withB)(f => withB.copy(stateBloomFpp = f))
+    val withBe = a.stateBloomExpected.fold(withBf)(n => withBf.copy(stateBloomExpected = n))
+    val withD = if (a.deltaCluster) withBe.copy(deltaCluster = true) else withBe
     if (a.noEstimateTier) withD.copy(estimateTier = false) else withD
   }
 
@@ -380,8 +395,9 @@ object Main {
           "[--jaccard <0..1>] [--max-hamming <int>] " +
           "[--extract-from <binary-col>] [--extractor html|plaintext] " +
           "[--reliable] [--checkpoint-dir <uri>] [--preview-chars <n>] " +
-          "[--state-buckets <n>] [--delta-cluster] [--texts-from <path-or-table>] " +
-          "[--pages-format auto|parquet|table|warc] | " +
+          "[--state-buckets <n>] [--state-bloom-fpp <0..1> [--state-bloom-expected <n>]] " +
+          "[--delta-cluster] [--texts-from <path-or-table>] " +
+          "[--pages-format auto|parquet|table|warc|jsonl] | " +
           "--state <dir-uri> --diagnose | --state <dir-uri> --compact | " +
           "(--pages <t> | --mix-from <sources-file>) --state <s> " +
           "--export-shards <dir> [--n-shards <n>] " +

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 import graft.pipeline.DedupConfig
 import graft.state.Checkpoints
@@ -53,31 +53,53 @@ object ResumeBench {
       }
 
     val cores = Bench.coresOf(master)
-    case class Line(name: String, discover: Seq[Double], epoch: Seq[Double],
-                    shuffleWriteMb: Seq[Double], shuffleReadMb: Seq[Double])
+    case class Line(name: String, discover: Seq[Double], discoverSlice: Seq[Double],
+                    epoch: Seq[Double],
+                    shuffleWriteMb: Seq[Double], shuffleReadMb: Seq[Double],
+                    sliceShuffleReadMb: Seq[Double])
+    val batchRows = numBase * 11 / 10 * graft.pages.PagesGen.variantKinds.length
     val lines = Seq(
       ("plain", DedupConfig()),
+      // slice-keyed Bloom prune (state/SlicePrune.scala): same plain
+      // layout, but the state side of the anti-join is filtered through a
+      // sketch of the batch's urls first — the line measures what the
+      // prune buys where it matters, the corpus-aged side's exchange
+      ("plain_bloom", DedupConfig(stateBloomFpp = 0.01,
+        stateBloomExpected = batchRows)),
       ("bucketed", DedupConfig(stateBuckets = cores))
     ).map { case (name, cfg) =>
       val base = java.nio.file.Paths.get(tmp, s"state_$name")
       Checkpoints.runEpoch(spark, pagesFrame(fullPath), "url", "text",
         base.toString, cfg)
 
-      // read-only discover: warmup once, then reps timed with the ledger
-      def discoverOnce(): (Double, Double, Double) = {
+      // read-only discover: warmup once, then reps timed with the ledger;
+      // mirrors runEpoch's join shape including the optional bloom prune
+      def discoverOnce(input: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
         Bench.dropPipelineState(spark)
         val t0 = System.nanoTime()
         val (_, l) = TaskSkewListener.measure(spark) {
-          pagesFrame(batchPath)
-            .join(Checkpoints.readSignatures(spark, base.toString)
-              .select(col("id").as("url")), Seq("url"), "left_anti")
-            .count()
+          val state = Checkpoints.readSignatures(spark, base.toString)
+            .select(col("id").as("url"))
+          val keys =
+            if (cfg.stateBloomFpp > 0)
+              graft.state.SlicePrune.pruneByKeys(state, "url",
+                input.select("url"), "url",
+                cfg.stateBloomExpected, cfg.stateBloomFpp)
+            else state
+          input.join(keys, Seq("url"), "left_anti").count()
         }
         ((System.nanoTime() - t0) / 1e9,
           l.totalShuffleWriteBytes.get() / 1e6, l.totalShuffleReadBytes.get() / 1e6)
       }
-      discoverOnce() // warmup (codegen + file listing)
-      val disc = (1 to reps).map(_ => discoverOnce())
+      val batchFrame = pagesFrame(batchPath)
+      // the nightly-crawl posture: a slice ≪ state (here ~9% of the batch,
+      // spanning seen and new urls) resumed against the full state — the
+      // shape where slice-keyed pruning pays; the full-batch surface keeps
+      // the round-over-round protocol comparable
+      val sliceFrame = batchFrame.filter(xxhash64(col("url")) % 11 === 0)
+      discoverOnce(batchFrame) // warmup (codegen + file listing)
+      val disc = (1 to reps).map(_ => discoverOnce(batchFrame))
+      val discS = (1 to reps).map(_ => discoverOnce(sliceFrame))
 
       val epochs = (1 to reps).map { rep =>
         Bench.dropPipelineState(spark)
@@ -90,7 +112,8 @@ object ResumeBench {
         require(nNew > 0, s"$name rep $rep resumed nothing")
         sec
       }
-      Line(name, disc.map(_._1), epochs, disc.map(_._2), disc.map(_._3))
+      Line(name, disc.map(_._1), discS.map(_._1), epochs,
+        disc.map(_._2), disc.map(_._3), discS.map(_._3))
     }
 
     // delta-vs-full epoch CLUSTERING at the same tier — the flagship
@@ -153,9 +176,12 @@ object ResumeBench {
     val fields = lines.map { l =>
       s""""${l.name}":{"discover_sec":${f"${med(l.discover)}%.2f"},""" +
         s""""discover_runs":${arr(l.discover)},""" +
+        s""""discover_slice_sec":${f"${med(l.discoverSlice)}%.2f"},""" +
+        s""""discover_slice_runs":${arr(l.discoverSlice)},""" +
         s""""epoch_sec":${f"${med(l.epoch)}%.2f"},"epoch_runs":${arr(l.epoch)},""" +
         s""""shuffle_write_mb":${arr(l.shuffleWriteMb)},""" +
-        s""""shuffle_read_mb":${arr(l.shuffleReadMb)}}"""
+        s""""shuffle_read_mb":${arr(l.shuffleReadMb)},""" +
+        s""""slice_shuffle_read_mb":${arr(l.sliceShuffleReadMb)}}"""
     }.mkString(",")
     val clusterFields = clusterLines.map { case (name, runs, shuffleMb) =>
       s""""$name":{"epoch_sec":${f"${med(runs)}%.2f"},"epoch_runs":${arr(runs)},""" +

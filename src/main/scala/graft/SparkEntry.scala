@@ -274,6 +274,24 @@ object SparkEntry {
       docs.join(seen, Seq("doc_id"), "left_anti").select("doc_id", "lang")
     }),
 
+    // J1 at the 10^12-doc posture: the resume anti-join with the state
+    // side pre-pruned through a Bloom sketch of the slice's keys
+    // (state/SlicePrune.scala). The sketch is DELIBERATELY undersized
+    // (50 expected items for a ~170-key slice, fpp 0.3) so false
+    // positives are guaranteed live in this query — the oracle match
+    // proves the prune is structurally exact, not probabilistically
+    // lucky: fps only feed extra rows into the exact join that drops
+    // them, and Bloom false negatives are impossible.
+    "q_state_prefilter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val state = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id")
+      val slice = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "lang")
+      val pruned = graft.state.SlicePrune.pruneByKeys(
+        state, "doc_id", slice.select("doc_id"), "doc_id",
+        expectedItems = 50L, fpp = 0.3)
+      slice.join(pruned, Seq("doc_id"), "left_anti").select("doc_id", "lang")
+    }),
+
     // J1-dual: semi join (EXISTS)
     "q_semi_join" -> ((s, dir) => {
       val part = t(s, dir, "part").filter(col("p_size") > 30)
@@ -532,6 +550,28 @@ object SparkEntry {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    // A24 jsonl loader round-trip: export the documents table as gzipped
+    // JSON-LINES shards (the A19 writer), read it back through the
+    // PagesIO `jsonl` ingestion format (declared schema — zero inference
+    // pass), and aggregate per lang. The oracle recomputes the same
+    // aggregates from the parquet source directly, so a row lost, a
+    // string mangled by the json escape/parse cycle, or an n_tokens
+    // drift between writer and reader flips a real DuckDB row.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(concat(lit("doc-"), col("doc_id")).as("url"),
+          col("text"), col("lang"))
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString
+      graft.mix.ShardedExport.exportShardsJsonl(s, docs, "url", "text", out,
+        nShards = 8)
+      graft.pages.PagesIO.read(s, out, "jsonl")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_urls"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
     }),
 
     // ── text analysis suite ─────────────────────────────────────────────
@@ -1174,6 +1214,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM embeddings e
         |                  WHERE e.label < 5 AND e.vec_id = d.doc_id)""".stripMargin,
 
+    "q_state_prefilter" ->
+      """SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id % 7 <> 0 AND s.doc_id = d.doc_id)""".stripMargin,
+
     "q_semi_join" ->
       """SELECT p.p_partkey, p.p_brand FROM part p
         |WHERE p.p_size > 30
@@ -1344,6 +1390,17 @@ object SparkEntry {
         |       sum(l.l_quantity) AS sum_qty
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT 'doc-' || CAST(doc_id AS VARCHAR)) AS n_urls,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0
+        |                THEN 0 ELSE length(string_split(
+        |                  trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END)
+        |            AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

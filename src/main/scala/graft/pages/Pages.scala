@@ -47,11 +47,27 @@ object PagesIO {
     case "table"   => false
     case "auto"    => isPathLike(s)
     case other     => throw new IllegalArgumentException(
-      s"pages format must be auto/parquet/table/warc, got $other")
+      s"pages format must be auto/parquet/table/warc/jsonl, got $other")
   }
+
+  /** Explicit read schema for jsonl corpora — the other loader lingua
+    * franca (and our own `--export-format jsonl` output). The schema is
+    * DECLARED, never inferred: inference is a full decompress-and-parse
+    * pass over the corpus before the real one — at 100 TB that doubles
+    * ingest cost for information the operator already has. A superset of
+    * the page shape plus the export surface's columns; fields absent from
+    * a file read as null, extra fields in the file are ignored, and a
+    * malformed line degrades to a null row (PERMISSIVE) — same
+    * never-throw posture as the html extractors.
+    */
+  val JsonlSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, id STRING, text STRING, lang STRING, source STRING, " +
+        "n_tokens BIGINT, epoch BIGINT, warc_ts TIMESTAMP")
 
   def read(spark: SparkSession, pathOrTable: String, format: String = "auto"): DataFrame =
     if (format == "warc") graft.sources.warc.WarcIO.pages(spark, pathOrTable)
+    else if (format == "jsonl") spark.read.schema(JsonlSchema).json(pathOrTable)
     else if (asPath(pathOrTable, format)) spark.read.parquet(pathOrTable)
     else spark.read.table(pathOrTable)
 

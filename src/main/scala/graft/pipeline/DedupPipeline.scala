@@ -124,8 +124,26 @@ case class DedupConfig(
     // unchanged (DeltaClusterSpec); after changing similarity knobs run
     // one full epoch (deltaCluster = false) — same cadence discipline as
     // any compaction. Ignored on the first epoch (nothing to delta from).
-    deltaCluster: Boolean = false) {
+    deltaCluster: Boolean = false,
+    // slice-keyed state prune (state/SlicePrune.scala): when > 0, the
+    // resume anti-join filters the persisted-state scan through a Bloom
+    // sketch of the INCOMING slice's ids before the join — the state side
+    // (the one that grows with corpus age) shrinks from O(corpus) to
+    // O(slice + fp·corpus) rows entering the exchange/sort, at the cost
+    // of one extra slice-key aggregation per epoch. Result is
+    // byte-identical at any fpp (false positives only pass extra rows
+    // into the exact join; false negatives are impossible). 0 (default)
+    // keeps the plain anti-join — right when slice ≈ corpus (bootstrap)
+    // or the state is still broadcast-sized.
+    stateBloomFpp: Double = 0.0,
+    // sketch sizing: upper bound on DISTINCT slice ids. Oversizing wastes
+    // sketch bytes; undersizing degrades fpp (cost), never correctness.
+    // ~1.2 bytes/key at 1% fpp.
+    stateBloomExpected: Long = 4000000L) {
   require(stateBuckets >= 0, "stateBuckets must be >= 0")
+  require(stateBloomFpp >= 0 && stateBloomFpp < 1,
+    s"stateBloomFpp must be in [0,1), got $stateBloomFpp")
+  require(stateBloomExpected > 0, "stateBloomExpected must be > 0")
   require(bands * rowsPerBand <= numPerms,
     s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
   require(64 % fastPathBands == 0, "fastPathBands must divide 64")

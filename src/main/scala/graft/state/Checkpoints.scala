@@ -290,7 +290,19 @@ object Checkpoints {
       else Some(readSignatures(spark, stateDir))
     val quarantined = if (cfg.forceRescan) None else readIfExists(spark, qPath)
     val unseen0 = seen match {
-      case Some(s) => pages.join(s.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      case Some(s) =>
+        val stateKeys = s.select(col("id").as(idCol))
+        // slice-keyed prune (cfg.stateBloomFpp): the state side of the
+        // resume anti-join is the corpus-aged one; a Bloom sketch of the
+        // incoming slice's ids (one slim aggregation over the pruned id
+        // column — never the text) filters it to ~|slice| rows before
+        // the join. Byte-identical result at any fpp (SlicePrune doc).
+        val joinKeys =
+          if (cfg.stateBloomFpp > 0)
+            SlicePrune.pruneByKeys(stateKeys, idCol, pages.select(col(idCol)),
+              idCol, cfg.stateBloomExpected, cfg.stateBloomFpp)
+          else stateKeys
+        pages.join(joinKeys, Seq(idCol), "left_anti")
       case None    => pages
     }
     val unseen = quarantined match {
