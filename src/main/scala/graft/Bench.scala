@@ -345,12 +345,27 @@ object Bench {
         else java.nio.file.Files.copy(p, t)
       }
     }
+    // the slice (batch minus corpus) — used by the slice-posture resume
+    // lines below AND the slice-fed clustering line further down
+    val slicePath = s"$tmp/resume_slice"
+    spark.read.parquet(resumeBatch)
+      .join(spark.read.parquet(fullPath).select("url"), Seq("url"), "left_anti")
+      .write.mode("overwrite").parquet(slicePath)
+    val sliceRows = (numBase * 11 / 10 - numBase) * PagesGen.variantKinds.length
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val resumeResults = Seq(
-      ("state_resume_plain", DedupConfig()),
-      ("state_resume_bucketed", DedupConfig(stateBuckets = coresOf(spark.sparkContext.master)))
-    ).map { case (name, cfg) =>
+      ("state_resume_plain", DedupConfig(), resumeBatch),
+      ("state_resume_bucketed",
+        DedupConfig(stateBuckets = coresOf(spark.sparkContext.master)), resumeBatch),
+      // the nightly-crawl posture: the epoch input is JUST the slice
+      // (10% of the state) — where the slice-keyed Bloom prune of the
+      // state side (stateBloomFpp) is designed to pay; the un-pruned
+      // slice line is its control at identical input
+      ("state_resume_slice", DedupConfig(), slicePath),
+      ("state_resume_slice_bloom", DedupConfig(stateBloomFpp = 0.01,
+        stateBloomExpected = math.max(1L, sliceRows)), slicePath)
+    ).map { case (name, cfg, inPath) =>
       val base = java.nio.file.Paths.get(tmp, s"st_$name")
       graft.state.Checkpoints.runEpoch(
         spark, pagesFrame(fullPath), "url", "text", base.toString, cfg)
@@ -360,10 +375,10 @@ object Bench {
         copyDir(base, dir)
         val t0 = System.nanoTime()
         val (nNew, _) = graft.state.Checkpoints.runEpoch(
-          spark, pagesFrame(resumeBatch), "url", "text", dir.toString, cfg)
+          spark, pagesFrame(inPath), "url", "text", dir.toString, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
-        require(nNew == (numBase * 11 / 10 - numBase) * PagesGen.variantKinds.length,
-          s"$name rep $rep resumed wrong row count: $nNew")
+        require(nNew == sliceRows,
+          s"$name rep $rep resumed wrong row count: $nNew (expected $sliceRows)")
         sec
       }
       (name, runs.sorted.apply(runs.length / 2), runs)
@@ -377,13 +392,9 @@ object Bench {
     val clusterBase = java.nio.file.Paths.get(tmp, "st_cluster")
     graft.state.Checkpoints.clusterEpoch(spark, pagesFrame(fullPath),
       "url", "text", clusterBase.toString, DedupConfig(deltaCluster = true))
-    // the slice (batch minus corpus), materialized once outside timing —
-    // the slice-fed line's input IS just the new pages; the batch table
-    // rides textsOf as the authoritative text side-channel
-    val slicePath = s"$tmp/resume_slice"
-    spark.read.parquet(resumeBatch)
-      .join(spark.read.parquet(fullPath).select("url"), Seq("url"), "left_anti")
-      .write.mode("overwrite").parquet(slicePath)
+    // slicePath (materialized above, outside timing) feeds the slice-fed
+    // line: its input IS just the new pages; the batch table rides
+    // textsOf as the authoritative text side-channel
     val clusterResults = Seq(
       ("cluster_epoch_full", DedupConfig(), resumeBatch, None),
       ("cluster_epoch_delta", DedupConfig(deltaCluster = true), resumeBatch, None),

@@ -555,7 +555,8 @@ object Main {
           if (a.paraDedup)
             (if (stateful)
                graft.state.SubDocState.dedupParagraphsIncremental(
-                 spark, a.state, preSub, a.idCol, a.textCol, cfg.stateBuckets)
+                 spark, a.state, preSub, a.idCol, a.textCol, cfg.stateBuckets,
+                 cfg.stateBloomFpp, cfg.stateBloomExpected)
              else graft.text.ParagraphDedup.dedupParagraphs(preSub, a.idCol, a.textCol))
               .select(col(a.idCol), col(a.textCol))
           else preSub
@@ -565,7 +566,8 @@ object Main {
           if (a.spanDedup)
             (if (stateful)
                graft.state.SubDocState.dedupSpansIncremental(
-                 spark, a.state, preSpan, a.idCol, a.textCol, cfg.stateBuckets)
+                 spark, a.state, preSpan, a.idCol, a.textCol, cfg.stateBuckets,
+                 cfg.stateBloomFpp, cfg.stateBloomExpected)
              else graft.text.SpanDedup.dedupSpans(preSpan, a.idCol, a.textCol))
               .select(col(a.idCol), col(a.textCol))
           else preSpan

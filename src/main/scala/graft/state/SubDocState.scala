@@ -215,9 +215,24 @@ object SubDocState {
     */
   def dedupParagraphsIncremental(spark: SparkSession, stateDir: String,
                                  df: DataFrame, idCol: String, textCol: String,
-                                 stateBuckets: Int = 0): DataFrame = {
+                                 stateBuckets: Int = 0,
+                                 bloomFpp: Double = 0.0,
+                                 bloomExpected: Long = 4000000L): DataFrame = {
     val e = nextEpoch(spark, stateDir)
-    val s = seen(spark, stateDir, parasPath(stateDir), "para_hash", e)
+    // slice-keyed prune (state/SlicePrune): the seen table is the
+    // CORPUS-aged side here too — and at tens of paragraphs per doc it is
+    // the largest state table of all. Sketch the batch's para hashes once
+    // (one slim aggregation; the sketch frame never carries text) and
+    // filter the seen scan — both consumers (winners' anti-join and the
+    // election's join) read the pruned frame; exact at any fpp.
+    val s0 = seen(spark, stateDir, parasPath(stateDir), "para_hash", e)
+    val s =
+      if (bloomFpp > 0)
+        s0.map(t => SlicePrune.pruneByKeys(t, "para_hash",
+          graft.text.ParagraphDedup.explodeParagraphs(df, idCol, textCol)
+            .select("para_hash"),
+          "para_hash", bloomExpected, bloomFpp))
+      else s0
     Checkpoints.withStateLock(spark, stateDir) {
       append(spark, stateDir, parasPath(stateDir), "para_hash",
         graft.text.ParagraphDedup.winners(df, idCol, textCol, seen = s), e,
@@ -231,9 +246,20 @@ object SubDocState {
     */
   def dedupSpansIncremental(spark: SparkSession, stateDir: String,
                             df: DataFrame, idCol: String, textCol: String,
-                            stateBuckets: Int = 0): DataFrame = {
+                            stateBuckets: Int = 0,
+                            bloomFpp: Double = 0.0,
+                            bloomExpected: Long = 4000000L): DataFrame = {
     val e = nextEpoch(spark, stateDir)
-    val s = seen(spark, stateDir, spansPath(stateDir), "h", e)
+    // same slice-keyed prune as the paragraph pass; exact for the span
+    // election too — its seen join is a LEFT-with-marker, and a pruned-out
+    // seen row could never have matched a batch span hash
+    val s0 = seen(spark, stateDir, spansPath(stateDir), "h", e)
+    val s =
+      if (bloomFpp > 0)
+        s0.map(t => SlicePrune.pruneByKeys(t, "h",
+          graft.text.SpanDedup.batchHashes(df, idCol, textCol), "h",
+          bloomExpected, bloomFpp))
+      else s0
     Checkpoints.withStateLock(spark, stateDir) {
       append(spark, stateDir, spansPath(stateDir), "h",
         graft.text.SpanDedup.winners(df, idCol, textCol, seen = s), e,

@@ -118,6 +118,16 @@ object SpanDedup {
           .as("n_dropped"))
   }
 
+  /** The batch's span hashes only — the slim frame a slice-keyed prune
+    * (state/SlicePrune) sketches before the cross-epoch seen join; order
+    * is irrelevant to a sketch, so no `_ord` plumbing.
+    */
+  def batchHashes(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 3): DataFrame =
+    explodeSpans(df.select(col(idCol), col(textCol), lit(0L).as("_ord"))
+      .withColumn("_sents", sentencesOf(col(textCol))), idCol, window)
+      .select("h")
+
   /** The span hashes this batch newly elects a first occurrence for —
     * distinct fresh hashes only (prior-epoch hashes anti-join out before
     * the election). Persisting this set as `seen` for the next epoch makes

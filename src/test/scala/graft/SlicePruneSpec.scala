@@ -108,6 +108,34 @@ class SlicePruneSpec extends SparkTestBase {
       "bloom-pruned epochs changed the persisted state")
   }
 
+  test("pruned para/span incremental passes match the plain ones across epochs") {
+    import graft.state.SubDocState
+    def dir() = Files.createTempDirectory("graft-subdoc-bloom").toString
+    val plainD = dir(); val bloomD = dir()
+    val shared = "repeated paragraph body here\n\nshared sentence one. " +
+      "shared sentence two. shared sentence three."
+    val e1 = Seq(("d1", s"unique alpha\n\n$shared"), ("d2", s"$shared\n\nunique beta"))
+      .toDF("id", "text")
+    val e2 = Seq(("d3", s"$shared\n\nunique gamma"), ("d4", "all fresh text here"))
+      .toDF("id", "text")
+
+    def run(d: String, fpp: Double) = {
+      // saturated tiny sketch again: exactness must be structural
+      val r1 = SubDocState.dedupParagraphsIncremental(spark, d, e1, "id", "text",
+        bloomFpp = fpp, bloomExpected = 2L)
+        .select("id", "text").as[(String, String)].collect().toSet
+      val r2 = SubDocState.dedupParagraphsIncremental(spark, d, e2, "id", "text",
+        bloomFpp = fpp, bloomExpected = 2L)
+        .select("id", "text").as[(String, String)].collect().toSet
+      val s1 = SubDocState.dedupSpansIncremental(spark, d, e1, "id", "text",
+        bloomFpp = fpp, bloomExpected = 2L)
+        .select("id", "text").as[(String, String)].collect().toSet
+      (r1, r2, s1)
+    }
+    assert(run(bloomD, 0.3) == run(plainD, 0.0),
+      "bloom-pruned sub-document passes diverge from the plain ones")
+  }
+
   test("the prune lands as a might_contain_key filter on the state side of the plan") {
     // parquet-backed, not a local relation: ConvertToLocalRelation would
     // otherwise evaluate the filter at optimize time and hide it
