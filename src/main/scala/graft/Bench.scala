@@ -495,6 +495,73 @@ object Bench {
     }
     val packLine = ("pack_plan", packSec, packRuns)
 
+    def arr(runs: Seq[Double]) = runs.map(r => f"$r%.2f").mkString("[", ",", "]")
+
+    // north-rule scaling evidence IN the bench JSON: the identical e2e
+    // pipeline job on the identical materialized corpus at two parallelism
+    // levels (the sandbox stand-in for N vs 4N executors), median of 3
+    // timed runs per shape after a same-session warmup, with the paired
+    // same-window hardware-ceiling probe so the raw ratio is interpretable
+    // standalone. The corpus is a DEDICATED 220k-page tier, not the bench
+    // tier: below ~200k pages the pipeline's fixed serial floor (~10 s of
+    // driver actions, plan/compile, stage barriers — BASELINE.md round-5b)
+    // dominates and the ratio measures Amdahl, not the engine. Runs LAST
+    // (it stops the main session); any failure degrades to a stderr note,
+    // never the bench. SPARK_GRAFT_BENCH_SCALING=false skips it.
+    val scalingJson: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "true") == "true") {
+        try {
+          val scaleBase =
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BASE", "20000").toLong
+          val scalePages = scaleBase * PagesGen.variantKinds.length
+          val scalePath = // materialize with the still-live 32-way session
+            if (scaleBase == numBase) fullPath
+            else materializePages(spark, scaleBase, s"$tmp/scale")
+          spark.stop()
+          val scaleReps =
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_REPS", "3").toInt
+          val shapes = Seq("local[8]", "local[32]")
+          val runsByShape = shapes.map { m =>
+            val s = sessionForMaster(m)
+            try {
+              runPipelineOn(s, warmPath) // warm this session's codegen
+              dropPipelineState(s)
+              (1 to scaleReps).map { _ =>
+                val t0 = System.nanoTime()
+                runPipelineOn(s, scalePath)
+                val sec = (System.nanoTime() - t0) / 1e9
+                dropPipelineState(s)
+                sec
+              }
+            } finally s.stop()
+          }
+          def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+          val secs = runsByShape.map(med)
+          val tputs = secs.map(scalePages / _)
+          val ratio = coresOf(shapes(1)).toDouble / coresOf(shapes(0))
+          val eff = tputs(1) / (ratio * tputs(0))
+          // perfect-job ceiling at the same shapes IN this window: on this
+          // shared box all-core clocks < few-core clocks, so even a
+          // shuffle-free embarrassingly-parallel job cannot reach 1.0;
+          // normalized = raw / ceiling (on the north rule's real disjoint
+          // N- and 4N-executor clusters the coupling disappears).
+          val ceilSecs = shapes.map(m => ScalingBench.cpuCeilingSecs(m, 6000000L))
+          val ceiling = ceilSecs(0) / (ratio * ceilSecs(1))
+          s""","scaling":{"masters":["${shapes(0)}","${shapes(1)}"],""" +
+            s""""pages":$scalePages,"reps":$scaleReps,""" +
+            s""""secs_per_run":${runsByShape.map(arr).mkString("[", ",", "]")},""" +
+            s""""secs":[${f"${secs(0)}%.2f"},${f"${secs(1)}%.2f"}],""" +
+            s""""docs_per_sec":[${f"${tputs(0)}%.1f"},${f"${tputs(1)}%.1f"}],""" +
+            s""""core_ratio":${f"$ratio%.1f"},"efficiency_raw":${f"$eff%.3f"},""" +
+            s""""ceiling_secs":[${f"${ceilSecs(0)}%.2f"},${f"${ceilSecs(1)}%.2f"}],""" +
+            s""""hw_ceiling":${f"$ceiling%.3f"},""" +
+            s""""efficiency_normalized":${f"${eff / ceiling}%.3f"}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scaling tail skipped: $e"); ""
+        }
+      } else ""
+
     val all = results :+ ("dedup_pipeline_e2e" -> pipeSec) :+
       ("dedup_pipeline_fast" -> fastSec) :+
       ("dedup_pipeline_reliable" -> reliableSec) :+
@@ -508,7 +575,6 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
-    def arr(runs: Seq[Double]) = runs.map(r => f"$r%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps,""" +
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
@@ -523,7 +589,8 @@ object Bench {
       s""""skew_task_cpu_sec_per_run":${skewReps.map(r => f"${r.taskCpuSec}%.1f").mkString("[", ",", "]")},""" +
       s""""skew_gc_sec_per_run":${skewReps.map(r => f"${r.gcSec}%.1f").mkString("[", ",", "]")},""" +
       s""""skew_heap_committed_gb_per_run":${skewReps.map(r => f"${r.heapCommittedGb}%.1f").mkString("[", ",", "]")},""" +
-      s""""skew_other_proc_cpu_sec_per_run":${skewReps.map(r => f"${r.otherProcCpuSec}%.1f").mkString("[", ",", "]")}}""")
+      s""""skew_other_proc_cpu_sec_per_run":${skewReps.map(r => f"${r.otherProcCpuSec}%.1f").mkString("[", ",", "]")}""" +
+      scalingJson + "}")
     spark.stop()
   }
 }
