@@ -224,22 +224,50 @@ case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long,
   private val XxSeed = 42L // Spark xxhash64 default seed
 
   override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toLowerCase.getBytes
-    // normalize: collapse ASCII whitespace runs to single 0x20, trim
-    val norm = new Array[Byte](raw.length)
+    val u = input.asInstanceOf[UTF8String]
+    // normalize: lowercase + collapse ASCII whitespace runs to single 0x20,
+    // trim. ASCII fast path fuses the lowercase into the collapse loop (one
+    // read of the input, one write — `toLowerCase.getBytes` is two full
+    // copies of the document before normalization even starts, and this
+    // kernel is memory-bandwidth-bound at high thread counts, BASELINE.md
+    // round-5 scaling diagnosis). Non-ASCII takes the pinned slow path
+    // (UTF8String.toLowerCase handles multi-byte case mapping; ASCII bytes
+    // lowercase identically on both paths, so outputs stay byte-identical).
     var n = 0
-    var pendingSpace = false
-    var i = 0
-    while (i < raw.length) {
-      val b = raw(i)
-      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
-        if (n > 0) pendingSpace = true
-      } else {
-        if (pendingSpace) { norm(n) = 0x20; n += 1; pendingSpace = false }
-        norm(n) = b; n += 1
+    var norm: Array[Byte] = null
+    if (u.isFullAscii) {
+      val len = u.numBytes()
+      norm = new Array[Byte](len)
+      var pendingSpace = false
+      var i = 0
+      while (i < len) {
+        val b = u.getByte(i)
+        if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
+          if (n > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { norm(n) = 0x20; n += 1; pendingSpace = false }
+          norm(n) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          n += 1
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      val raw = u.toLowerCase.getBytes
+      norm = new Array[Byte](raw.length)
+      var pendingSpace = false
+      var i = 0
+      while (i < raw.length) {
+        val b = raw(i)
+        if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
+          if (n > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { norm(n) = 0x20; n += 1; pendingSpace = false }
+          norm(n) = b; n += 1
+        }
+        i += 1
+      }
     }
+    var i = 0
     // token spans in norm[0, n)
     var nTokens = 0
     if (n > 0) { nTokens = 1; i = 0; while (i < n) { if (norm(i) == 0x20) nTokens += 1; i += 1 } }
@@ -253,8 +281,12 @@ case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long,
       }
       starts(t) = s; ends(t) = n
     }
+    // Hash the span in place (XXH64 over the same bytes the combinator
+    // path's xxhash64 sees) — no UTF8String wrapper per token/shingle.
     @inline def hashSpan(from: Int, until: Int): Long =
-      XXH64.hashUTF8String(UTF8String.fromBytes(norm, from, until - from), XxSeed)
+      XXH64.hashUnsafeBytes(
+        norm, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        until - from, XxSeed)
 
     // simhash over token-hash multiset (≡ SimHash64(transform(tokens, xxhash64)))
     val votes = new Array[Int](64)
@@ -280,14 +312,27 @@ case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long,
     // fingerprint their prefix instead of blowing up the signature stage.
     val nShingles =
       if (nTokens >= k) math.min(nTokens - k + 1, maxShingles) else 1
-    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
     val distinct = new Array[Long](nShingles)
     var nd = 0
     if (nTokens >= k) {
+      // first-occurrence dedup via a primitive open-addressing set (same
+      // 0-sentinel + hasZero scheme as ShingleOverlap) — the boxed
+      // java.util.HashSet cost ~2 allocations per shingle on this path.
+      var cap = 8
+      while (cap < nShingles * 2) cap <<= 1
+      val table = new Array[Long](cap)
+      val mask = cap - 1
+      var seenZero = false
       var si = 0
       while (si < nShingles) {
         val h = hashSpan(starts(si), ends(si + k - 1))
-        if (seen.add(h)) { distinct(nd) = h; nd += 1 }
+        if (h == 0L) {
+          if (!seenZero) { seenZero = true; distinct(nd) = 0L; nd += 1 }
+        } else {
+          var idx = (HashKernels.avalanche(h) & 0x7fffffffffffffffL).toInt & mask
+          while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+          if (table(idx) == 0L) { table(idx) = h; distinct(nd) = h; nd += 1 }
+        }
         si += 1
       }
     } else {

@@ -130,7 +130,14 @@ class FingerprintSpec extends SparkTestBase {
     // every variant kind + edge cases (empty, blank, shorter-than-k, mixed ws)
     val texts = (for (kind <- PagesGen.variantKinds; d <- 0L to 2L)
       yield PagesGen.makePage(5L, d, kind, 150).text) ++
-      Seq("", "   ", "one two", "  A\tB\nC  ", "x")
+      Seq("", "   ", "one two", "  A\tB\nC  ", "x",
+        // ASCII case-boundary bytes around A-Z ('@' 0x40, '[' 0x5B, '`', '{')
+        // pin the fused fast path's inline lowercase range check
+        "@AZ[ `az{ MiXeD",
+        // non-ASCII exercises the fused expr's slow path (full Unicode
+        // lowercase via UTF8String) against the combinator's `lower`
+        "ÉPÉE Straße ЖУК 中文 текст",
+        "Ascii THEN Üñïçödé tail")
     val df = texts.toDF("t").select(
       FP.simhash($"t").as("s1"),
       FP.shingleHashes($"t", 3).as("g1"),
