@@ -485,6 +485,22 @@ object TextExtraction {
 
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null) return ""
+    val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    extractCore(stripComments(decoded))
+  }
+
+  /** The original regex-pipeline implementation, kept as the executable
+    * spec for [[extract]]: the fused single-scan version below is pinned
+    * byte-identical to this on the generated corpus plus an adversarial
+    * battery (FingerprintSpec). The ONE documented divergence is
+    * cross-tag-overlapping drop blocks (`<style>..<script>..</style>..
+    * </script>`), where sequential per-tag passes and the fused
+    * earliest-opener scan legitimately disagree — both are best-effort
+    * text from malformed html, and each is deterministic for a given
+    * input, which is all the per-url contract requires.
+    */
+  private[graft] def extractViaRegex(bytes: Array[Byte]): String = {
+    if (bytes == null) return ""
     var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     // comments first so commented-out tags don't confuse block dropping
     s = commentRe.matcher(s).replaceAll(" ")
@@ -494,6 +510,196 @@ object TextExtraction {
     s = decodeEntities(s)
     s = wsRe.matcher(s).replaceAll(" ").trim
     s
+  }
+
+  /** `<!--.*?-->` → " " without the regex engine; returns the SAME string
+    * reference when no comment opener exists (the common case — zero
+    * copies). Unterminated comments stay as-is, exactly like the
+    * non-matching regex.
+    */
+  private def stripComments(s: String): String = {
+    var from = s.indexOf("<!--")
+    if (from < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (from >= 0) {
+      val end = s.indexOf("-->", from + 4)
+      if (end < 0) { out.append(s, i, s.length); return out.toString }
+      out.append(s, i, from).append(' ')
+      i = end + 3
+      from = s.indexOf("<!--", i)
+    }
+    out.append(s, i, s.length)
+    out.toString
+  }
+
+  private val dropNamesArr: Array[String] = dropBlocks.toArray
+
+  // ASCII-only case-insensitive region compare (mirrors Pattern's plain
+  // CASE_INSENSITIVE, which is US-ASCII-only — String.regionMatches(true,..)
+  // would additionally fold Unicode case and diverge on e.g. U+017F)
+  private def regionEqAscii(s: String, at: Int, name: String): Boolean = {
+    if (at + name.length > s.length) return false
+    var i = 0
+    while (i < name.length) {
+      val a = s.charAt(at + i); val b = name.charAt(i)
+      val al = if (a >= 'A' && a <= 'Z') (a + 32).toChar else a
+      if (al != b) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  private def isAsciiWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** `<name\b` at position `i` (s(i) == '<') → index into dropNamesArr, or
+    * -1. At most one name can match thanks to the word boundary
+    * ("header" vs "head" resolve unambiguously).
+    */
+  private def dropNameAt(s: String, i: Int): Int = {
+    var d = 0
+    while (d < dropNamesArr.length) {
+      val name = dropNamesArr(d)
+      if (regionEqAscii(s, i + 1, name)) {
+        val after = i + 1 + name.length
+        if (after >= s.length || !isWordChar(s.charAt(after))) return d
+      }
+      d += 1
+    }
+    -1
+  }
+
+  /** First `</name\s*>` at or after `from` (ASCII case-insensitive, \s*
+    * ASCII like the regex default); returns the index just past its '>',
+    * or -1.
+    */
+  private def findCloser(s: String, from: Int, name: String): Int = {
+    var i = from
+    val limit = s.length - name.length - 2
+    while (i <= limit) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' && regionEqAscii(s, i + 2, name)) {
+        var j = i + 2 + name.length
+        while (j < s.length && isAsciiWs(s.charAt(j))) j += 1
+        if (j < s.length && s.charAt(j) == '>') return j + 1
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** If a well-formed drop block (opener with a '>' plus a closer) starts
+    * at `i`, the index just past its closing '>', else -1. Inner matching
+    * is strict (no nested skipping), so hostile nesting cannot recurse.
+    */
+  private def dropBlockEnd(s: String, i: Int): Int = {
+    val dn = dropNameAt(s, i)
+    if (dn < 0) return -1
+    val name = dropNamesArr(dn)
+    val openEnd = s.indexOf('>', i + 1 + name.length)
+    if (openEnd < 0) return -1
+    findCloser(s, openEnd + 1, name)
+  }
+
+  /** The '>' ending a `[^>]*>` tail, as the tag-level passes see it: a
+    * well-formed drop block inside the tail was already replaced by ' '
+    * when any tag regex runs, so its contents can neither hide nor supply
+    * the tag's '>'. With `skipBlockTags` (the tagRe view in the paras
+    * pipeline, which runs after blockTagRe) block tags are skipped the
+    * same way. Returns the index just past the '>', or -1.
+    */
+  private def scanForGt(s: String, from: Int, skipBlockTags: Boolean): Int = {
+    val len = s.length
+    var j = from
+    while (j < len) {
+      val c = s.charAt(j)
+      if (c == '>') return j + 1
+      if (c == '<') {
+        var skip = dropBlockEnd(s, j)
+        if (skip < 0 && skipBlockTags) skip = blockTagEnd(s, j)
+        if (skip >= 0) j = skip else j += 1
+      } else j += 1
+    }
+    -1
+  }
+
+  /** Fused tag-strip + drop-block + entity-decode + whitespace-collapse in
+    * ONE scan with ONE output build. The regex pipeline above re-scans and
+    * re-copies the document up to nine times; this kernel sits in the
+    * hottest map stage of the pipeline (scan → extract → fingerprint) and
+    * the round-5 scaling diagnosis pinned that stage as DRAM-bandwidth-
+    * bound, so copies ARE the cost. Byte-equivalence to the regex spec is
+    * pinned in FingerprintSpec (corpus + adversarial battery).
+    */
+  private def extractCore(s: String): String = {
+    val len = s.length
+    val out = new java.lang.StringBuilder(len)
+    var pendingSpace = false
+
+    @inline def emit(c: Char): Unit = {
+      if (isAsciiWs(c)) { if (out.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+    }
+    @inline def emitSpace(): Unit = if (out.length > 0) pendingSpace = true
+
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        // drop block first (those regex passes run before tagRe); a
+        // blockless or closerless opener falls through to plain-tag
+        // handling, same as the sequential passes
+        var next = dropBlockEnd(s, i)
+        if (next >= 0) emitSpace()
+        else {
+          val gt = scanForGt(s, i + 1, skipBlockTags = false)
+          if (gt >= 0) { emitSpace(); next = gt } // <[^>]*>
+          else { emit('<'); next = i + 1 }        // no '>': literal text
+        }
+        i = next
+      } else if (c == '&') {
+        // entity decode sees the post-tag-strip stream: a tag between '&'
+        // and ';' becomes ' ' there, and no valid entity name contains a
+        // space — so hitting '<' first always means "literal &"
+        var semi = -1
+        var j = i + 1
+        val wlim = math.min(len - 1, i + 8)
+        while (semi < 0 && j <= wlim && s.charAt(j) != '<') {
+          if (s.charAt(j) == ';') semi = j
+          j += 1
+        }
+        var rep: String = null
+        if (semi > i) {
+          val ent = s.substring(i + 1, semi)
+          rep = ent match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" | "#39" => "'"
+            case "nbsp" => " "
+            // same Unicode-digit predicate + parse as the regex spec's
+            // decodeEntities (isDigit and parseInt both accept non-ASCII
+            // decimal digits, e.g. U+0665)
+            case e if e.startsWith("#") && e.drop(1).nonEmpty && e.drop(1).forall(_.isDigit) =>
+              try String.valueOf(e.drop(1).toInt.toChar)
+              catch { case _: Exception => "&" + e + ";" }
+            case _ => null
+          }
+        }
+        if (rep != null) {
+          var k = 0
+          while (k < rep.length) { emit(rep.charAt(k)); k += 1 }
+          i = semi + 1
+        } else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    out.toString.trim
   }
 
   // block-level boundaries become paragraph breaks in extractParas; the
@@ -514,6 +720,15 @@ object TextExtraction {
     */
   def extractParas(bytes: Array[Byte]): String = {
     if (bytes == null) return ""
+    val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    extractParasCore(stripComments(decoded))
+  }
+
+  /** Regex-pipeline spec for [[extractParas]], kept for the byte-
+    * equivalence property test — see [[extractViaRegex]].
+    */
+  private[graft] def extractParasViaRegex(bytes: Array[Byte]): String = {
+    if (bytes == null) return ""
     var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     s = commentRe.matcher(s).replaceAll(" ")
     var i = 0
@@ -525,6 +740,140 @@ object TextExtraction {
     s = wsRe.matcher(s).replaceAll(" ")
     s = sentinelRunRe.matcher(s).replaceAll("\n\n")
     s.replaceAll("^\\s+|\\s+$", "")
+  }
+
+  private final val Nul: Char = 0
+
+  private val blockNamesArr: Array[String] = Array(
+    "blockquote", "section", "article", "table", "div", "pre",
+    "li", "ul", "ol", "tr", "h1", "h2", "h3", "h4", "h5", "h6", "p")
+
+  /** A blockTagRe match at position `i` (s(i) == '<') — a block-name tag
+    * with word boundary, or a br/hr void tag; returns the index just past
+    * the '>' or -1. Raw NUL counts as whitespace in the br/hr arm because
+    * the regex pipeline maps NUL to ' ' before blockTagRe runs.
+    */
+  private def blockTagEnd(s: String, i: Int): Int = {
+    val len = s.length
+    var nameAt = i + 1
+    if (nameAt < len && s.charAt(nameAt) == '/') nameAt += 1
+    var d = 0
+    while (d < blockNamesArr.length) {
+      val name = blockNamesArr(d)
+      if (regionEqAscii(s, nameAt, name)) {
+        val after = nameAt + name.length
+        if (after >= len || !isWordChar(s.charAt(after)))
+          // the [^>]* tail sees drop blocks as already-removed, but NOT
+          // other block tags: blockTagRe is one left-to-right pass, so a
+          // leftmost match's tail may legitimately end on a later block
+          // tag's '>'
+          return scanForGt(s, after, skipBlockTags = false)
+      }
+      d += 1
+    }
+    // br|hr arm — no '/', no \b, no [^>]*; its \s* sees raw NUL and
+    // removed drop blocks as whitespace (both are ' ' by the time
+    // blockTagRe runs)
+    if (nameAt == i + 1 && (regionEqAscii(s, nameAt, "br") || regionEqAscii(s, nameAt, "hr"))) {
+      var j = nameAt + 2
+      var scanning = true
+      while (scanning && j < len) {
+        val c = s.charAt(j)
+        if (isAsciiWs(c) || c == Nul) j += 1
+        else if (c == '<') {
+          val sk = dropBlockEnd(s, j)
+          if (sk >= 0) j = sk else scanning = false
+        } else scanning = false
+      }
+      if (j < len && s.charAt(j) == '/') j += 1
+      if (j < len && s.charAt(j) == '>') return j + 1
+    }
+    -1
+  }
+
+  /** Fused single-scan twin of [[extractCore]] for the paras pipeline:
+    * block tags become paragraph breaks, raw NUL is plain whitespace (the
+    * regex spec maps it to ' ' before inserting sentinels), an
+    * entity-decoded NUL is a BREAK (entities decode after sentinel
+    * insertion there), and trimming is \s-only (the spec trims via regex,
+    * not String.trim). Byte-equivalence to [[extractParasViaRegex]] is
+    * pinned in FingerprintSpec.
+    */
+  private def extractParasCore(s: String): String = {
+    val len = s.length
+    val out = new java.lang.StringBuilder(len)
+    var pending = 0 // 0 none, 1 space, 2 paragraph break
+
+    @inline def emit(c: Char): Unit = {
+      if (isAsciiWs(c) || c == Nul) { if (out.length > 0 && pending == 0) pending = 1 }
+      else {
+        if (pending == 2) out.append('\n').append('\n')
+        else if (pending == 1) out.append(' ')
+        pending = 0
+        out.append(c)
+      }
+    }
+    @inline def emitSpace(): Unit = if (out.length > 0 && pending == 0) pending = 1
+    @inline def emitBreak(): Unit = if (out.length > 0) pending = 2
+
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        var next = dropBlockEnd(s, i)
+        if (next >= 0) emitSpace()
+        else {
+          val bt = blockTagEnd(s, i)
+          if (bt >= 0) { emitBreak(); next = bt }
+          else {
+            val gt = scanForGt(s, i + 1, skipBlockTags = true)
+            if (gt >= 0) { emitSpace(); next = gt }
+            else { emit('<'); next = i + 1 }
+          }
+        }
+        i = next
+      } else if (c == '&') {
+        var semi = -1
+        var j = i + 1
+        val wlim = math.min(len - 1, i + 8)
+        while (semi < 0 && j <= wlim && s.charAt(j) != '<') {
+          if (s.charAt(j) == ';') semi = j
+          j += 1
+        }
+        var rep: String = null
+        if (semi > i) {
+          val ent = s.substring(i + 1, semi)
+          rep = ent match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" | "#39" => "'"
+            case "nbsp" => " "
+            case e if e.startsWith("#") && e.drop(1).nonEmpty && e.drop(1).forall(_.isDigit) =>
+              try String.valueOf(e.drop(1).toInt.toChar)
+              catch { case _: Exception => "&" + e + ";" }
+            case _ => null
+          }
+        }
+        if (rep != null) {
+          var k = 0
+          while (k < rep.length) {
+            val dch = rep.charAt(k)
+            if (dch == Nul) emitBreak() else emit(dch) // decoded NUL = sentinel
+            k += 1
+          }
+          i = semi + 1
+        } else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    // \s-only trim (matches the regex spec's edge trim); trailing pending
+    // ws/break is correctly dropped
+    var b = 0
+    var e = out.length
+    while (b < e && isAsciiWs(out.charAt(b))) b += 1
+    while (e > b && isAsciiWs(out.charAt(e - 1))) e -= 1
+    out.substring(b, e)
   }
 
   private def decodeEntities(s: String): String = {
