@@ -572,14 +572,41 @@ object TextExtraction {
     -1
   }
 
+  /** Per-invocation failure caches that keep hostile inputs linear: a
+    * fixed pattern absent from position p is absent from every later
+    * position, so a failed search never repeats. Without these, N
+    * closerless `<script>` openers (or a '>'-free tail of N '<' chars)
+    * cost O(N²) — the regex spec has exactly that blowup; the fused path
+    * must not, per the module's untrusted-crawl posture.
+    */
+  private final class ScanCtx(len: Int) {
+    // first position from which the closer search for drop tag d is known
+    // to fail
+    val noCloserFrom: Array[Int] = Array.fill(dropNamesArr.length)(Int.MaxValue)
+    // first position from which '>' is known to be absent through EOF
+    var noGtFrom: Int = Int.MaxValue
+    // total lookahead work allowance: failing-with-skips scans re-traverse
+    // ground that neither cache can soundly memoize (skip alignment is
+    // position-dependent), and matching the regex spec on those shapes is
+    // inherently quadratic — the 1M floor keeps small documents exactly
+    // byte-compatible (the spec's quadratic cost fits under it), while
+    // 8×len bounds big hostile documents linearly; once burned, generic
+    // scans stop attempting block skips and degrade to a plain linear '>'
+    // hunt — deterministic best-effort, never a wedged task
+    var budget: Long = math.max(1L << 20, 8L * len + 1024L)
+  }
+
   /** First `</name\s*>` at or after `from` (ASCII case-insensitive, \s*
     * ASCII like the regex default); returns the index just past its '>',
     * or -1.
     */
-  private def findCloser(s: String, from: Int, name: String): Int = {
+  private def findCloser(s: String, from: Int, d: Int, ctx: ScanCtx): Int = {
+    if (from >= ctx.noCloserFrom(d)) return -1
+    val name = dropNamesArr(d)
     var i = from
     val limit = s.length - name.length - 2
     while (i <= limit) {
+      ctx.budget -= 1
       if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' && regionEqAscii(s, i + 2, name)) {
         var j = i + 2 + name.length
         while (j < s.length && isAsciiWs(s.charAt(j))) j += 1
@@ -587,6 +614,7 @@ object TextExtraction {
       }
       i += 1
     }
+    ctx.noCloserFrom(d) = math.min(ctx.noCloserFrom(d), from)
     -1
   }
 
@@ -594,13 +622,15 @@ object TextExtraction {
     * at `i`, the index just past its closing '>', else -1. Inner matching
     * is strict (no nested skipping), so hostile nesting cannot recurse.
     */
-  private def dropBlockEnd(s: String, i: Int): Int = {
+  private def dropBlockEnd(s: String, i: Int, ctx: ScanCtx): Int = {
     val dn = dropNameAt(s, i)
     if (dn < 0) return -1
     val name = dropNamesArr(dn)
-    val openEnd = s.indexOf('>', i + 1 + name.length)
-    if (openEnd < 0) return -1
-    findCloser(s, openEnd + 1, name)
+    val searchFrom = i + 1 + name.length
+    if (searchFrom >= ctx.noGtFrom) return -1
+    val openEnd = s.indexOf('>', searchFrom)
+    if (openEnd < 0) { ctx.noGtFrom = math.min(ctx.noGtFrom, searchFrom); return -1 }
+    findCloser(s, openEnd + 1, dn, ctx)
   }
 
   /** The '>' ending a `[^>]*>` tail, as the tag-level passes see it: a
@@ -610,18 +640,23 @@ object TextExtraction {
     * pipeline, which runs after blockTagRe) block tags are skipped the
     * same way. Returns the index just past the '>', or -1.
     */
-  private def scanForGt(s: String, from: Int, skipBlockTags: Boolean): Int = {
+  private def scanForGt(s: String, from: Int, skipBlockTags: Boolean, ctx: ScanCtx): Int = {
     val len = s.length
     var j = from
+    var unskippedFrom = from // start of the current skip-free region
     while (j < len) {
+      if (j >= ctx.noGtFrom) return -1
       val c = s.charAt(j)
       if (c == '>') return j + 1
-      if (c == '<') {
-        var skip = dropBlockEnd(s, j)
-        if (skip < 0 && skipBlockTags) skip = blockTagEnd(s, j)
-        if (skip >= 0) j = skip else j += 1
+      ctx.budget -= 1
+      if (c == '<' && ctx.budget > 0) {
+        var skip = dropBlockEnd(s, j, ctx)
+        if (skip < 0 && skipBlockTags) skip = blockTagEnd(s, j, ctx)
+        if (skip >= 0) { j = skip; unskippedFrom = skip } else j += 1
       } else j += 1
     }
+    // the region [unskippedFrom, EOF) was examined char by char: no '>'
+    ctx.noGtFrom = math.min(ctx.noGtFrom, unskippedFrom)
     -1
   }
 
@@ -636,6 +671,7 @@ object TextExtraction {
   private def extractCore(s: String): String = {
     val len = s.length
     val out = new java.lang.StringBuilder(len)
+    val ctx = new ScanCtx(len)
     var pendingSpace = false
 
     @inline def emit(c: Char): Unit = {
@@ -654,10 +690,10 @@ object TextExtraction {
         // drop block first (those regex passes run before tagRe); a
         // blockless or closerless opener falls through to plain-tag
         // handling, same as the sequential passes
-        var next = dropBlockEnd(s, i)
+        var next = dropBlockEnd(s, i, ctx)
         if (next >= 0) emitSpace()
         else {
-          val gt = scanForGt(s, i + 1, skipBlockTags = false)
+          val gt = scanForGt(s, i + 1, skipBlockTags = false, ctx)
           if (gt >= 0) { emitSpace(); next = gt } // <[^>]*>
           else { emit('<'); next = i + 1 }        // no '>': literal text
         }
@@ -753,7 +789,7 @@ object TextExtraction {
     * the '>' or -1. Raw NUL counts as whitespace in the br/hr arm because
     * the regex pipeline maps NUL to ' ' before blockTagRe runs.
     */
-  private def blockTagEnd(s: String, i: Int): Int = {
+  private def blockTagEnd(s: String, i: Int, ctx: ScanCtx): Int = {
     val len = s.length
     var nameAt = i + 1
     if (nameAt < len && s.charAt(nameAt) == '/') nameAt += 1
@@ -767,7 +803,7 @@ object TextExtraction {
           // other block tags: blockTagRe is one left-to-right pass, so a
           // leftmost match's tail may legitimately end on a later block
           // tag's '>'
-          return scanForGt(s, after, skipBlockTags = false)
+          return scanForGt(s, after, skipBlockTags = false, ctx)
       }
       d += 1
     }
@@ -781,7 +817,7 @@ object TextExtraction {
         val c = s.charAt(j)
         if (isAsciiWs(c) || c == Nul) j += 1
         else if (c == '<') {
-          val sk = dropBlockEnd(s, j)
+          val sk = dropBlockEnd(s, j, ctx)
           if (sk >= 0) j = sk else scanning = false
         } else scanning = false
       }
@@ -802,6 +838,7 @@ object TextExtraction {
   private def extractParasCore(s: String): String = {
     val len = s.length
     val out = new java.lang.StringBuilder(len)
+    val ctx = new ScanCtx(len)
     var pending = 0 // 0 none, 1 space, 2 paragraph break
 
     @inline def emit(c: Char): Unit = {
@@ -820,13 +857,13 @@ object TextExtraction {
     while (i < len) {
       val c = s.charAt(i)
       if (c == '<') {
-        var next = dropBlockEnd(s, i)
+        var next = dropBlockEnd(s, i, ctx)
         if (next >= 0) emitSpace()
         else {
-          val bt = blockTagEnd(s, i)
+          val bt = blockTagEnd(s, i, ctx)
           if (bt >= 0) { emitBreak(); next = bt }
           else {
-            val gt = scanForGt(s, i + 1, skipBlockTags = true)
+            val gt = scanForGt(s, i + 1, skipBlockTags = true, ctx)
             if (gt >= 0) { emitSpace(); next = gt }
             else { emit('<'); next = i + 1 }
           }
