@@ -31,12 +31,16 @@ object KernelBench {
     val start = new CountDownLatch(1)
     val done = new CountDownLatch(threads)
     val n = htmls.length
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
     for (t <- 0 until threads) {
       pool.execute { () =>
-        start.await()
-        var i = t
-        while (i < n) { sink.add(f(htmls(i)).length.toLong); i += threads }
-        done.countDown()
+        try {
+          start.await()
+          var i = t
+          while (i < n) { sink.add(f(htmls(i)).length.toLong); i += threads }
+        } catch {
+          case e: Throwable => failure.compareAndSet(null, e)
+        } finally done.countDown() // never leave done.await() wedged
       }
     }
     val t0 = System.nanoTime()
@@ -45,6 +49,7 @@ object KernelBench {
     val sec = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
     pool.awaitTermination(10, TimeUnit.SECONDS)
+    if (failure.get() != null) throw failure.get()
     require(sink.sum() > 0, "kernel produced no output")
     sec
   }

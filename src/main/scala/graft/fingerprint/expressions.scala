@@ -550,8 +550,18 @@ object TextExtraction {
     true
   }
 
-  private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  // Java's \b bounds on letters | digits | nonspacing marks | '_' over
+  // code points regardless of the UNICODE_CHARACTER_CLASS flag — NOT the
+  // ASCII \w class — so the word-boundary emulation must too, or
+  // `<lié>`/`<navٰ>` classify differently than the regex spec (found by
+  // differential fuzzing; the exact category set was derived empirically
+  // and is pinned by a full-BMP sweep against the real regex in
+  // FingerprintSpec)
+  private def isWordCharAt(s: String, at: Int): Boolean = {
+    val cp = s.codePointAt(at)
+    cp == '_'.toInt || Character.isLetterOrDigit(cp) ||
+      Character.getType(cp) == Character.NON_SPACING_MARK
+  }
 
   private def isAsciiWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
@@ -565,7 +575,7 @@ object TextExtraction {
       val name = dropNamesArr(d)
       if (regionEqAscii(s, i + 1, name)) {
         val after = i + 1 + name.length
-        if (after >= s.length || !isWordChar(s.charAt(after))) return d
+        if (after >= s.length || !isWordCharAt(s, after)) return d
       }
       d += 1
     }
@@ -585,6 +595,9 @@ object TextExtraction {
     val noCloserFrom: Array[Int] = Array.fill(dropNamesArr.length)(Int.MaxValue)
     // first position from which '>' is known to be absent through EOF
     var noGtFrom: Int = Int.MaxValue
+    // '>' is absent in [gtCacheFrom, gtCachePos) and present at gtCachePos
+    var gtCacheFrom: Int = Int.MaxValue
+    var gtCachePos: Int = -1
     // total lookahead work allowance: failing-with-skips scans re-traverse
     // ground that neither cache can soundly memoize (skip alignment is
     // position-dependent), and matching the regex spec on those shapes is
@@ -628,7 +641,17 @@ object TextExtraction {
     val name = dropNamesArr(dn)
     val searchFrom = i + 1 + name.length
     if (searchFrom >= ctx.noGtFrom) return -1
-    val openEnd = s.indexOf('>', searchFrom)
+    // memoized first-'>' lookup: '>' is absent in [gtCacheFrom, gtCachePos),
+    // so any search starting inside that window resolves O(1) — without
+    // this, n closerless openers sharing one distant '>' re-scan to it n
+    // times (O(N²), confirmed by measurement)
+    val openEnd =
+      if (searchFrom >= ctx.gtCacheFrom && searchFrom <= ctx.gtCachePos) ctx.gtCachePos
+      else {
+        val g = s.indexOf('>', searchFrom)
+        if (g >= 0) { ctx.gtCacheFrom = searchFrom; ctx.gtCachePos = g }
+        g
+      }
     if (openEnd < 0) { ctx.noGtFrom = math.min(ctx.noGtFrom, searchFrom); return -1 }
     findCloser(s, openEnd + 1, dn, ctx)
   }
@@ -709,25 +732,7 @@ object TextExtraction {
           if (s.charAt(j) == ';') semi = j
           j += 1
         }
-        var rep: String = null
-        if (semi > i) {
-          val ent = s.substring(i + 1, semi)
-          rep = ent match {
-            case "amp"  => "&"
-            case "lt"   => "<"
-            case "gt"   => ">"
-            case "quot" => "\""
-            case "apos" | "#39" => "'"
-            case "nbsp" => " "
-            // same Unicode-digit predicate + parse as the regex spec's
-            // decodeEntities (isDigit and parseInt both accept non-ASCII
-            // decimal digits, e.g. U+0665)
-            case e if e.startsWith("#") && e.drop(1).nonEmpty && e.drop(1).forall(_.isDigit) =>
-              try String.valueOf(e.drop(1).toInt.toChar)
-              catch { case _: Exception => "&" + e + ";" }
-            case _ => null
-          }
-        }
+        val rep = if (semi > i) entityRep(s.substring(i + 1, semi)) else null
         if (rep != null) {
           var k = 0
           while (k < rep.length) { emit(rep.charAt(k)); k += 1 }
@@ -798,7 +803,7 @@ object TextExtraction {
       val name = blockNamesArr(d)
       if (regionEqAscii(s, nameAt, name)) {
         val after = nameAt + name.length
-        if (after >= len || !isWordChar(s.charAt(after)))
+        if (after >= len || !isWordCharAt(s, after))
           // the [^>]* tail sees drop blocks as already-removed, but NOT
           // other block tags: blockTagRe is one left-to-right pass, so a
           // leftmost match's tail may legitimately end on a later block
@@ -877,22 +882,7 @@ object TextExtraction {
           if (s.charAt(j) == ';') semi = j
           j += 1
         }
-        var rep: String = null
-        if (semi > i) {
-          val ent = s.substring(i + 1, semi)
-          rep = ent match {
-            case "amp"  => "&"
-            case "lt"   => "<"
-            case "gt"   => ">"
-            case "quot" => "\""
-            case "apos" | "#39" => "'"
-            case "nbsp" => " "
-            case e if e.startsWith("#") && e.drop(1).nonEmpty && e.drop(1).forall(_.isDigit) =>
-              try String.valueOf(e.drop(1).toInt.toChar)
-              catch { case _: Exception => "&" + e + ";" }
-            case _ => null
-          }
-        }
+        val rep = if (semi > i) entityRep(s.substring(i + 1, semi)) else null
         if (rep != null) {
           var k = 0
           while (k < rep.length) {
@@ -913,6 +903,25 @@ object TextExtraction {
     out.substring(b, e)
   }
 
+  /** Replacement for one entity name (the text between '&' and ';'), or
+    * null when it isn't one — the ONE definition shared by the fused
+    * kernels and the regex-pipeline specs, so entity semantics cannot
+    * drift between them. The numeric arm keeps the spec's exact
+    * Unicode-digit predicate, parse, and 16-bit toChar truncation.
+    */
+  private def entityRep(ent: String): String = ent match {
+    case "amp"  => "&"
+    case "lt"   => "<"
+    case "gt"   => ">"
+    case "quot" => "\""
+    case "apos" | "#39" => "'"
+    case "nbsp" => " "
+    case e if e.startsWith("#") && e.drop(1).nonEmpty && e.drop(1).forall(_.isDigit) =>
+      try String.valueOf(e.drop(1).toInt.toChar)
+      catch { case _: Exception => "&" + e + ";" }
+    case _ => null
+  }
+
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val out = new java.lang.StringBuilder(s.length)
@@ -922,19 +931,7 @@ object TextExtraction {
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 8) {
-          val ent = s.substring(i + 1, semi)
-          val rep = ent match {
-            case "amp"  => "&"
-            case "lt"   => "<"
-            case "gt"   => ">"
-            case "quot" => "\""
-            case "apos" | "#39" => "'"
-            case "nbsp" => " "
-            case e if e.startsWith("#") && e.drop(1).nonEmpty && e.drop(1).forall(_.isDigit) =>
-              try String.valueOf(e.drop(1).toInt.toChar)
-              catch { case _: Exception => "&" + ent + ";" }
-            case _ => null
-          }
+          val rep = entityRep(s.substring(i + 1, semi))
           if (rep != null) { out.append(rep); i = semi + 1 }
           else { out.append(c); i += 1 }
         } else { out.append(c); i += 1 }
