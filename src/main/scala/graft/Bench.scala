@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pages.PagesGen
 import graft.pipeline.{DedupConfig, DedupPipeline}
@@ -107,6 +107,17 @@ object Bench {
     dir
   }
 
+  /** The ONE read+extract projection every pipeline line times — headline
+    * e2e, resume epochs and cluster epochs must all measure the same
+    * scan→extract front half or cross-line comparisons drift.
+    */
+  def pagesFrame(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .select(col("url"),
+        graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
+  }
+
   /** The timed job — the full north-star path: read the pages table,
     * EXTRACT text from the html bytes (ExtractText, the byte-identical
     * fidelity contract), dedup, count clusters. Extraction is inside the
@@ -115,14 +126,11 @@ object Bench {
     */
   def runPipelineOn(spark: SparkSession, path: String,
                     cfg: DedupConfig = DedupConfig()): Long = {
-    import org.apache.spark.sql.functions.col
-    val pages = spark.read.parquet(path)
-      .select(col("url"),
-        graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
     // the row count rides the pipeline's final materializing job as an
     // observe metric — consuming the result costs zero extra actions
     val obs = org.apache.spark.sql.Observation()
-    DedupPipeline.run(spark, pages, "url", "text", cfg, rowObs = Some(obs))
+    DedupPipeline.run(spark, pagesFrame(spark, path), "url", "text", cfg,
+      rowObs = Some(obs))
     val row = scala.concurrent.Await.result(obs.future,
       scala.concurrent.duration.Duration(120, "s"))
     if (row.length == 0) 0L else row.getLong(0)
@@ -201,6 +209,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the bench line is machine-parsed JSON: the f interpolator formats
+    // through the default locale, and a comma-decimal locale (de_DE) would
+    // print 12,345 — pin ROOT before the first number is formatted
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = sessionFor(cpus)
@@ -212,9 +224,12 @@ object Bench {
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashed query must be visible in the JSON (-1), not read back
+      // as a suspiciously fast run in the round-over-round comparison
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // end-to-end dedup throughput over the materialized pages corpus
@@ -279,9 +294,11 @@ object Bench {
     // committed heap after the run, GC time, and box-wide other-process CPU
     // across the rep window.
     def procBusyTicks(): Long = {
-      val c = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .split("\\s+").drop(1).take(8).map(_.toLong)
-      c(0) + c(1) + c(2) + c(5) + c(6) // user+nice+system+irq+softirq
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val c = src.getLines().next().split("\\s+").drop(1).take(8).map(_.toLong)
+        c(0) + c(1) + c(2) + c(5) + c(6) // user+nice+system+irq+softirq
+      } finally src.close()
     }
     def ownCpuNs(): Long =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -332,12 +349,7 @@ object Bench {
     // the epoch on a fresh COPY of the state dir so each rep discovers the
     // same 10% new pages.
     val resumeBatch = materializePages(spark, numBase * 11 / 10, s"$tmp/resume_batch")
-    def pagesFrame(path: String) = {
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(path)
-        .select(col("url"),
-          graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
-    }
+    def pagesFrame(path: String): DataFrame = Bench.pagesFrame(spark, path)
     def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
       java.nio.file.Files.walk(src).forEach { p =>
         val t = dst.resolve(src.relativize(p))

@@ -55,6 +55,7 @@ object KernelBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON output: decimal points, any host locale
     val docs = sys.env.getOrElse("SPARK_GRAFT_KERNEL_DOCS", "60000").toInt
     val hiThreads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_KERNEL_REPS", "3").toInt

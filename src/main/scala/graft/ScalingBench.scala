@@ -50,6 +50,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON output: decimal points, any host locale
     // round-4 diagnosis (BASELINE.md): a large Xmx lets G1 ergonomics
     // expand the heap instead of collecting, and the dispersed heap
     // inflates task CPU up to 2.25× via memory stalls — the measured cause

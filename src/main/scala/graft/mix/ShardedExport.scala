@@ -74,20 +74,62 @@ object ShardedExport {
     */
   private def shardedOrdered(df: DataFrame, idCol: String, textCol: String,
                              nShards: Int, epochCol: Option[String],
-                             packOrder: Boolean,
-                             tokenMetric: String): DataFrame = {
+                             packOrder: Boolean, tokenMetric: String,
+                             dropObs: org.apache.spark.sql.Observation): DataFrame = {
     val key = SequencePack.packKey(col(idCol), epochCol.map(col))
     val order: Seq[Column] =
       if (packOrder) SequencePack.packOrdering(idCol, epochCol)
       else Seq(col(idCol)) ++ epochCol.map(col)
     // coalesce: a null text row (unextracted doc) budgets as 0 tokens
     // everywhere — manifest sums, pack plans, and every jsonl line carry
-    // a concrete n_tokens, never a hole
+    // a concrete n_tokens, never a hole.
+    // A null pack key (null id, or null epoch when epoch-keyed) has no
+    // shard under the determinism contract — partitionBy would bury the
+    // row in __HIVE_DEFAULT_PARTITION__, a directory no loader reads and
+    // the manifest read-back cannot address. Such rows are dropped from
+    // the export and COUNTED (observe rides the write; the manifest
+    // records `dropped_null_key`) — excluded loudly, never silently.
     df.withColumn("shard", shardOf(key, nShards))
       .withColumn("n_tokens",
         coalesce(TokenMetric.of(tokenMetric)(col(textCol)), lit(0L)))
+      .observe(dropObs, coalesce(sum(when(col("shard").isNull, 1L)), lit(0L))
+        .as("dropped_null_key"))
+      .where(col("shard").isNotNull)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard") +: order: _*)
+  }
+
+  /** Same guard as Checkpoints.observedLong: an empty-relation-pruned
+    * metric node reads as 0 instead of blocking forever.
+    */
+  private def observedLong(obs: org.apache.spark.sql.Observation): Long = {
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    if (row.length == 0) 0L else row.getLong(0)
+  }
+
+  /** `shard=K` partition directories under `dir` with their DATA files
+    * (dot/underscore side-files excluded) — the ONE definition of "what
+    * counts as shard data", shared by the layout check, jsonl byte
+    * accounting and byte verification; export and verify must never
+    * disagree on it. Non-numeric partition names (a stale or foreign
+    * writer's __HIVE_DEFAULT_PARTITION__, a hand-copied stray) come back
+    * as Left so callers can report rather than crash on them.
+    */
+  private def listShardData(spark: SparkSession, dir: String)
+      : Seq[(Either[String, Int], Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map { s =>
+        val name = s.getPath.getName.stripPrefix("shard=")
+        val files = fs.listStatus(s.getPath).toSeq.filter(f =>
+          f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+        (name.toIntOption.toRight(name), files)
+      }
   }
 
   /** Write the manifest text at `dir/_manifest.json` (overwrite). */
@@ -99,14 +141,19 @@ object ShardedExport {
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The shared lineage fields every format's manifest records. */
+  /** The shared lineage fields every format's manifest records. The epoch
+    * COLUMN NAME is lineage too: verifyExport recomputes the shard function
+    * from (id, epoch) and must bind the same column the export keyed by.
+    */
   private def lineageFields(nShards: Int, idCol: String, packOrder: Boolean,
-                            epochCol: Option[String],
-                            tokenMetric: String): String =
+                            epochCol: Option[String], tokenMetric: String,
+                            droppedNullKey: Long): String =
     s"""  "n_shards": $nShards,
        |  "id_col": "$idCol",
        |  "row_order": "${if (packOrder) "pack" else "id"}",
-       |  "epoch_keyed": ${epochCol.isDefined},
+       |  "epoch_keyed": ${epochCol.isDefined},${
+            epochCol.map(c => "\n  \"epoch_col\": \"" + c + "\",").getOrElse("")}
+       |  "dropped_null_key": $droppedNullKey,
        |  "token_metric": "$tokenMetric",""".stripMargin
 
   def exportShards(spark: SparkSession, df: DataFrame, idCol: String,
@@ -114,16 +161,24 @@ object ShardedExport {
                    epochCol: Option[String] = None,
                    packOrder: Boolean = false,
                    tokenMetric: String = "ws"): Seq[ShardStat] = {
-    shardedOrdered(df, idCol, textCol, nShards, epochCol, packOrder, tokenMetric)
+    val dropObs = org.apache.spark.sql.Observation()
+    shardedOrdered(df, idCol, textCol, nShards, epochCol, packOrder,
+      tokenMetric, dropObs)
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
+    val dropped = observedLong(dropObs)
     // manifest stats from the WRITTEN data (what a loader will see), with
-    // the scan pruned to the two stat columns
-    val stats = spark.read.parquet(dir)
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
-      .collect()
-      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_.shard).toSeq
+    // the scan pruned to the two stat columns. An empty corpus (a 0-rate
+    // mix, an over-aggressive filter chain) writes no shard directory at
+    // all — read.parquet would fail schema inference on the bare _SUCCESS,
+    // so the empty layout short-circuits to an empty (but valid) manifest.
+    val stats =
+      if (listShardData(spark, dir).isEmpty) Seq.empty[ShardStat]
+      else spark.read.parquet(dir)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+        .collect()
+        .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_.shard).toSeq
     val body = stats.map(s =>
         s"""    {"shard":${s.shard},"docs":${s.docs},"tokens":${s.tokens}}""")
       .mkString("[\n", ",\n", "\n  ]")
@@ -133,7 +188,7 @@ object ShardedExport {
     // counts include up-sampled repeat copies, rows carry their ordinal
     writeManifest(spark, dir,
       s"""{
-         |${lineageFields(nShards, idCol, packOrder, epochCol, tokenMetric)}
+         |${lineageFields(nShards, idCol, packOrder, epochCol, tokenMetric, dropped)}
          |  "format": "parquet",
          |  "docs": ${stats.map(_.docs).sum},
          |  "tokens": ${stats.map(_.tokens).sum},
@@ -182,29 +237,26 @@ object ShardedExport {
     val nShards = longField("n_shards").getOrElse(0L).toInt
     val idCol = strField("id_col").getOrElse("url")
     val epochKeyed = m.contains("\"epoch_keyed\": true")
+    // epoch_col lineage (manifests from before the field default to the
+    // column name the CLI has always used)
+    val epochColName = strField("epoch_col").getOrElse("epoch")
     // layout: every shard=K dir holds exactly one data file, K in range
-    val shardDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-    shardDirs.foreach { s =>
-      val name = s.getPath.getName.stripPrefix("shard=")
-      val dataFiles = fs.listStatus(s.getPath).filter(f =>
-        f.isFile && !f.getPath.getName.startsWith(".") &&
-          !f.getPath.getName.startsWith("_"))
-      name.toIntOption match {
-        case Some(k) if k >= 0 && k < nShards =>
-          if (dataFiles.length != 1)
-            issues += s"shard $k has ${dataFiles.length} data files (expected 1)"
-        case _ => issues += s"unexpected partition directory: ${s.getPath.getName}"
-      }
+    val shardData = listShardData(spark, dir)
+    shardData.foreach {
+      case (Right(k), files) if k >= 0 && k < nShards =>
+        if (files.length != 1)
+          issues += s"shard $k has ${files.length} data files (expected 1)"
+      case (Right(k), _)   => issues += s"unexpected partition directory: shard=$k"
+      case (Left(name), _) => issues += s"unexpected partition directory: shard=$name"
     }
+    // an empty layout is legitimate (an empty corpus exports a valid
+    // manifest with no shard dirs) — but spark.read cannot infer a schema
+    // from it, so the data side short-circuits to zero
     val (docs, tokens) = format match {
+      case _ if shardData.isEmpty => (0L, 0L)
       case "jsonl" =>
-        val listed = shardDirs.flatMap { s =>
-          s.getPath.getName.stripPrefix("shard=").toIntOption.map { k =>
-            k -> fs.listStatus(s.getPath).filter(f =>
-              f.isFile && !f.getPath.getName.startsWith(".") &&
-                !f.getPath.getName.startsWith("_")).map(_.getLen).sum
-          }
+        val listed = shardData.collect { case (Right(k), files) =>
+          k -> files.map(_.getLen).sum
         }.toMap
         val claimed = """\{"shard":(\d+),"bytes":(\d+)\}""".r.findAllMatchIn(m)
           .map(g => g.group(1).toInt -> g.group(2).toLong).toMap
@@ -217,17 +269,27 @@ object ShardedExport {
         (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
       case _ =>
         val df = spark.read.parquet(dir)
-        val key =
-          if (epochKeyed) SequencePack.packKey(col(idCol), Some(col("epoch")))
-          else col(idCol)
-        val agg = df.agg(count(lit(1)),
-          sum(coalesce(col("n_tokens"), lit(0L))),
-          sum(when(shardOf(key, math.max(1, nShards)).cast("long") =!=
-            col("shard").cast("long"), 1L).otherwise(0L))).collect()(0)
-        val misplaced = if (agg.isNullAt(2)) 0L else agg.getLong(2)
-        if (misplaced > 0L)
-          issues += s"$misplaced rows sit in a shard their id does not hash to"
-        (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+        if (epochKeyed && !df.columns.contains(epochColName)) {
+          // a verification FAILURE to report, not an UNRESOLVED_COLUMN to
+          // throw: the manifest promises an epoch key the data cannot bind
+          issues += s"manifest says epoch_keyed with column '$epochColName' " +
+            "but the data has no such column; shard function not verified"
+          val agg = df.agg(count(lit(1)),
+            sum(coalesce(col("n_tokens"), lit(0L)))).collect()(0)
+          (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+        } else {
+          val key =
+            if (epochKeyed) SequencePack.packKey(col(idCol), Some(col(epochColName)))
+            else col(idCol)
+          val agg = df.agg(count(lit(1)),
+            sum(coalesce(col("n_tokens"), lit(0L))),
+            sum(when(shardOf(key, math.max(1, nShards)).cast("long") =!=
+              col("shard").cast("long"), 1L).otherwise(0L))).collect()(0)
+          val misplaced = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+          if (misplaced > 0L)
+            issues += s"$misplaced rows sit in a shard their id does not hash to"
+          (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+        }
     }
     longField("docs").foreach(d =>
       if (d != docs) issues += s"manifest claims $d docs, data holds $docs")
@@ -258,8 +320,9 @@ object ShardedExport {
     // no packOrder here ON PURPOSE: a jsonl dir can never back a seekable
     // pack plan (no prunable read-back), so offering the knob would mint a
     // manifest whose row_order:pack lineage writePlan's guard TRUSTS
+    val dropObs = org.apache.spark.sql.Observation()
     val prepped = shardedOrdered(df, idCol, textCol, nShards, epochCol,
-      packOrder = false, tokenMetric)
+      packOrder = false, tokenMetric, dropObs)
     val obs = org.apache.spark.sql.Observation()
     val payloadCols = prepped.columns.filterNot(_ == "shard").map(col)
     prepped
@@ -274,28 +337,20 @@ object ShardedExport {
       scala.concurrent.duration.Duration(120, "s"))
     val (docs, tokens) =
       if (row.length == 0) (0L, 0L) else (row.getLong(0), row.getLong(1))
+    val dropped = observedLong(dropObs)
     // per-shard bytes from the listing — free, and the quantity a
-    // streaming loader actually balances by. Only data files count (no
-    // hidden .crc checksum side-files), and non-numeric partition dirs
-    // (a null id's __HIVE_DEFAULT_PARTITION__) must not crash the listing
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shardBytes = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .flatMap { s =>
-        s.getPath.getName.stripPrefix("shard=").toIntOption.map { k =>
-          k -> fs.listStatus(s.getPath)
-            .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
-              !f.getPath.getName.startsWith("_"))
-            .map(_.getLen).sum
-        }
-      }.sortBy(_._1)
+    // streaming loader actually balances by (listShardData is the shared
+    // definition of what counts: no .crc side-files, no stray dirs)
+    val shardBytes = listShardData(spark, dir)
+      .collect { case (Right(k), files) => k -> files.map(_.getLen).sum }
+      .sortBy(_._1)
     val body = shardBytes.map { case (k, b) =>
         s"""    {"shard":$k,"bytes":$b}""" }
       .mkString("[\n", ",\n", "\n  ]")
     writeManifest(spark, dir,
       s"""{
-         |${lineageFields(nShards, idCol, packOrder = false, epochCol, tokenMetric)}
+         |${lineageFields(nShards, idCol, packOrder = false, epochCol,
+                           tokenMetric, dropped)}
          |  "format": "jsonl",
          |  "docs": $docs,
          |  "tokens": $tokens,

@@ -289,19 +289,26 @@ object Checkpoints {
       if (cfg.forceRescan || !exists(spark, sigPath)) None
       else Some(readSignatures(spark, stateDir))
     val quarantined = if (cfg.forceRescan) None else readIfExists(spark, qPath)
+    // slice-keyed prune (cfg.stateBloomFpp): the state side of the
+    // resume anti-join is the corpus-aged one; a Bloom sketch of the
+    // incoming slice's ids (one slim aggregation over the pruned id
+    // column — never the text) filters it to ~|slice| rows before
+    // the join. Byte-identical result at any fpp (SlicePrune doc). The
+    // handle is kept so the epoch can unpersist the executor-side blocks
+    // once its writes are committed — a long-lived driver looping epochs
+    // must not accumulate one pinned sketch per epoch.
+    val sliceSketch =
+      if (seen.isDefined && cfg.stateBloomFpp > 0)
+        Some(SlicePrune.keySketch(pages.select(col(idCol)), idCol,
+          cfg.stateBloomExpected, cfg.stateBloomFpp))
+      else None
     val unseen0 = seen match {
       case Some(s) =>
         val stateKeys = s.select(col("id").as(idCol))
-        // slice-keyed prune (cfg.stateBloomFpp): the state side of the
-        // resume anti-join is the corpus-aged one; a Bloom sketch of the
-        // incoming slice's ids (one slim aggregation over the pruned id
-        // column — never the text) filters it to ~|slice| rows before
-        // the join. Byte-identical result at any fpp (SlicePrune doc).
-        val joinKeys =
-          if (cfg.stateBloomFpp > 0)
-            SlicePrune.pruneByKeys(stateKeys, idCol, pages.select(col(idCol)),
-              idCol, cfg.stateBloomExpected, cfg.stateBloomFpp)
-          else stateKeys
+        val joinKeys = sliceSketch match {
+          case Some(bf) => stateKeys.filter(SlicePrune.mightContain(bf, col(idCol)))
+          case None     => stateKeys
+        }
         pages.join(joinKeys, Seq(idCol), "left_anti")
       case None    => pages
     }
@@ -365,6 +372,12 @@ object Checkpoints {
     bad.observe(qObs, count(lit(1)).as("n")).write.mode("append").parquet(qPath)
     val nQuarantined = observedLong(qObs, 0)
 
+    // both consumers of the pruned anti-join (signature + quarantine
+    // writes) have committed; release the sketch's executor blocks now.
+    // unpersist (not destroy) keeps the driver copy, so a recompute after
+    // executor loss just re-fetches — correctness is unaffected.
+    sliceSketch.foreach(_.unpersist())
+
     // one read-back pass over the committed epoch serves the lineage table
     // AND the row count: the total rides the lineage write as an observe
     // metric (sum over the already-grouped per-partition counts)
@@ -383,9 +396,12 @@ object Checkpoints {
     val nNew = observedLong(lObs, 0)
     val elapsed = (System.nanoTime() - epochT0) / 1e9
     val rate = if (elapsed > 0) nNew / elapsed else 0.0
+    // explicit ROOT locale: the manifest is machine-parsed JSON and this is
+    // library code — a comma-decimal host locale must not leak into it
     appendManifest(spark, stateDir,
-      f"""{"epoch":$epoch,"new_signatures":$nNew,"quarantined":$nQuarantined,""" +
-        f""""elapsed_sec":$elapsed%.2f,"docs_per_sec":$rate%.1f}""")
+      s"""{"epoch":$epoch,"new_signatures":$nNew,"quarantined":$nQuarantined,""" +
+        s""""elapsed_sec":${"%.2f".formatLocal(java.util.Locale.ROOT, elapsed)},""" +
+        s""""docs_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, rate)}}""")
     (nNew, nQuarantined)
   }
 

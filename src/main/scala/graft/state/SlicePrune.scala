@@ -48,6 +48,13 @@ object SlicePrune {
 
   /** Bloom sketch of `df.keyCol` (string or long), torrent-broadcast.
     * One distributed aggregation job over the pruned key column.
+    *
+    * Lifecycle: the returned handle pins ~bytes-of-sketch in every
+    * executor's block manager until `unpersist()` or until the driver GCs
+    * the handle and ContextCleaner sweeps it. Epoch loops that build one
+    * sketch per epoch (Checkpoints.runEpoch) unpersist explicitly once the
+    * epoch's writes commit; callers returning lazy frames (SubDocState)
+    * lean on ContextCleaner — drop the frame to release the sketch.
     */
   def keySketch(df: DataFrame, keyCol: String,
                 expectedItems: Long, fpp: Double): Broadcast[BloomFilter] = {

@@ -357,6 +357,71 @@ class MixSpec extends SparkTestBase {
     assert(issues.isEmpty && vd === 300L && vt === tokens, issues)
   }
 
+  test("null ids: dropped and counted, never a __HIVE_DEFAULT_PARTITION__") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullid").toString
+    val withNull = corpus(50).unionByName(
+      Seq((null: String, "crawl_a", "orphan text")).toDF("url", "source", "text"))
+    val stats = ShardedExport.exportShards(spark, withNull, "url", "text",
+      dir, nShards = 3)
+    assert(stats.map(_.docs).sum === 50L)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"dropped_null_key\": 1"))
+    assert(!new java.io.File(s"$dir/shard=__HIVE_DEFAULT_PARTITION__").exists())
+    val (issues, vd, _) = ShardedExport.verifyExport(spark, dir)
+    assert(issues.isEmpty && vd === 50L, issues)
+    // same contract on the jsonl format
+    val jdir = java.nio.file.Files.createTempDirectory("graft-nullid-j").toString
+    val (jd, _) = ShardedExport.exportShardsJsonl(spark, withNull, "url", "text",
+      jdir, nShards = 3)
+    assert(jd === 50L)
+    val (jIssues, jvd, _) = ShardedExport.verifyExport(spark, jdir)
+    assert(jIssues.isEmpty && jvd === 50L, jIssues)
+  }
+
+  test("empty export: valid zero manifest, verify reports clean, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val stats = ShardedExport.exportShards(spark, corpus(10).where(lit(false)),
+      "url", "text", dir, nShards = 4)
+    assert(stats.isEmpty)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"docs\": 0"))
+    val (issues, vd, vt) = ShardedExport.verifyExport(spark, dir)
+    assert(issues.isEmpty && vd === 0L && vt === 0L, issues)
+    val jdir = java.nio.file.Files.createTempDirectory("graft-empty-j").toString
+    val (jd, jt) = ShardedExport.exportShardsJsonl(spark,
+      corpus(10).where(lit(false)), "url", "text", jdir, nShards = 4)
+    assert(jd === 0L && jt === 0L)
+    val (jIssues, jvd, _) = ShardedExport.verifyExport(spark, jdir)
+    assert(jIssues.isEmpty && jvd === 0L, jIssues)
+  }
+
+  test("epoch-keyed verify binds the manifest's epoch_col, reports if absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-epochcol").toString
+    val df = corpus(80).withColumn("ep", (length(col("url")) % 3).cast("int"))
+    ShardedExport.exportShards(spark, df, "url", "text", dir, nShards = 3,
+      epochCol = Some("ep"))
+    val mPath = java.nio.file.Paths.get(s"$dir/_manifest.json")
+    val manifest = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    assert(manifest.contains("\"epoch_col\": \"ep\""))
+    // verify resolves the custom column name from the manifest — no
+    // UNRESOLVED_COLUMN throw, no issues
+    val (issues, vd, _) = ShardedExport.verifyExport(spark, dir)
+    assert(issues.isEmpty && vd === 80L, issues)
+    // a manifest promising an epoch column the data lacks is a REPORTED
+    // verification failure, not an exception out of the verifier
+    // (drop the local-FS .crc side-file too: a hand edit outside Hadoop
+    // would otherwise read back as a checksum failure, a different issue)
+    java.nio.file.Files.write(mPath,
+      manifest.replace("\"epoch_col\": \"ep\"", "\"epoch_col\": \"gone\"")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/._manifest.json.crc"))
+    val (issues2, vd2, _) = ShardedExport.verifyExport(spark, dir)
+    assert(issues2.exists(_.contains("gone")) && vd2 === 80L, issues2)
+  }
+
   test("mix config files parse: defaults, comments, bad lines") {
     def write(lines: String*): String = {
       val f = java.nio.file.Files.createTempFile("graft-mix", ".txt")
