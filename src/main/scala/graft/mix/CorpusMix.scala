@@ -130,8 +130,12 @@ object CorpusMix {
       : (DataFrame, Seq[MixStat]) = {
     require(budgets.nonEmpty, "mix budgets must name at least one source")
     budgets.foreach { case (s, b) => require(b >= 0, s"budget for $s is negative") }
-    val totals = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("docs"), sum(tokensOf(col(textCol))).as("tokens"))
+    // coalesce: a source whose every doc has null text sums to null, and
+    // null-text docs budget as 0 tokens everywhere (the export contract) —
+    // the driver read must never NPE on getLong
+    val totals = df.groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("docs"),
+        coalesce(sum(tokensOf(col(textCol))), lit(0L)).as("tokens"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val stats = budgets.toSeq.sortBy(_._1).map { case (src, budget) =>
@@ -168,8 +172,11 @@ object CorpusMix {
     }
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("_mix_u60").asc, col(idCol).asc)
+    // null text budgets as 0 tokens (the export contract): the doc packs
+    // into the prefix for free instead of nulling the cumsum comparison
+    // and silently vanishing from exact mode only
     df.withColumn("_mix_u60", u60(col(idCol), salt))
-      .withColumn("_mix_tok", tokensOf(col(textCol)))
+      .withColumn("_mix_tok", coalesce(tokensOf(col(textCol)), lit(0L)))
       .withColumn("_mix_cum", sum(col("_mix_tok")).over(w))
       .filter(col("_mix_cum") - col("_mix_tok") < budget)
       .drop("_mix_u60", "_mix_tok", "_mix_cum")
@@ -290,12 +297,17 @@ object CorpusMix {
       // fall short of the budget (the crossing row never existed). A source
       // merely smaller than its budget keeps rate = 1 and passes.
       val rates = stats.map(s => s.source -> s.rate).toMap
+      val srcTokens = stats.map(s => s.source -> s.tokens).toMap
       val keptTok = out
         .groupBy(col(sourceCol).cast("string").as("source"))
-        .agg(sum(tokensOf(col(textCol))).as("tokens"))
+        .agg(coalesce(sum(tokensOf(col(textCol))), lit(0L)).as("tokens"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a budgeted source with ZERO corpus tokens (absent, or empty) is
+      // vacuously exact — truncating the full source also yields nothing,
+      // and no headroom can ever change that — so it must not fail the job
       val short = budgets.toSeq.sortBy(_._1).collect {
-        case (src, b) if rates.getOrElse(src, 0.0) < 1.0 &&
+        case (src, b) if srcTokens.getOrElse(src, 0L) > 0L &&
+            rates.getOrElse(src, 0.0) < 1.0 &&
             keptTok.getOrElse(src, 0L) < b =>
           s"$src (kept ${keptTok.getOrElse(src, 0L)} of $b)"
       }

@@ -123,39 +123,74 @@ object SequencePack {
     * (shard, example) order — the `_` prefix keeps corpus readers of
     * `dir` from seeing it) and return (examples, planRows).
     *
-    * Guards the loader contract: the export manifest must record
+    * Guards the loader contract two ways: the export manifest must record
     * `row_order: pack` (ShardedExport writes it), else the persisted plan
     * would describe a token stream the shard files are NOT in — seeking
-    * via it would read wrong slices. Pass `requirePackOrder = false` only
-    * for a plan consumed purely by id-join (never by file position).
+    * via it would read wrong slices (pass `requirePackOrder = false` only
+    * for a plan consumed purely by id-join, never by file position); and
+    * the manifest's EPOCH lineage must agree with `epochCol` — planning an
+    * epoch-keyed export without its epoch column would tie every repeat
+    * copy on all sort keys (RANGE-framed peers share one running sum, so
+    * offsets double-count) and diverge from the written order with zero
+    * errors. The epoch check applies whenever a manifest exists,
+    * regardless of `requirePackOrder`.
     */
   def writePlan(spark: SparkSession, dir: String, idCol: String,
                 seqLen: Int, nShards: Int,
                 epochCol: Option[String] = None,
                 requirePackOrder: Boolean = true): (Long, Long) = {
-    if (requirePackOrder) {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val manifest =
-        if (fs.exists(path)) {
-          val in = fs.open(path)
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (!fs.exists(mPath)) None
+      else {
+        val in = fs.open(mPath)
+        val text =
           try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
           finally in.close()
-        } else ""
-      require(manifest.contains("\"row_order\": \"pack\""),
+        ShardedExport.parseManifest(text)
+      }
+    if (requirePackOrder) {
+      require(manifest.exists(m =>
+          Option(m.get("row_order")).exists(_.asText("") == "pack")),
         s"$dir was not exported in pack order (manifest row_order) — " +
           "export with packOrder=true (CLI: --pack-len sets it) before " +
           "writing a seekable pack plan, or pass requirePackOrder=false " +
           "for a join-by-id-only plan")
     }
+    manifest.foreach { m =>
+      val keyed = Option(m.get("epoch_keyed")).exists(_.asBoolean(false))
+      val mCol = Option(m.get("epoch_col")).map(_.asText)
+      if (keyed) {
+        require(epochCol.isDefined,
+          s"$dir is epoch-keyed (manifest) but the plan was asked without " +
+            "an epoch column — repeat copies would double-count offsets; " +
+            s"pass epochCol=Some(${mCol.getOrElse("epoch")})")
+        require(mCol.isEmpty || mCol == epochCol,
+          s"$dir was exported with epoch column '${mCol.get}' (manifest) " +
+            s"but the plan was asked with '${epochCol.get}'")
+      } else require(epochCol.isEmpty,
+        s"$dir is not epoch-keyed (manifest) but the plan was asked with " +
+          s"epoch column '${epochCol.getOrElse("")}'")
+    }
+    // an empty export (valid zero manifest, no shard dirs) has nothing to
+    // plan — and nothing read.parquet could infer a schema from
+    if (ShardedExport.listShardData(spark, dir).isEmpty) return (0L, 0L)
     val plan = planFromShards(spark, dir, idCol, seqLen, epochCol)
+    // accounting rides the write — zero extra pass over the corpus-sized
+    // plan: rows is a plain count; examples counts pos == 0 rows (the
+    // stream partitions each shard's tokens, so exactly one doc slice
+    // covers token e·L of example e — one pos-0 row per example)
+    val obs = org.apache.spark.sql.Observation()
     plan.repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("example"), col("pos"))
+      .observe(obs,
+        coalesce(sum(when(col("pos") === 0L, 1L)), lit(0L)).as("examples"),
+        count(lit(1)).as("rows"))
       .write.mode("overwrite").parquet(s"$dir/_pack")
-    val back = spark.read.parquet(s"$dir/_pack")
-    val agg = back.agg(
-      countDistinct(col("shard"), col("example")).as("examples"),
-      count(lit(1)).as("rows")).collect()(0)
-    (agg.getLong(0), agg.getLong(1))
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    if (row.length == 0) (0L, 0L)
+    else (row.getAs[Long]("examples"), row.getAs[Long]("rows"))
   }
 }

@@ -108,6 +108,18 @@ object ShardedExport {
     if (row.length == 0) 0L else row.getLong(0)
   }
 
+  /** THE manifest parser (Jackson, shipped with Spark), shared with
+    * SequencePack.writePlan — field extraction coupled to the writer's
+    * exact spacing (substring or regex matches) would reject a manifest
+    * round-tripped through any JSON pretty-printer, and `"docs"` appears
+    * in the per-shard body rows too, so position-independent real parsing
+    * is the only spelling that stays honest. None = unparseable.
+    */
+  private[mix] def parseManifest(m: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Option(new com.fasterxml.jackson.databind.ObjectMapper().readTree(m))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** `shard=K` partition directories under `dir` with their DATA files
     * (dot/underscore side-files excluded) — the ONE definition of "what
     * counts as shard data", shared by the layout check, jsonl byte
@@ -116,7 +128,7 @@ object ShardedExport {
     * writer's __HIVE_DEFAULT_PARTITION__, a hand-copied stray) come back
     * as Left so callers can report rather than crash on them.
     */
-  private def listShardData(spark: SparkSession, dir: String)
+  private[mix] def listShardData(spark: SparkSession, dir: String)
       : Seq[(Either[String, Int], Seq[org.apache.hadoop.fs.FileStatus])] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -228,15 +240,19 @@ object ShardedExport {
         case e: java.io.IOException =>
           return (Seq(s"unreadable _manifest.json: ${e.getMessage}"), 0L, 0L)
       }
+    val tree = parseManifest(m) match {
+      case Some(t) => t
+      case None    => return (Seq("unparseable _manifest.json"), 0L, 0L)
+    }
     def longField(name: String): Option[Long] =
-      ("\"" + name + "\": (\\d+)").r.findFirstMatchIn(m).map(_.group(1).toLong)
+      Option(tree.get(name)).filter(_.isIntegralNumber).map(_.asLong)
     def strField(name: String): Option[String] =
-      ("\"" + name + "\": \"([^\"]*)\"").r.findFirstMatchIn(m).map(_.group(1))
+      Option(tree.get(name)).filter(_.isTextual).map(_.asText)
     val issues = scala.collection.mutable.ArrayBuffer[String]()
     val format = strField("format").getOrElse("parquet")
     val nShards = longField("n_shards").getOrElse(0L).toInt
     val idCol = strField("id_col").getOrElse("url")
-    val epochKeyed = m.contains("\"epoch_keyed\": true")
+    val epochKeyed = Option(tree.get("epoch_keyed")).exists(_.asBoolean(false))
     // epoch_col lineage (manifests from before the field default to the
     // column name the CLI has always used)
     val epochColName = strField("epoch_col").getOrElse("epoch")
@@ -258,8 +274,14 @@ object ShardedExport {
         val listed = shardData.collect { case (Right(k), files) =>
           k -> files.map(_.getLen).sum
         }.toMap
-        val claimed = """\{"shard":(\d+),"bytes":(\d+)\}""".r.findAllMatchIn(m)
-          .map(g => g.group(1).toInt -> g.group(2).toLong).toMap
+        val claimed = {
+          import scala.jdk.CollectionConverters._
+          Option(tree.get("shards")).toSeq.flatMap(_.elements().asScala)
+            .flatMap(s => for {
+              k <- Option(s.get("shard")).map(_.asInt)
+              b <- Option(s.get("bytes")).map(_.asLong)
+            } yield k -> b).toMap
+        }
         if (listed != claimed)
           issues += s"per-shard bytes differ from the manifest: " +
             s"listed $listed vs claimed $claimed"

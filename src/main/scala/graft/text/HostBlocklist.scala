@@ -24,13 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object HostBlocklist {
 
-  /** The SURT host key of a bare domain: `news.Example.com` →
-    * `com,example,news` (what blocklist FILES contain — [[ancestorKeys]]
-    * of a page url are compared against these).
+  /** The SURT host key of a curated blocklist entry: `news.Example.com` →
+    * `com,example,news` (what [[ancestorKeys]] of a page url are compared
+    * against). Curated files spell entries many ways — a scheme prefix
+    * (`https://example.com`), a `*.` wildcard (SURT ancestor keys already
+    * cover subdomains), a root dot, userinfo, a pasted url with a path —
+    * and a key minted from the raw line would never equal any page's
+    * ancestor key, silently enforcing nothing. Normalize to the bare host
+    * first; entries that still yield no host key are dropped (and counted)
+    * by [[dropBlockedHosts]].
     */
-  def hostKey(domain: String): String =
-    UrlCanon.surt("http://" + domain.trim.stripSuffix(".").toLowerCase)
+  def hostKey(domain: String): String = {
+    val noScheme = domain.trim.toLowerCase
+      .replaceFirst("^[a-z][a-z0-9+.-]*://", "")
+    val noPath = noScheme.takeWhile(c => c != '/' && c != '?' && c != '#')
+    val bare = noPath.substring(noPath.lastIndexOf('@') + 1)
+      .stripPrefix("*.").stripPrefix(".").stripSuffix(".")
+    if (bare.isEmpty) ""
+    else UrlCanon.surt("http://" + bare)
       .takeWhile(_ != ')').replaceAll(":\\d+$", "")
+  }
 
   /** Every ancestor SURT key of the url's host, shortest first:
     * `http://a.b.example.com/x` → [com | com,example | com,example,b |
@@ -53,8 +66,16 @@ object HostBlocklist {
   def dropBlockedHosts(df: DataFrame, urlCol: String,
                        blockedDomains: Seq[String]): DataFrame = {
     val keys = blockedDomains.map(hostKey).filter(_.nonEmpty).distinct
+    val dropped = blockedDomains.count(hostKey(_).isEmpty)
+    if (dropped > 0)
+      System.err.println(s"[blocklist] $dropped entr${if (dropped == 1) "y" else "ies"} " +
+        "yielded no host key and block nothing")
     if (keys.isEmpty) df
+    // coalesce: a null url has no host, so no blocklist can match it —
+    // it must survive this pass exactly as it does when the list is
+    // empty (junk rows are another pass's job, not silent loss here)
     else df.filter(
-      !exists(ancestorKeys(col(urlCol)), a => a.isInCollection(keys)))
+      !coalesce(exists(ancestorKeys(col(urlCol)), a => a.isInCollection(keys)),
+        lit(false)))
   }
 }

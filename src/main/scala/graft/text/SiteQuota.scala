@@ -39,14 +39,27 @@ object SiteQuota {
     * (first column decides, ties break down the list) — pass e.g. a
     * quality score descending, or crawl timestamp descending for
     * newest-wins; the default orders by the url itself, which is arbitrary
-    * but deterministic. The url column is always the final tiebreak so
-    * equal-priority rows can never flap between runs.
+    * but deterministic. The url and then a hash of the WHOLE row are the
+    * final tiebreaks: the quota runs before dedup, so the same url can
+    * recur with different payloads (a refetch), and a tiebreak that stops
+    * at the url would pick an arbitrary physical row — which text survives
+    * would flap between runs. Rows identical on every column still rank
+    * arbitrarily, but swapping them is unobservable in the output.
+    *
+    * Null-url rows are EXEMPT from the quota (no site, no quota — junk
+    * rows are the discovery filters' job): each gets a unique partition
+    * key, so the null population is neither silently capped to `cap` rows
+    * nor funneled through one window task.
     */
   def capPerSite(df: DataFrame, urlCol: String, cap: Int,
                  order: Seq[Column] = Nil): DataFrame = {
     require(cap >= 1, s"site cap must be >= 1, got $cap")
-    val w = Window.partitionBy(siteKey(col(urlCol)))
-      .orderBy(order :+ col(urlCol).asc: _*)
+    val rowHash = xxhash64(df.columns.toIndexedSeq.map(col): _*)
+    val part = when(col(urlCol).isNull,
+        concat(lit("__nosite__"), monotonically_increasing_id().cast("string")))
+      .otherwise(siteKey(col(urlCol)))
+    val w = Window.partitionBy(part)
+      .orderBy(order ++ Seq(col(urlCol).asc, rowHash.asc): _*)
     df.withColumn("_site_rn", row_number().over(w))
       .filter(col("_site_rn") <= cap)
       .drop("_site_rn")

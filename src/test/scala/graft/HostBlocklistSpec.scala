@@ -32,6 +32,30 @@ class HostBlocklistSpec extends SparkTestBase {
     assert(HostBlocklist.hostKey("News.Example.COM.") === "com,example,news")
   }
 
+  test("curated spellings: scheme prefix, wildcard, url paste, root dot") {
+    assert(HostBlocklist.hostKey("https://example.com") === "com,example")
+    assert(HostBlocklist.hostKey("*.example.com") === "com,example")
+    assert(HostBlocklist.hostKey("http://user:pw@Example.com/path?q=1")
+      === "com,example")
+    assert(HostBlocklist.hostKey(".example.com.") === "com,example")
+    // a scheme-prefixed entry actually BLOCKS (it used to mint the dead
+    // key "https:" and enforce nothing)
+    val kept = HostBlocklist.dropBlockedHosts(pages, "url",
+      Seq("https://example.com")).select("url").as[String].collect().sorted
+    assert(kept === Array(
+      "http://notexample.com/d",
+      "http://example.com.evil.org/e",
+      "http://host.org/f").sorted)
+  }
+
+  test("null urls survive a non-empty blocklist (no host, no block)") {
+    val withNull = pages.unionByName(
+      Seq((null: String, "z")).toDF("url", "text"))
+    val kept = HostBlocklist.dropBlockedHosts(withNull, "url", Seq("host.org"))
+    assert(kept.filter("url is null").count() === 1L)
+    assert(kept.count() === 6L) // 5 unblocked + the null row
+  }
+
   test("a blocked domain covers non-default ports, both directions") {
     val ported = Seq(
       ("http://example.com:8080/spam", "apex on an odd port"),

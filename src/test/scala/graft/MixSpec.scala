@@ -422,6 +422,29 @@ class MixSpec extends SparkTestBase {
     assert(issues2.exists(_.contains("gone")) && vd2 === 80L, issues2)
   }
 
+  test("null text budgets as 0 tokens in every mix mode; empty sources pass") {
+    val df = corpus(100).unionByName(
+      Seq(("http://n.test/1", "crawl_a", null: String))
+        .toDF("url", "source", "text"))
+    // exact truncation: the null-text doc packs into the prefix for free
+    // instead of nulling the cumsum comparison and vanishing
+    val big = Map("crawl_a" -> 100000L, "crawl_b" -> 100000L)
+    val out = CorpusMix.truncateToBudget(df, "url", "text", "source", big, "mix-v1")
+    assert(out.count() === 101L)
+    // budget-rate path: a source of ONLY null text must not NPE the driver
+    val allNull = Seq(
+      ("http://x.test/1", "nulls", null: String),
+      ("http://x.test/2", "nulls", null: String)).toDF("url", "source", "text")
+    val (_, stats) = CorpusMix.mixByTokenBudget(df.unionByName(allNull),
+      "url", "text", "source", Map("nulls" -> 10L, "crawl_a" -> 100000L), "mix-v1")
+    assert(stats.find(_.source == "nulls").get.tokens === 0L)
+    // exact mode with a zero-token budgeted source (typo'd or empty): the
+    // result IS truncating the full empty source — vacuously exact, no throw
+    val st = CorpusMix.sampleThenTruncate(df, "url", "text", "source",
+      Map("crawl_a" -> 100000L, "ghost" -> 500L), "mix-v1")
+    assert(st.filter(col("source") === "ghost").count() === 0L)
+  }
+
   test("mix config files parse: defaults, comments, bad lines") {
     def write(lines: String*): String = {
       val f = java.nio.file.Files.createTempFile("graft-mix", ".txt")

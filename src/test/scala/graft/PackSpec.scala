@@ -112,6 +112,47 @@ class PackSpec extends SparkTestBase {
     assert(examples >= 1 && rows >= examples)
   }
 
+  test("writePlan cross-checks the manifest's epoch lineage") {
+    val df = graft.mix.CorpusMix.upsampleBySourceRates(
+      corpus(60).withColumn("source", lit("wiki")),
+      "url", "source", Map("wiki" -> 2.0), "mix-v1")
+    val out = java.nio.file.Files.createTempDirectory("graft-pack-ep").toString
+    ShardedExport.exportShards(spark, df, "url", "text", out, nShards = 2,
+      epochCol = Some("epoch"), packOrder = true)
+    // planning an epoch-keyed export WITHOUT its epoch column would tie
+    // repeat copies on every sort key and double-count offsets — refused
+    val e = intercept[IllegalArgumentException] {
+      SequencePack.writePlan(spark, out, "url", seqLen = 16, nShards = 2)
+    }
+    assert(e.getMessage.contains("epoch"))
+    // the wrong column NAME is refused too (manifest records epoch_col)
+    val e2 = intercept[IllegalArgumentException] {
+      SequencePack.writePlan(spark, out, "url", seqLen = 16, nShards = 2,
+        epochCol = Some("ep_wrong"))
+    }
+    assert(e2.getMessage.contains("epoch"))
+    // the recorded column plans fine, and the observe-fused accounting
+    // equals a read-back recount of the written plan
+    val (examples, rows) = SequencePack.writePlan(spark, out, "url",
+      seqLen = 16, nShards = 2, epochCol = Some("epoch"))
+    val back = spark.read.parquet(s"$out/_pack")
+    val (exBack, rowsBack) = (
+      back.select(countDistinct(col("shard"), col("example"))).as[Long].head(),
+      back.count())
+    assert(examples === exBack && rows === rowsBack)
+    // a non-epoch plan over a non-epoch export still passes (regression)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-pack-ne").toString
+    ShardedExport.exportShards(spark, corpus(40), "url", "text", out2,
+      nShards = 2, packOrder = true)
+    intercept[IllegalArgumentException] {
+      SequencePack.writePlan(spark, out2, "url", seqLen = 16, nShards = 2,
+        epochCol = Some("epoch"))
+    }
+    val (ex2, rows2) = SequencePack.writePlan(spark, out2, "url",
+      seqLen = 16, nShards = 2)
+    assert(ex2 >= 1L && rows2 >= ex2)
+  }
+
   test("up-sampled corpora pack by (id, epoch): copies spread and tile") {
     val df = graft.mix.CorpusMix.upsampleBySourceRates(
       corpus(200).withColumn("source", lit("wiki")),

@@ -49,6 +49,31 @@ class SiteQuotaSpec extends SparkTestBase {
     assert(capped.count() === 5L)
   }
 
+  test("null urls are exempt from the quota, not silently capped") {
+    val pages = Seq.tabulate(20)(i => (null: String, s"junk$i"))
+      .toDF("url", "text")
+      .unionByName(Seq.tabulate(10)(i => (s"http://s.test/$i", s"t$i"))
+        .toDF("url", "text"))
+    val kept = SiteQuota.capPerSite(pages, "url", cap = 3)
+    // no site, no quota: all 20 null-url rows survive; the real site caps
+    assert(kept.filter(col("url").isNull).count() === 20L)
+    assert(kept.filter(col("url").isNotNull).count() === 3L)
+  }
+
+  test("duplicate urls (pre-dedup refetches) elect deterministically") {
+    val pages = Seq(
+      ("http://s.test/p", "first fetch body"),
+      ("http://s.test/p", "refetched body"),
+      ("http://s.test/q", "other page")).toDF("url", "text")
+    val kept1 = SiteQuota.capPerSite(pages, "url", cap = 1)
+      .select("url", "text").as[(String, String)].collect().toSet
+    // a different physical layout must elect the SAME row — the row-hash
+    // tiebreak, not partition arrival order, decides between refetches
+    val kept2 = SiteQuota.capPerSite(pages.repartition(7), "url", cap = 1)
+      .select("url", "text").as[(String, String)].collect().toSet
+    assert(kept1 === kept2 && kept1.size === 1)
+  }
+
   test("--site-cap: over-quota pages never enter state; parse validates") {
     assert(Main.parse(Seq("--pages", "p", "--state", "s", "--site-cap", "0")).isLeft)
     assert(Main.parse(Seq("--pages", "p", "--state", "s", "--site-cap", "x")).isLeft)
