@@ -140,7 +140,13 @@ object TiffPixels {
       val spp = ifd.samplesPerPixel
       val gray = ifd.photometric == 0 || ifd.photometric == 1
       val rgb = ifd.photometric == 2
-      if (!(gray && spp == 1) && !(rgb && spp >= 3)) return null
+      // spp is part of the bomb surface too: MaxPixels caps w*h, but the
+      // strip buffers scale with w*h*spp — a crafted header declaring
+      // spp=120 would demand a ~2 GB allocation (and the OutOfMemoryError
+      // is an Error, outside the S9 catch). Baseline RGB is 3, +1 for an
+      // alpha/extra sample; anything beyond is out of the supported
+      // profile, same verdict as an exotic compression scheme.
+      if (!(gray && spp == 1) && !(rgb && (spp == 3 || spp == 4))) return null
       if (ifd.bitsPerSample.length < spp || ifd.bitsPerSample.exists(_ != 8L))
         return null
       if (ifd.stripOffsets == null) return null

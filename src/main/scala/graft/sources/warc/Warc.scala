@@ -45,14 +45,38 @@ object Warc {
   /** HTTP response message split out of a response record's block. */
   final case class HttpPayload(status: java.lang.Integer, contentType: String, body: Array[Byte])
 
+  /** Max accepted header-line bytes. Real WARC headers are < 1 KB; a
+    * "line" beyond this means the stream has no newline where one belongs
+    * (bit-flipped length, binary garbage) and buffering on toward a
+    * full-stream StringBuilder would OOM — treated as corruption.
+    */
+  val MaxHeaderLineBytes: Int = 64 * 1024
+
+  /** Max accepted record block. Common-Crawl response records are capped
+    * around 1 MB; 64 MB is generous for any legitimate container. Beyond
+    * it the Content-Length is corrupt/hostile and must not drive the
+    * allocation — an OutOfMemoryError is an Error, which the lenient
+    * catch (Exceptions only) could never contain.
+    */
+  val MaxRecordBytes: Long = 64L * 1024 * 1024
+
   private[warc] def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new java.io.ByteArrayOutputStream(64)
     var c = in.read()
     if (c < 0) return null
-    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
-    val n = sb.length()
-    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-    sb.toString
+    while (c >= 0 && c != '\n') {
+      if (buf.size() >= MaxHeaderLineBytes)
+        throw new EOFException("WARC header line exceeds 64 KiB — corrupt stream")
+      buf.write(c)
+      c = in.read()
+    }
+    val bytes = buf.toByteArray
+    val n = if (bytes.length > 0 && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    // WARC/1.0 header values are UTF-8 (ISO 28500 §5.1) — a per-byte char
+    // cast would mojibake every non-ASCII WARC-Target-URI into a silently
+    // wrong url key
+    new String(bytes, 0, n, StandardCharsets.UTF_8)
   }
 
   private def readFully(in: InputStream, buf: Array[Byte]): Boolean = {
@@ -133,7 +157,7 @@ object Warc {
         line = readLine(in)
       }
       if (line == null) return fail("EOF inside WARC header block")
-      if (len < 0 || len > Int.MaxValue)
+      if (len < 0 || len > MaxRecordBytes)
         return fail(s"missing/invalid Content-Length ($len)")
       val block = new Array[Byte](len.toInt)
       if (!readFully(in, block)) return fail("EOF inside record block")
@@ -152,6 +176,13 @@ object Warc {
       if (!hasNext) throw new NoSuchElementException("end of WARC stream")
       val r = nextRec; nextRec = null; r
     }
+
+    /** Close the wrapped stream. For gzip inputs this is the only call
+      * that releases the member chain's native zlib Inflater — a reader
+      * that closes only the RAW file stream leaks one Inflater's off-heap
+      * state per container until GC.
+      */
+    def close(): Unit = in.close()
   }
 
   /** Open a record iterator over a raw file stream, applying gzip if the
@@ -177,11 +208,16 @@ object Warc {
   /** Split a response record's block into (status, Content-Type, body).
     * A block that is not an HTTP message (resource records, exotic
     * crawlers) comes back whole as the body with null status/type —
-    * never throws (S9 posture).
+    * never throws (S9 posture). `withBody = false` skips the body copy
+    * entirely (body = null): a pruned read that kept only status /
+    * content_type must not pay a full duplicate allocation of every page
+    * body.
     */
-  def parseHttp(block: Array[Byte]): HttpPayload = {
+  def parseHttp(block: Array[Byte]): HttpPayload = parseHttp(block, withBody = true)
+
+  def parseHttp(block: Array[Byte], withBody: Boolean): HttpPayload = {
     if (block.length < 8 || !(block(0) == 'H' && block(1) == 'T' && block(2) == 'T' && block(3) == 'P'))
-      return HttpPayload(null, null, block)
+      return HttpPayload(null, null, if (withBody) block else null)
     // status line + headers are ASCII; find the header/body split
     var split = -1
     var i = 0
@@ -191,7 +227,7 @@ object Warc {
         split = i
       i += 1
     }
-    if (split < 0) return HttpPayload(null, null, block)
+    if (split < 0) return HttpPayload(null, null, if (withBody) block else null)
     val head = new String(block, 0, split, StandardCharsets.ISO_8859_1)
     val lines = head.split("\r\n")
     val status: java.lang.Integer = {
@@ -208,7 +244,9 @@ object Warc {
         ctype = l.substring(c + 1).trim
       j += 1
     }
-    HttpPayload(status, ctype, java.util.Arrays.copyOfRange(block, split + 4, block.length))
+    HttpPayload(status, ctype,
+      if (withBody) java.util.Arrays.copyOfRange(block, split + 4, block.length)
+      else null)
   }
 
   // ---- fixture writer ------------------------------------------------
@@ -224,7 +262,9 @@ object Warc {
       .append(java.lang.Long.toHexString(date.toEpochMilli)).append(">\r\n")
     if (contentType != null) sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(blockLen).append("\r\n\r\n")
-    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    // UTF-8, matching the reader (ISO 28500 §5.1): a Latin-1 writer would
+    // round-trip only because the reader made the same mistake
+    sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
   /** Serialize one record (headers + block + CRLFCRLF terminator). */

@@ -155,9 +155,17 @@ object WarcScan {
 
   private[warc] def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    // DataFrameReader.load(p1, p2, ...) ships a JSON string array
+    // DataFrameReader.load(p1, p2, ...) ships a JSON string array — parse
+    // it as JSON (Jackson ships with Spark): a regex over the raw text
+    // would keep escape sequences verbatim, so a path containing a quote
+    // or backslash would list as a path that does not exist
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(js).map(_.group(1)).toSeq
+      try {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        if (node != null && node.isArray) node.elements().asScala.map(_.asText()).toSeq
+        else Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }
     (single ++ multi).filter(_.nonEmpty)
   }
@@ -255,6 +263,9 @@ class WarcPartitionReader(files: Seq[(String, Long)], fields: Array[String],
 
   private val needHttp =
     fields.exists(f => f == "html" || f == "http_status" || f == "content_type")
+  // status/content_type need only the header split; copying every page
+  // body in a metadata-only scan would double-allocate the whole corpus
+  private val needBody = fields.contains("html")
   private var fileUtf8: UTF8String = _
 
   private var fileIdx = -1
@@ -262,8 +273,19 @@ class WarcPartitionReader(files: Seq[(String, Long)], fields: Array[String],
   private var it: Warc.RecordIterator = null
   private var row: InternalRow = _
 
-  private def openNextFile(): Boolean = {
+  private def closeCurrent(): Unit = {
+    // close the iterator FIRST: for gzip containers it owns the
+    // GZIPInputStream whose close() is the only release of the native
+    // zlib Inflater (the raw close alone would leak it until GC)
+    if (it != null) {
+      try it.close() catch { case _: java.io.IOException => () }
+      it = null
+    }
     if (raw != null) { raw.close(); raw = null }
+  }
+
+  private def openNextFile(): Boolean = {
+    closeCurrent()
     fileIdx += 1
     if (fileIdx >= files.length) return false
     val hp = new HPath(files(fileIdx)._1)
@@ -288,7 +310,9 @@ class WarcPartitionReader(files: Seq[(String, Long)], fields: Array[String],
 
   private def build(rec: Warc.Record): InternalRow = {
     val http =
-      if (needHttp && rec.recType == "response") Warc.parseHttp(rec.block) else null
+      if (needHttp && rec.recType == "response")
+        Warc.parseHttp(rec.block, withBody = needBody)
+      else null
     val vals = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
@@ -311,7 +335,7 @@ class WarcPartitionReader(files: Seq[(String, Long)], fields: Array[String],
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = if (raw != null) raw.close()
+  override def close(): Unit = closeCurrent()
 }
 
 /** User-facing helpers: the reader plus the projection into the engine's

@@ -47,22 +47,55 @@ class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
   private val logDir = new HPath(checkpointLocation, "graft-warc-batches")
   private val fs = logDir.getFileSystem(conf.value.value)
 
-  // rebuilt from the batch logs on construction: restart-safe discovery
+  /** Compaction cadence: every N commits the per-batch logs of the
+    * committed prefix collapse into one `compact-<batch>` snapshot. A
+    * crawl-watch stream runs forever; without compaction the log dir
+    * grows one file per trigger and every restart re-reads all of them.
+    */
+  private val CompactEvery: Long =
+    math.max(1L, sys.props.getOrElse("graft.warc.compactEvery", "10").toLong)
+
+  // rebuilt on construction: the newest compact snapshot (one read seeds
+  // the whole committed history) plus the uncompacted tail of batch logs
   private val seen = mutable.HashSet.empty[String]
   private var lastBatch: Long = -1L
+  private var lastCompacted: Long = -1L
   locally {
     if (fs.exists(logDir)) {
-      fs.listStatus(logDir).foreach { st =>
-        st.getPath.getName.toLongOption.foreach { b =>
-          if (b > lastBatch) lastBatch = b
-          readBatchLog(b).foreach { case (f, _) => seen += f }
+      val sts = fs.listStatus(logDir)
+      val compacts = sts.flatMap(st =>
+        Option(st.getPath.getName).filter(_.startsWith("compact-"))
+          .flatMap(_.stripPrefix("compact-").toLongOption))
+      lastCompacted = if (compacts.isEmpty) -1L else compacts.max
+      if (lastCompacted >= 0) {
+        lastBatch = lastCompacted
+        readLog(compactPath(lastCompacted)).foreach { case (f, _) => seen += f }
+      }
+      sts.foreach { st =>
+        val name = st.getPath.getName
+        name.toLongOption match {
+          case Some(b) =>
+            if (b > lastBatch) lastBatch = b
+            if (b > lastCompacted) readBatchLog(b).foreach { case (f, _) => seen += f }
+            // a crash between compact-write and log-delete leaves logs the
+            // snapshot already covers — finish the sweep here
+            else fs.delete(st.getPath, false)
+          case None =>
+            // superseded snapshots and torn temp files from crash windows
+            if ((name.startsWith("compact-") &&
+                  name.stripPrefix("compact-").toLongOption.exists(_ < lastCompacted)) ||
+                (name.startsWith(".") && name.endsWith(".tmp")))
+              fs.delete(st.getPath, false)
         }
       }
     } else fs.mkdirs(logDir)
   }
 
-  private def readBatchLog(batch: Long): Seq[(String, Long)] = {
-    val in = fs.open(new HPath(logDir, batch.toString))
+  private def compactPath(batch: Long): HPath =
+    new HPath(logDir, s"compact-$batch")
+
+  private def readLog(path: HPath): Seq[(String, Long)] = {
+    val in = fs.open(path)
     try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -76,14 +109,20 @@ class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
     } finally in.close()
   }
 
-  private def writeBatchLog(batch: Long, files: Seq[(String, Long)]): Unit = {
-    val tmp = new HPath(logDir, s".${batch}.tmp")
+  private def readBatchLog(batch: Long): Seq[(String, Long)] =
+    readLog(new HPath(logDir, batch.toString))
+
+  private def writeLog(target: HPath, files: Seq[(String, Long)]): Unit = {
+    val tmp = new HPath(logDir, s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.map { case (f, l) => s"$f\t$l" }.mkString("\n").getBytes(UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, new HPath(logDir, batch.toString)))
-      throw new java.io.IOException(s"warc stream: failed to commit batch log $batch")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"warc stream: failed to commit log ${target.getName}")
   }
+
+  private def writeBatchLog(batch: Long, files: Seq[(String, Long)]): Unit =
+    writeLog(new HPath(logDir, batch.toString), files)
 
   override def initialOffset(): Offset = WarcOffset(-1L)
   override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
@@ -113,7 +152,31 @@ class WarcMicroBatchStream(checkpointLocation: String, rawPaths: Seq[String],
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(fields, keepTypes, strict, conf)
 
-  override def commit(end: Offset): Unit = ()
+  /** Batches ≤ `end` are committed — Spark's restart contract replays only
+    * ranges ABOVE the committed offset, so their per-batch file lists are
+    * never re-planned and can collapse into one snapshot. Every
+    * [[CompactEvery]] commits: merge the previous snapshot with the newly
+    * committed logs into `compact-<end>` (temp + atomic rename, same as
+    * the batch logs), then delete what it supersedes. A crash anywhere in
+    * the delete sweep is healed by the constructor's rebuild (it prefers
+    * the newest snapshot and sweeps covered files).
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[WarcOffset].batch
+    if (e < 0 || e - lastCompacted < CompactEvery) return
+    val prev =
+      if (lastCompacted >= 0) readLog(compactPath(lastCompacted)) else Seq.empty
+    val tail = ((lastCompacted + 1) to e).flatMap { b =>
+      val p = new HPath(logDir, b.toString)
+      if (fs.exists(p)) readLog(p) else Seq.empty
+    }
+    writeLog(compactPath(e), prev ++ tail)
+    ((lastCompacted + 1) to e).foreach(b =>
+      fs.delete(new HPath(logDir, b.toString), false))
+    if (lastCompacted >= 0) fs.delete(compactPath(lastCompacted), false)
+    lastCompacted = e
+  }
+
   override def stop(): Unit = ()
 }
 

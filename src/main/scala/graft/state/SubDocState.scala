@@ -134,6 +134,14 @@ object SubDocState {
     val root = resolved(spark, path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
+    // a crash during the very FIRST append leaves only _temporary files
+    // under the root — schema inference over nothing-but-hidden-files
+    // throws, where the idempotent-re-run contract demands None (exactly
+    // what a pre-crash run saw). Committed data always means at least one
+    // epoch= partition directory.
+    if (!fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("epoch=")))
+      return None
     val b = recordedBuckets(spark, stateDir)
     val df =
       if (b > 0)

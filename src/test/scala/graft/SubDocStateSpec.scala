@@ -99,6 +99,23 @@ class SubDocStateSpec extends SparkTestBase {
     assert(all.contains(hashOf("Beta body.")))
   }
 
+  test("a crash during the FIRST append leaves seen() at None, not a throw") {
+    val state = tempDir()
+    // simulate the torn first write: the root exists but holds only the
+    // writer's _temporary staging — no committed epoch= partition
+    val root = java.nio.file.Paths.get(SubDocState.parasPath(state))
+    java.nio.file.Files.createDirectories(root.resolve("_temporary").resolve("0"))
+    java.nio.file.Files.write(root.resolve("_temporary").resolve("0")
+      .resolve("part-stub"), Array[Byte](1, 2, 3))
+    assert(SubDocState.seen(spark, state, SubDocState.parasPath(state),
+      "para_hash", below = 5L).isEmpty)
+    // and the idempotent re-run proceeds normally from there
+    val out1 = run(Seq(("http://r.test/a",
+      "Alpha beta gamma delta. Epsilon zeta eta theta.")), state,
+      Seq("--para-dedup"))
+    assert(out1.nonEmpty)
+  }
+
   test("--force-rescan wipes the hash state: elections start fresh") {
     val state = tempDir()
     run(Seq(("http://e1.test/a", "Repeated paragraph body.\n\nAlpha tail.")),

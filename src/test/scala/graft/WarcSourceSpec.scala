@@ -229,6 +229,91 @@ class WarcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("non-ASCII target URIs round-trip as UTF-8 (ISO 28500 headers)") {
+    val uri = "https://example.test/café/über?q=索"
+    val rec = Warc.encodeRecord("response", uri, Instant.EPOCH,
+      "application/http; msgtype=response", Warc.httpResponseBlock(body(1)))
+    val it = Warc.records(new ByteArrayInputStream(rec), "u.warc", strict = false)
+    assert(it.next().targetUri === uri)
+  }
+
+  test("corrupt Content-Length / runaway header line: lenient prefix, no bomb") {
+    val good = Warc.encodeRecord("response", "https://a.test/ok", Instant.EPOCH,
+      "application/http; msgtype=response", Warc.httpResponseBlock(body(2)))
+    // a bit-flipped Content-Length within Int range must not drive a 2 GB
+    // allocation (OutOfMemoryError would escape the lenient catch)
+    val evil = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.test/evil\r\n" +
+      "WARC-Date: 1970-01-01T00:00:00Z\r\nContent-Length: 2000000000\r\n\r\n")
+      .getBytes(UTF_8)
+    val it = Warc.records(new ByteArrayInputStream(good ++ evil), "c.warc",
+      strict = false)
+    assert(it.toSeq.map(_.targetUri) === Seq("https://a.test/ok"))
+    intercept[java.io.EOFException] {
+      Warc.records(new ByteArrayInputStream(good ++ evil), "c.warc",
+        strict = true).toList
+    }
+    // binary garbage with no newline must not buffer the stream into one
+    // ever-growing header "line"
+    val noNewline = Array.fill[Byte](Warc.MaxHeaderLineBytes + 64)('A')
+    val it2 = Warc.records(new ByteArrayInputStream(good ++ noNewline),
+      "n.warc", strict = false)
+    assert(it2.toSeq.map(_.targetUri) === Seq("https://a.test/ok"))
+  }
+
+  test("metadata-only parse skips the body copy; full parse keeps it") {
+    val block = Warc.httpResponseBlock(body(3))
+    val full = Warc.parseHttp(block)
+    val meta = Warc.parseHttp(block, withBody = false)
+    assert(full.body != null && full.body.sameElements(body(3)))
+    assert(meta.body == null)
+    assert(meta.status === full.status && meta.contentType === full.contentType)
+    // non-HTTP blocks: body only when asked
+    val raw = "not http".getBytes(UTF_8)
+    assert(Warc.parseHttp(raw).body.sameElements(raw))
+    assert(Warc.parseHttp(raw, withBody = false).body == null)
+  }
+
+  test("streaming log compaction: committed batches collapse, tail survives") {
+    import graft.sources.warc.{WarcMicroBatchStream, WarcOffset}
+    val dir = Files.createDirectories(Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-warc-spec", "compact")).toString
+    Paths.get(dir).toFile.listFiles().foreach(_.delete())
+    val cp = Files.createTempDirectory("graft-warc-cp4").toString
+    def writeFile(name: String, off: Int): Unit = {
+      val out = new FileOutputStream(Paths.get(dir, name).toFile)
+      try Warc.write(out, recs(2, off), gzipPerRecord = true) finally out.close()
+    }
+    val conf = spark.sparkContext.broadcast(
+      new graft.sources.warc.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
+    System.setProperty("graft.warc.compactEvery", "2")
+    try {
+      def mkStream() = new WarcMicroBatchStream(cp, Seq(dir),
+        Array("url"), Set("response"), strict = false,
+        maxPartitionBytes = 64L * 1024 * 1024, defaultParallelism = 4, conf)
+      val s1 = mkStream()
+      (0 to 2).foreach { b =>
+        writeFile(s"f$b.warc.gz", b * 2)
+        assert(s1.latestOffset() === WarcOffset(b))
+      }
+      s1.commit(WarcOffset(1)) // 1 - (-1) >= 2 → compacts batches 0..1
+      val logDir = Paths.get(cp, "graft-warc-batches").toFile
+      def names = logDir.listFiles().map(_.getName).sorted.toSeq
+      assert(names.contains("compact-1") && !names.contains("0") &&
+        !names.contains("1") && names.contains("2"), names)
+      // restart: seen set must cover compacted batches (no re-minting) and
+      // the uncommitted tail must still replay from its surviving log
+      val s2 = mkStream()
+      assert(s2.latestOffset() === WarcOffset(2)) // nothing new → no batch 3
+      val replay = s2.planInputPartitions(WarcOffset(1), WarcOffset(2))
+        .flatMap(_.asInstanceOf[graft.sources.warc.WarcInputPartition].files)
+      assert(replay.length === 1 && replay.head._1.endsWith("f2.warc.gz"))
+      writeFile("f3.warc.gz", 6)
+      assert(s2.latestOffset() === WarcOffset(3))
+    } finally System.clearProperty("graft.warc.compactEvery")
+  }
+
   test("bin-packing: tiny files coalesce, big files get their own bin") {
     import graft.sources.warc.WarcScan
     val tiny = (1 to 100).map(i => (f"f$i%03d", 1000L))
