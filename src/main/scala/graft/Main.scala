@@ -264,8 +264,8 @@ object Main {
       Left("--semdedup-tau is an export-stage filter: add --export-shards")
     else if (!Set("html", "html-paras", "plaintext").contains(a.extractor))
       Left("--extractor must be html, html-paras or plaintext")
-    else if (!Set("auto", "parquet", "table", "warc").contains(a.pagesFormat))
-      Left("--pages-format must be auto, parquet, table or warc")
+    else if (!Set("auto", "parquet", "table", "warc", "jsonl").contains(a.pagesFormat))
+      Left("--pages-format must be auto, parquet, table, warc or jsonl")
     else if (a.containmentCap.exists(_ <= 0))
       Left("--containment-cap must be positive")
     else if (a.previewChars.exists(_ <= 0))

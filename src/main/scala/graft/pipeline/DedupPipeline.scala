@@ -609,6 +609,43 @@ object DedupPipeline {
       .agg(min(col("id")).as("id"), count(lit(1)).as("hash_n"))
       .cache()
 
+  /** GRAFT_TIMING-gated stage timer (stderr; off in production). */
+  private def tick[T](name: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[run] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    } else f
+
+  /** The shared resume-path prologue — dictionary-code the signature table
+    * and derive the (dict, slim, hashGroups, repSigs) quartet every
+    * clustering variant consumes. ONE definition: [[clusterSignatures]]
+    * and [[clusterSignaturesDelta]] must key, cache and prune identically,
+    * or a fix to one silently diverges the other.
+    *
+    * slim is CACHED (n_shingles rides it so the mixed-state probe never
+    * touches the wide shingle column — a size(shingles)==0 probe over a
+    * pure-full store short-circuits NOTHING); repSigs is NOT cached (in
+    * index mode the wide columns are read exactly once, and a corpus-wide
+    * cache fill of KB-scale shingle rows was the delta epoch's single
+    * biggest fixed cost — ~8 s at the 220k tier, measured).
+    */
+  private def codedParts(stateSigs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dict = idDictionary(stateSigs.select(col("id")))
+    val keyed = stateSigs
+      .select(col("id").as("sid"), col("order_len"), col("content_hash"),
+        col("n_shingles"), col("simhash"), col("minhash"), col("shingles"))
+      .join(dict, "sid")
+    val slim = keyed.select("id", "order_len", "content_hash", "n_shingles").cache()
+    val hashGroups = hashGroupsOf(slim.select("id", "order_len", "content_hash"))
+    val repSigs = keyed
+      .select("id", "simhash", "minhash", "shingles")
+      .join(hashGroups.select("id"), Seq("id"), "left_semi")
+    (dict, slim, hashGroups, repSigs)
+  }
+
   /** Restore original string ids on a coded clusters table. */
   private def decode(coded: DataFrame, dict: DataFrame, mat: Materializer,
                      rowObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -640,24 +677,7 @@ object DedupPipeline {
                         orderCols: Seq[org.apache.spark.sql.Column] =
                           Seq(col("order_len").desc, col("id").asc)): DataFrame = {
     val mat = cfg.materializer(spark)
-    val dict = idDictionary(stateSigs.select(col("id")))
-    val keyed = stateSigs
-      .select(col("id").as("sid"), col("order_len"), col("content_hash"),
-        col("n_shingles"), col("simhash"), col("minhash"), col("shingles"))
-      .join(dict, "sid")
-    // n_shingles rides the slim cache so the mixed-state probe below never
-    // touches the wide shingle column (a size(shingles)==0 probe over a
-    // pure-full store short-circuits NOTHING — it reads every array before
-    // concluding there are no fast rows)
-    val slim = keyed.select("id", "order_len", "content_hash", "n_shingles").cache()
-    val hashGroups = hashGroupsOf(slim.select("id", "order_len", "content_hash"))
-    // NOT cached: in index mode the wide columns are read exactly once (the
-    // frontier-subset fetch); a corpus-wide cache fill of KB-scale shingle
-    // rows was the delta epoch's single biggest fixed cost (~8 s at the
-    // 220k tier, measured) and amortizes nothing
-    val repSigs = keyed
-      .select("id", "simhash", "minhash", "shingles")
-      .join(hashGroups.select("id"), Seq("id"), "left_semi")
+    val (dict, slim, hashGroups, repSigs) = codedParts(stateSigs)
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
     // persisted state MAY mix fast-path (shingle-less) and full epochs —
@@ -713,24 +733,7 @@ object DedupPipeline {
                              // array every epoch
                              bandIndex: Option[DataFrame] = None): DataFrame = {
     val mat = cfg.materializer(spark)
-    val dict = idDictionary(stateSigs.select(col("id")))
-    val keyed = stateSigs
-      .select(col("id").as("sid"), col("order_len"), col("content_hash"),
-        col("n_shingles"), col("simhash"), col("minhash"), col("shingles"))
-      .join(dict, "sid")
-    // n_shingles rides the slim cache so the mixed-state probe below never
-    // touches the wide shingle column (a size(shingles)==0 probe over a
-    // pure-full store short-circuits NOTHING — it reads every array before
-    // concluding there are no fast rows)
-    val slim = keyed.select("id", "order_len", "content_hash", "n_shingles").cache()
-    val hashGroups = hashGroupsOf(slim.select("id", "order_len", "content_hash"))
-    // NOT cached: in index mode the wide columns are read exactly once (the
-    // frontier-subset fetch); a corpus-wide cache fill of KB-scale shingle
-    // rows was the delta epoch's single biggest fixed cost (~8 s at the
-    // 220k tier, measured) and amortizes nothing
-    val repSigs = keyed
-      .select("id", "simhash", "minhash", "shingles")
-      .join(hashGroups.select("id"), Seq("id"), "left_semi")
+    val (dict, slim, hashGroups, repSigs) = codedParts(stateSigs)
     // focus → coded → content-hash representatives: a focus doc that is
     // not its hash group's rep reaches the rep by an exact edge, and the
     // rep's near neighbourhood is already encoded in the assignments
@@ -745,13 +748,6 @@ object DedupPipeline {
     // pair-gen internals) and each re-evaluation would otherwise re-run
     // the whole mates DAG — measured 10x the full path at bench scale
     // before these two materializations
-    def tick[T](name: String)(f: => T): T =
-      if (sys.env.contains("GRAFT_TIMING")) {
-        val t0 = System.nanoTime()
-        val r = f
-        System.err.println(f"[run] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-        r
-      } else f
     val hasFastRows =
       slim.filter(col("n_shingles") === 0).limit(1).count() > 0
     val frontier = tick("delta frontier (mates)") {
@@ -769,8 +765,12 @@ object DedupPipeline {
           // docs and of non-representatives only widen the frontier
           // (dropped at the subset semi-join below).
           val ixc = if (includeFast) ix else ix.filter(col("band") < 1000)
-          val hot = ixc.join(
-            broadcast(focusSids.toDF("id")), Seq("id"), "left_semi")
+          // NO forced broadcast on the focus side: focus is delta-sized in
+          // steady state but corpus-sized after accrued signature-only
+          // epochs (every never-clustered doc), where a broadcast hint
+          // would hit the 8 GB hard limit / driver OOM — the stats/AQE
+          // choice degrades to a shuffle semi-join instead of crashing
+          val hot = ixc.join(focusSids.toDF("id"), Seq("id"), "left_semi")
             .select("band", "band_hash").distinct()
           ixc.join(hot, Seq("band", "band_hash"), "left_semi")
             .select(col("id").as("sid")).distinct()
@@ -846,13 +846,6 @@ object DedupPipeline {
                                // ...and splice the prior epoch's
                                // connectivity in as ready-made (a, b) edges
                                extraEdges: Option[DataFrame] = None): DataFrame = {
-    def tick[T](name: String)(f: => T): T =
-      if (sys.env.contains("GRAFT_TIMING")) {
-        val t0 = System.nanoTime()
-        val r = f
-        System.err.println(f"[run] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-        r
-      } else f
 
     val exact = Clustering.exactEdges(slim, "id", "content_hash")
     val bandSigs = bandSigsOverride.getOrElse(repSigs)

@@ -297,6 +297,12 @@ object Checkpoints {
     // handle is kept so the epoch can unpersist the executor-side blocks
     // once its writes are committed — a long-lived driver looping epochs
     // must not accumulate one pinned sketch per epoch.
+    // PRECONDITION: `pages` must evaluate deterministically — the sketch
+    // is one evaluation, the anti-join another, and an id present in the
+    // second but absent from the first would prune its state row and
+    // re-append a seen doc. The resumable-epoch contract already demands
+    // this (a re-run must see the same slice); an upstream unordered
+    // limit()/sample would violate both.
     val sliceSketch =
       if (seen.isDefined && cfg.stateBloomFpp > 0)
         Some(SlicePrune.keySketch(pages.select(col(idCol)), idCol,
@@ -351,6 +357,21 @@ object Checkpoints {
         s"existing layout has $buckets bucket(s); keeping the existing layout " +
         "(use forceRescan to re-layout)")
     val writeMode = if (cfg.forceRescan) "overwrite" else "append"
+    if (cfg.forceRescan) {
+      // a rescan restarts the STORE, so every table DERIVED from the old
+      // signatures is stale the moment the overwrite lands: a later delta
+      // clusterEpoch would read the pre-rescan clusters as trusted
+      // connectivity (splicing edges for docs whose text changed, silently
+      // splitting survivors whose cluster_id vanished), and the band index
+      // would keep pre-rescan rows forever (compaction prunes only
+      // tombstoned ids — vanished-by-overwrite ids are never tombstoned).
+      // Dropping them forces the full path + an index rebuild next epoch.
+      Seq(clustersPath(stateDir), actionsPath(stateDir), previewsPath(stateDir),
+        bandsPath(stateDir), bandsMarkerPath(stateDir)).foreach { p =>
+        val (dfs, dp) = fsFor(spark, p)
+        if (dfs.exists(dp)) dfs.delete(dp, true)
+      }
+    }
     if (buckets > 0) {
       if (cfg.forceRescan)
         spark.sql(s"DROP TABLE IF EXISTS ${sigTableName(spark, stateDir)}")
@@ -501,20 +522,31 @@ object Checkpoints {
     // text — clusters is eagerly checkpointed, so this join reads
     // materialized rows, and the texts side is the already-built normTexts
     // projection (capped at saMaxChars upstream)
-    if (cfg0.previewChars == 0) {
+    if (cfg0.previewChars <= 0) {
       // previews are per-epoch: a table left by a prior opt-in run would
       // reference cluster_ids from an older epoch while clusters/ is fresh —
       // remove it rather than serve a stale-but-current-looking surface
+      // (<= 0, not == 0: a library caller's negative value must not skip
+      // BOTH the write and this cleanup)
       val (fs, pv) = fsFor(spark, previewsPath(stateDir))
       if (fs.exists(pv)) fs.delete(pv, true)
-    }
-    if (cfg0.previewChars > 0)
+    } else {
+      // LEFT join: under the slice-fed posture without textsOf, `texts`
+      // covers only this epoch's slice — an inner join would silently
+      // shrink the table to the few clusters whose representative is new,
+      // while the contract is one row per cluster (preview null when the
+      // representative's text was not among this epoch's inputs). The
+      // substring projects BEFORE the join so the exchange ships
+      // previewChars per row, not the full saMaxChars norm_text.
       clusters.filter(col("is_representative"))
         .select(col("cluster_id"), col("id"))
-        .join(texts, "id")
+        .join(texts.select(col("id"),
+          substring(col("norm_text"), 1, cfg0.previewChars).as("preview")),
+          Seq("id"), "left")
         .select(col("cluster_id"), col("id").as("representative_id"),
-          substring(col("norm_text"), 1, cfg0.previewChars).as("preview"))
+          col("preview"))
         .write.mode("overwrite").parquet(previewsPath(stateDir))
+    }
 
     val epoch = nextEpoch(spark, stateDir) - 1 // runEpoch already appended this epoch
     val persisted = spark.read.parquet(clustersPath(stateDir))

@@ -55,6 +55,33 @@ class DeltaClusterSpec extends SparkTestBase {
     all.unpersist()
   }
 
+  test("forceRescan invalidates clusters + band index: rescan-then-delta matches full") {
+    val dir = tempDir()
+    val v1 = PagesGen.pages(spark, 8L, seed = 44L, tokensPerDoc = 120).toDF()
+    Checkpoints.clusterEpoch(spark, v1, "url", "text", dir,
+      DedupConfig(deltaCluster = true))
+    // the store restarts over a DIFFERENT corpus (dropped + new docs) —
+    // the pre-rescan clusters/bands describe signatures that no longer
+    // exist and must not be spliced into the next delta epoch
+    val v2 = PagesGen.pages(spark, 6L, seed = 45L, tokensPerDoc = 120).toDF()
+    Checkpoints.runEpoch(spark, v2, "url", "text", dir,
+      DedupConfig(forceRescan = true))
+    val fsc = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fsc.exists(new org.apache.hadoop.fs.Path(Checkpoints.clustersPath(dir))),
+      "rescan must drop the stale clusters table")
+    assert(!fsc.exists(new org.apache.hadoop.fs.Path(Checkpoints.bandsPath(dir))),
+      "rescan must drop the stale band index")
+    // the next delta epoch finds no prior clusters → full path → identical
+    // to a from-scratch full cluster over the same corpus
+    Checkpoints.clusterEpoch(spark, v2.limit(0), "url", "text", dir,
+      DedupConfig(deltaCluster = true))
+    val fresh = tempDir()
+    Checkpoints.clusterEpoch(spark, v2, "url", "text", fresh)
+    assert(clustersOf(dir) == clustersOf(fresh),
+      "rescan-then-delta must equal the from-scratch clustering")
+  }
+
   test("executed removals invalidate their clusters; delta still matches full") {
     val base = tempDir()
     val all = PagesGen.pages(spark, 8L, seed = 42L, tokensPerDoc = 120).toDF().cache()

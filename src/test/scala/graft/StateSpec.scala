@@ -343,6 +343,16 @@ class StateSpec extends SparkTestBase {
     Checkpoints.clusterEpoch(spark, pages, "url", "text", dir2)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(Checkpoints.previewsPath(dir2))))
+    // slice-fed posture without textsOf: the contract stays one row per
+    // cluster — representatives whose text was not among this epoch's
+    // inputs carry a null preview instead of silently vanishing
+    val slice = PagesGen.pages(spark, 2L, seed = 97L, tokensPerDoc = 80).toDF()
+    val (_, n2) = Checkpoints.clusterEpoch(spark, slice, "url", "text", dir,
+      DedupConfig(previewChars = 40))
+    val p2 = spark.read.parquet(Checkpoints.previewsPath(dir))
+    assert(p2.count() == n2, "one preview row per cluster, slice-fed too")
+    assert(p2.filter(col("preview").isNull).count() > 0,
+      "old representatives (text not in the slice) must keep a null-preview row")
   }
 
   test("diagnose stays drift-free after execute + re-cluster (live-view diff)") {
