@@ -1559,7 +1559,7 @@ object SparkEntry {
         |                    x -> x <> '') AS lines FROM s),
         |k AS (SELECT doc_id, t, lines,
         |        list_filter(lines, x ->
-        |          regexp_matches(x, '[.!?]["'']?$')
+        |          regexp_matches(x, '([.!?]["'']?|["''])$')
         |          AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 3
         |          AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept_lines
         |      FROM l)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** C4-style page cleaning (Raffel et al. 2020, §2.2) — the rule battery the
   * original web-text pipeline applies line-by-line before any dedup:
   *
-  *   line kept  ⇔ ends in terminal punctuation (. ! ? or a closing quote),
+  *   line kept  ⇔ ends in terminal punctuation (. ! ?, optionally
+  *                quote-wrapped) or a bare closing quote,
   *                has >= `minWords` whitespace words, and does not mention
   *                javascript (the classic "enable JavaScript" chrome);
   *   page kept  ⇔ the CLEANED text still has >= `minSentences` terminal
@@ -26,9 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object C4Clean {
 
-  private val Trim = "^\\s+|\\s+$"
-  /** terminal punct, optionally inside a closing quote */
-  private val Terminal = "[.!?][\"']?$"
+  private val Trim = Repetition.Trim // ONE trim definition across the battery
+  /** terminal punct (optionally quote-wrapped) OR a bare closing quote —
+    * C4's _END_MARKS includes the quotation mark itself, so a dialogue
+    * line like `He said "no more"` is KEPT (the punct-only spelling
+    * silently dropped every quote-terminated line)
+    */
+  private val Terminal = "([.!?][\"']?|[\"'])$"
 
   /** Line-keep predicate over a TRIMMED line. */
   def keepLine(l: Column, minWords: Int = 3): Column =
@@ -80,10 +85,7 @@ object C4Clean {
     */
   def clean(df: DataFrame, textCol: String, minWords: Int = 3,
             minSentences: Int = 5, blockedWords: Seq[String] = Nil): DataFrame = {
-    val lines = filter(
-      transform(split(col(textCol), "\\n"), l => regexp_replace(l, Trim, "")),
-      l => length(l) > 0)
-    df.withColumn("_lines", lines)
+    df.withColumn("_lines", Repetition.linesOf(col(textCol)))
       .withColumn("_keptLines", filter(col("_lines"), l => keepLine(l, minWords)))
       .withColumn("_clean", cleanedText(col(textCol), minWords))
       .withColumn("n_lines", size(col("_lines")).cast("long"))

@@ -40,7 +40,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Repetition {
 
-  private val Trim = "^\\s+|\\s+$"
+  private[text] val Trim = "^\\s+|\\s+$"
 
   /** Non-empty trimmed lines of `text`. */
   def linesOf(text: Column): Column =
@@ -287,15 +287,20 @@ object Repetition {
 
   /** One pass over `text` producing every [[signalNames]] value in order.
     * Semantics byte-identical to the combinator battery: same regexes for
-    * line/paragraph/word boundaries, same regex-\s trim, same Locale.ROOT
-    * lowercase, code-point char counts, top ties to the larger
-    * count×length product.
+    * line/paragraph/word boundaries, same regex-\s trim, same
+    * default-locale lowercase as Spark's lower(), code-point char counts,
+    * top ties to the larger count×length product.
     */
   private[text] def computeSignals(text: String,
                                    topNs: Seq[Int], dupNs: Seq[Int]): Array[Long] = {
     val lines = text.split("\n", -1).map(trimWs).filter(_.nonEmpty)
     val paras = ParaPat.split(text, -1).map(trimWs).filter(_.nonEmpty)
-    val words = WsPat.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+    // DEFAULT-locale lowercase, deliberately: the executable spec this
+    // kernel is pinned byte-identical against is Spark's lower(), whose
+    // UTF8String.toLowerCaseSlow calls String.toLowerCase() with the JVM
+    // default locale — Locale.ROOT here would diverge on non-ASCII text
+    // under e.g. a Turkish-locale JVM (dotted/dotless i)
+    val words = WsPat.split(text.toLowerCase(), -1)
       .filter(_.nonEmpty)
     val out = Array.newBuilder[Long]
     out ++= groupStats(lines)

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   private val SentSplit = "(?<=[.!?])\\s+"
-  private val Trim = "^\\s+|\\s+$"
+  private val Trim = Repetition.Trim // ONE trim definition across the battery
 
   /** Trimmed non-empty sentences of `text`. */
   def sentencesOf(text: Column): Column =
@@ -109,10 +109,14 @@ object SpanDedup {
     val totals = sents.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sents"), rebuild("_full"))
 
-    base.select(col(idCol)).join(totals, Seq(idCol), "left")
+    // _orig: a doc with ZERO sentences (null or whitespace-only text) is
+    // absent from totals/kept and must pass through UNTOUCHED (the
+    // documented contract, matching ParagraphDedup) — not be rewritten to ""
+    base.select(col(idCol), col(textCol).as("_orig"))
+      .join(totals, Seq(idCol), "left")
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("_kept"), col("_full"), lit("")).as(textCol),
+        coalesce(col("_kept"), col("_full"), col("_orig")).as(textCol),
         coalesce(col("n_sents"), lit(0L)).as("n_sents"),
         (coalesce(col("n_sents"), lit(0L)) - coalesce(col("_n_kept"), lit(0L)))
           .as("n_dropped"))

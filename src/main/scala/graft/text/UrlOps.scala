@@ -27,9 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *      dropped; default ports stripped (`:80` http, `:443` https)
   *   4. duplicate slashes in the path collapsed; empty path → `/`
   *   5. query params: tracking params dropped (`utm_*`, gclid, fbclid,
-  *      msclkid, yclid, igshid, mc_eid, ref_src, _ga), the rest sorted
-  *      byte-lexicographically (param ORDER is transport noise); an
-  *      emptied query drops its `?`
+  *      msclkid, yclid, igshid, mc_eid, ref_src, _ga), the rest sorted in
+  *      UTF-16 code-unit order — Java String ordering, identical to UTF-8
+  *      byte order for every BMP character; supplementary-plane params
+  *      (emoji keys) sort before U+E000..U+FFFF ones, unlike raw bytes
+  *      (param ORDER is transport noise); an emptied query drops its `?`
   *
   * SURT (Sort-friendly URI Reordering Transform — the Internet Archive /
   * Common Crawl index key form): host labels reversed and comma-joined,
@@ -61,10 +63,13 @@ object UrlCanon {
     val at = host.lastIndexOf('@')
     if (at >= 0) host = host.substring(at + 1)
     host = host.toLowerCase
-    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    // port BEFORE trailing dot: "example.com.:80" hides its dot behind the
+    // port — the reverse order left it in place, so two trivially-equal
+    // spellings kept distinct dedup keys and canonicalize wasn't idempotent
     if ((scheme == "http" && host.endsWith(":80")) ||
         (scheme == "https" && host.endsWith(":443")))
       host = host.substring(0, host.lastIndexOf(':'))
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
     var path = m.group(3)
     path = if (path == null || path.isEmpty) "/" else slashRe.matcher(path).replaceAll("/")
     val query = cleanQuery(m.group(4))
@@ -113,11 +118,17 @@ object UrlCanon {
   def canonicalizePages(df: org.apache.spark.sql.DataFrame, idCol: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.xxhash64
     val canon = df.withColumn(idCol, urlCanon(col(idCol)))
     if (canon.columns.contains("warc_ts"))
+      // whole-row hash as the final tiebreak: same-second refetches of one
+      // page are common, and a warc_ts-only order would elect a survivor
+      // by shuffle arrival — different text across re-runs/retries, which
+      // the sub-doc state's bit-identical re-run contract cannot tolerate
       canon.withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col("warc_ts").desc_nulls_last)))
+          .orderBy(col("warc_ts").desc_nulls_last,
+            xxhash64(canon.columns.toIndexedSeq.map(col): _*).asc)))
         .filter(col("_rn") === 1).drop("_rn")
     else canon.dropDuplicates(idCol)
   }

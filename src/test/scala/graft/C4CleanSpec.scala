@@ -28,6 +28,17 @@ class C4CleanSpec extends SparkTestBase {
     assert(nSent == 5 && kept)
   }
 
+  test("quote-terminated dialogue lines are kept (C4 end marks include the quote)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def kept(line: String): Boolean =
+      Seq(Tuple1(line)).toDF("l").select(C4Clean.keepLine(col("l"), 3).as("k"))
+        .as[Boolean].head()
+    assert(kept("He said \"no more\""))
+    assert(kept("She answered 'fine then'"))
+    assert(kept("He said \"no more.\""))
+    assert(!kept("no terminal punctuation here at all"))
+  }
+
   test("page rules: sentence floor, lorem ipsum, curly brace, blocked words") {
     val pages = Seq(
       (1L, goodPage),

@@ -52,6 +52,13 @@ class SpanDedupSpec extends SparkTestBase {
       (3L, "Pad one. Pad two. Pad three.")))
     assert(out(0) == ((1L, "", 0L, 0L)))
     assert(out(1) == ((2L, "no terminal punct at all", 1L, 0L)))
+    // zero-sentence docs pass through UNTOUCHED — whitespace-only text is
+    // not rewritten to "" and a null text stays null (the documented
+    // contract, matching ParagraphDedup's _orig fallback)
+    val ws = run(Seq((1L, "  \n \t "), (2L, null.asInstanceOf[String]),
+      (3L, "Pad one. Pad two. Pad three.")))
+    assert(ws(0) == ((1L, "  \n \t ", 0L, 0L)))
+    assert(ws(1) == ((2L, null, 0L, 0L)))
   }
 
   test("election shuffle carries span hashes, not span text") {

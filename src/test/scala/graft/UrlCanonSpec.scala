@@ -17,6 +17,11 @@ class UrlCanonSpec extends SparkTestBase {
     assert(c("http://user:pw@example.com/a") === "http://example.com/a")
     assert(c("http://example.com./a") === "http://example.com/a")
     assert(c("  http://example.com/a  ") === "http://example.com/a")
+    // trailing dot HIDING behind a default port: port strips first, so the
+    // dot still strips and canonicalize stays idempotent
+    assert(c("http://example.com.:80/a") === "http://example.com/a")
+    assert(c("HTTPS://Example.COM.:443/a") === "https://example.com/a")
+    assert(c(c("http://example.com.:80/a")) === c("http://example.com.:80/a"))
   }
 
   test("path normalization: duplicate slashes collapse, empty path becomes /") {
