@@ -1765,7 +1765,7 @@ object SparkEntry {
     "q_sessionize" ->
       """SELECT user_id,
         |       CAST(sum(CASE WHEN prev_ts IS NULL
-        |                     OR epoch(ts) - epoch(prev_ts) > 1800
+        |                     OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM (SELECT user_id, ts,

@@ -39,15 +39,21 @@ object Actions {
     require(ValidActions.contains(action), s"unknown action $action")
     val reps = clusters.filter(col("is_representative"))
       .select(col("cluster_id"), col("id").as("original_id"))
+    // LEFT join: a malformed clusters table (a cluster with NO
+    // representative — foreign or hand-edited input; the engine's own
+    // tables carry exactly one, oracled per-row by q_dedup_invariants)
+    // must surface its members as error rows, not silently drop them from
+    // the plan and keep the duplicates forever
     clusters.filter(!col("is_representative"))
-      .join(reps, "cluster_id")
+      .join(reps, Seq("cluster_id"), "left")
       .select(
         col("id"),
         col("original_id"),
         lit(action).as("action"),
         lit(dryRun).as("dry_run"),
-        lit(true).as("success"),
-        lit(null).cast("string").as("error"))
+        col("original_id").isNotNull.as("success"),
+        when(col("original_id").isNull, lit("missing_representative"))
+          .otherwise(lit(null).cast("string")).as("error"))
   }
 
   /** Execute a planned actions table against a universe of live ids — the

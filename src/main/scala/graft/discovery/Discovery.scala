@@ -61,6 +61,9 @@ object Discovery {
            else lit(true)) &&
           nonEmptyText(col(textCol)))
     }
-    filtered.reduce(_ union _)
+    // by NAME: multi-root fan-out reads from different sources, whose
+    // column ORDERS legitimately diverge — a positional union would land
+    // one root's lang values in another's text column without an error
+    filtered.reduce(_ unionByName _)
   }
 }

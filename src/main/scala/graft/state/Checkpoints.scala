@@ -616,8 +616,12 @@ object Checkpoints {
       case None => plan
     }
     // validate against the LIVE view: a signature row vacated by an earlier
-    // executed delete/move must not validate as an existing original/dup
-    val universe = liveSignatures(spark, stateDir).select("id")
+    // executed delete/move must not validate as an existing original/dup.
+    // Materialized ONCE: execute() probes it from two join branches (dup +
+    // original) — left lazy, the whole live-state derivation (parquet scan
+    // + tombstone anti-join + distinct) would evaluate per branch
+    val universe = cfg0.materializer(spark)(
+      liveSignatures(spark, stateDir).select("id").distinct())
     // small table (one row per planned duplicate): materialize once, every
     // consumer below (backup, commit, counts) reads the checkpoint — via the
     // CONFIGURED materializer, so `--reliable` covers the executor stage too

@@ -25,9 +25,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true`); point the dir
   * at a job-scoped path so an operator can clean up by deleting one tree.
   */
-final class Materializer private (val reliable: Boolean) extends Serializable {
+final class Materializer private (val reliable: Boolean,
+                                  checkpointDir: String = "") extends Serializable {
   def apply(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (reliable) {
+      // re-assert the dir at every materialization: setCheckpointDir is
+      // SparkContext-GLOBAL, so another reliable materializer constructed
+      // since (a second pipeline in the same session) would otherwise
+      // silently redirect this one's checkpoints under ITS tree — and the
+      // documented "clean up by deleting one tree" contract would delete
+      // files a live run still depends on. (Two reliable pipelines
+      // materializing CONCURRENTLY on one driver still race the global —
+      // point them at one shared dir in that deployment.)
+      df.sparkSession.sparkContext.setCheckpointDir(checkpointDir)
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
 }
 
 object Materializer {
@@ -40,6 +52,6 @@ object Materializer {
     require(checkpointDir.nonEmpty,
       "reliable checkpoint mode needs a checkpoint dir (DedupConfig.checkpointDir)")
     spark.sparkContext.setCheckpointDir(checkpointDir)
-    new Materializer(true)
+    new Materializer(true, checkpointDir)
   }
 }

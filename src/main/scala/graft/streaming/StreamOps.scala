@@ -50,8 +50,16 @@ object StreamOps {
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
+        // millisecond precision (unix_timestamp truncates to whole seconds,
+        // so a 1800.9 s gap read as 1800 would NOT split — disagreeing with
+        // the ms-precise streaming session_window surface); the DuckDB
+        // oracle compares epoch_ms identically. The cast accommodates
+        // TIMESTAMP_NTZ inputs (parquet events table): unix_millis demands
+        // TIMESTAMP, and under the engine's pinned UTC session timezone the
+        // NTZ→TZ cast is an exact identity shift (no DST, no offset)
         (col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L)
+          unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) > gapMinutes * 60000L)
           .cast("long"))
       .withColumn("session_seq", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -252,8 +260,13 @@ object StreamOps {
     *  - CAP OVERFLOW ids are remembered id-only: an id that arrives while
     *    its bucket is full still gets its pairs emitted once and is
     *    recorded in the overflow list, so an at-least-once redelivery can
-    *    neither re-emit pairs nor consume member capacity. The overflow
-    *    list shares the bucket's TTL, so it is horizon-bounded too.
+    *    neither re-emit pairs nor consume member capacity. The list is
+    *    HARD-CAPPED at 4x maxBucket (newest kept): a continuously hot
+    *    boilerplate bucket — whose TTL, being re-anchored by its own
+    *    arrivals, never fires while it stays hot — therefore holds bounded
+    *    state forever rather than growing with every distinct id; past the
+    *    cap a redelivery may re-emit pairs, which downstream dedupe
+    *    absorbs exactly like multi-band duplicates.
     *
     * Streaming-only by design: batch near-dup is `DedupPipeline.nearEdgesFast`.
     */
@@ -261,6 +274,15 @@ object StreamOps {
                             maxBucket: Int = 64,
                             stateTtlMs: Long = 60L * 60 * 1000): Dataset[StreamPair] = {
     import sigs.sparkSession.implicits._
+    // captured OUTSIDE the state function: in batch execution the group
+    // state has no watermark, and getCurrentWatermarkMs/setTimeoutTimestamp
+    // would throw — the batch branch the banding projections support
+    val streaming = sigs.isStreaming
+    // overflow ids are a redelivery shield, not membership — cap the list
+    // so a continuously hot boilerplate bucket holds bounded state (past
+    // the cap a redelivered id may re-emit its pairs, which at-least-once
+    // consumers dedupe anyway, exactly like multi-band duplicates)
+    val maxOverflow = 4 * maxBucket
     sigs
       .groupByKey(s => (s.band, s.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -285,15 +307,16 @@ object StreamOps {
                   }
                 }
                 if (seen.size < maxBucket) seen = (r.id, r.simhash) :: seen
-                else overflow = r.id :: overflow
+                else overflow = (r.id :: overflow).take(maxOverflow)
               }
             }
             state.update((seen, overflow, maxTs))
             // anchor the TTL to the bucket's newest EVENT time (the
             // watermark lags one batch; Spark requires timeout > watermark,
-            // hence the floor)
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs(), maxTs) + stateTtlMs)
+            // hence the floor); batch mode has no watermark and no timeouts
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxTs) + stateTtlMs)
             out.result().iterator
           }
       }
@@ -322,7 +345,8 @@ object StreamOps {
                         stateTtlMs: Long = 30L * 60 * 1000,
                         watermark: String = "10 seconds"): Dataset[UserCount] = {
     import events.sparkSession.implicits._
-    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val streaming = events.isStreaming
+    val wm = if (streaming) events.withWatermark("ts", watermark) else events
     wm.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[UserEvent], state: GroupState[(Long, Long)]) =>
@@ -337,8 +361,11 @@ object StreamOps {
               maxTs = math.max(maxTs, e.ts.getTime)
             }
             state.update((total, maxTs))
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs(), maxTs) + stateTtlMs)
+            // batch mode (the isStreaming branch above) has no watermark —
+            // getCurrentWatermarkMs would throw on the very first group
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxTs) + stateTtlMs)
             UserCount(user, total)
           }
       }
