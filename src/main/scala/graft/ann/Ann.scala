@@ -269,8 +269,11 @@ object Ann {
                      mat: graft.state.Materializer = graft.state.Materializer.local)
       : Seq[(Int, Double)] = {
     val idx = ivfIndex(vecs, idCol, vecCol, nCells, maxListSize, kmeansIters, mat)
-    val exact = bruteForceKnn(vecs, vecs, idCol, vecCol, k)
-      .select(col("id"), col("nbr_id"))
+    // materialize the O(n²) oracle ONCE: it is re-read by the denominator
+    // count plus every curve point's semi-join — a live plan would re-run
+    // the full cross join + window per probe candidate
+    val exact = mat(bruteForceKnn(vecs, vecs, idCol, vecCol, k)
+      .select(col("id"), col("nbr_id")))
     val exactN = exact.count().toDouble
     nProbes.sorted.map { p =>
       val hit = ivfQuery(idx, k, p).select(col("id"), col("nbr_id"))

@@ -18,17 +18,37 @@ object Clustering {
 
   /** Exact-duplicate edges: rows sharing a content hash are linked to the
     * group's min id (reference `deduplication/mod.rs:12-32`: HashMap by
-    * crypto hash). Window-min, not collect_list — a mega exact-group (the
-    * empty page, parked-domain template) would blow a list buffer at scale,
-    * while window min is streaming + spillable.
+    * crypto hash). Min via groupBy + re-join, NOT a window and NOT
+    * collect_list: a mega exact-group (the empty page, parked-domain
+    * template — millions of rows behind one hash at web scale) would pin
+    * ALL its rows to one window task every run (the same straggler shape
+    * largeStar avoids below), while the groupBy combines map-side and AQE
+    * can split the skewed enrichment-join partitions. Singleton groups are
+    * dropped BEFORE the join — at web scale most hashes are unique, so the
+    * build side shrinks to the duplicate classes only.
     */
   def exactEdges(sigs: DataFrame, idCol: String, hashCol: String): DataFrame = {
-    val w = Window.partitionBy(col(hashCol))
-    sigs.select(col(idCol), col(hashCol))
-      .withColumn("root", min(col(idCol)).over(w))
+    val slim = sigs.select(col(idCol), col(hashCol))
+    val roots = slim.groupBy(col(hashCol))
+      .agg(min(col(idCol)).as("root"), count(lit(1)).as("hash_n"))
+    exactEdgesFrom(slim, roots, idCol, hashCol)
+  }
+
+  /** [[exactEdges]] with the per-hash (min id, count) aggregate supplied by
+    * the caller — the pipeline already computes exactly this aggregate for
+    * representative selection and kind labeling (and caches it), so the
+    * shared form avoids re-running the content-hash exchange.
+    *
+    * @param roots (hashCol, root = group min id, hash_n = group size);
+    *              extra columns are ignored
+    */
+  def exactEdgesFrom(members: DataFrame, roots: DataFrame,
+                     idCol: String, hashCol: String): DataFrame =
+    members.select(col(idCol), col(hashCol))
+      .join(roots.filter(col("hash_n") > 1)
+        .select(col(hashCol), col("root")), hashCol)
       .filter(col(idCol) =!= col("root"))
       .select(col(idCol).as("a"), col("root").as("b"))
-  }
 
   /** One large-star round: every node connects its strictly-LARGER
     * neighbors to the minimum of its closed neighborhood. Kiveris et al.,
@@ -137,7 +157,18 @@ object Clustering {
       if (alreadyNumeric) null
       else mat(edges.select(col("a").as("sid")).union(edges.select(col("b").as("sid")))
         .distinct().sort("sid")
-        .withColumn("code", monotonically_increasing_id()))
+        .withColumn("code", monotonically_increasing_id())
+        // same 33-bit record-space guard as DedupPipeline.idDictionaryPlan:
+        // a sort partition holding >= 2^33 ids would spill codes into the
+        // next partition's space and silently break min(code) ≡ min(id) —
+        // fail loudly instead (per-row shift+compare, no extra exchange)
+        .withColumn("code",
+          when(shiftright(col("code"), 33) === spark_partition_id().cast("long"),
+            col("code"))
+            .otherwise(raise_error(lit(
+              "union-find id encode overflow: a sort partition holds >= " +
+                "2^33 ids, codes would collide; raise " +
+                "spark.sql.shuffle.partitions")))))
         // materialized ONCE: codes must not be re-derived per use
 
     // LAZY checkpoint on the encoded edge set: BOTH the oriented edges and

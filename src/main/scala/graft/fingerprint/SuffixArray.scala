@@ -162,6 +162,9 @@ object SuffixArray {
     * ceil(0.9*20) = 19).
     */
   def lcsRatioAtLeast(a: String, b: String, threshold: Double): Boolean = {
+    if (threshold <= 0) return true // ratio >= 0 always; the t-search floor
+    // below would otherwise demand a length-1 common substring and invert
+    // the decision for disjoint-alphabet inputs at non-positive thresholds
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     val min = s.length
     if (min == 0) return threshold <= 1.0 // saContainment: minLen 0 scores 1.0

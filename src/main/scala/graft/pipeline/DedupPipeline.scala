@@ -146,6 +146,7 @@ case class DedupConfig(
   require(stateBloomExpected > 0, "stateBloomExpected must be > 0")
   require(bands * rowsPerBand <= numPerms,
     s"bands*rowsPerBand must fit in numPerms ($bands*$rowsPerBand > $numPerms)")
+  require(fastPathBands > 0, "fastPathBands must be > 0")
   require(64 % fastPathBands == 0, "fastPathBands must divide 64")
   require(fastPathMaxHamming < fastPathBands,
     "fastPathMaxHamming >= fastPathBands loses the pigeonhole collision guarantee")
@@ -536,6 +537,24 @@ object DedupPipeline {
       // the hash agg scrambles in-partition order; restore it narrowly
       .sortWithinPartitions("sid")
       .withColumn("id", monotonically_increasing_id())
+      // LOUD guard on the 33-bit per-partition record space: past 2^33
+      // rows in ONE range partition, monotonically_increasing_id spills
+      // into the NEXT partition's code space — codes collide and the
+      // order isomorphism (hence every downstream min-id convention)
+      // breaks SILENTLY. The id's embedded partition field must equal the
+      // physical partition; checked per row (a shift + compare riding the
+      // same projection — no extra exchange or job, the single-exchange
+      // plan contract above holds). The two stacked projections must not
+      // collapse (CollapseProject refuses: the guard reads the
+      // nondeterministic id twice), so the counter advances exactly once
+      // per row.
+      .withColumn("id",
+        when(shiftright(col("id"), 33) === spark_partition_id().cast("long"),
+          col("id"))
+          .otherwise(raise_error(lit(
+            "id dictionary overflow: a range partition holds >= 2^33 ids, " +
+              "so dictionary codes would collide; raise " +
+              "spark.sql.shuffle.partitions for this corpus size"))))
 
   /** Full run: returns the clusters table
     * (id, cluster_id, is_representative, kind) — kind ∈ {exact, near, unique}.
@@ -677,7 +696,16 @@ object DedupPipeline {
                         orderCols: Seq[org.apache.spark.sql.Column] =
                           Seq(col("order_len").desc, col("id").asc)): DataFrame = {
     val mat = cfg.materializer(spark)
-    val (dict, slim, hashGroups, repSigs) = codedParts(stateSigs)
+    val (dict, slim, hashGroups, repSigs0) = codedParts(stateSigs)
+    // CACHE repSigs on THIS path only: the full resume feeds it straight
+    // into nearEdges, which consumes its input in ~10 places (banding ×2,
+    // estimate-tier joins ×2, shingle fetch ×2, mixed-state probe) — each
+    // re-evaluation would replay the state scan + the dictionary join
+    // shuffle over the whole corpus. The delta path deliberately does NOT
+    // cache it (codedParts doc: the corpus-wide fill of KB-scale shingle
+    // rows was the delta epoch's biggest fixed cost); it materializes its
+    // frontier subset instead.
+    val repSigs = repSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
     // persisted state MAY mix fast-path (shingle-less) and full epochs —
@@ -847,7 +875,14 @@ object DedupPipeline {
                                // connectivity in as ready-made (a, b) edges
                                extraEdges: Option[DataFrame] = None): DataFrame = {
 
-    val exact = Clustering.exactEdges(slim, "id", "content_hash")
+    // reuse the cached hashGroups aggregate as the per-hash min/count side:
+    // running Clustering.exactEdges here would re-run the same
+    // content-hash exchange it already paid for
+    val exact = Clustering.exactEdgesFrom(
+      slim.select("id", "content_hash"),
+      hashGroups.select(col("content_hash"), col("id").as("root"),
+        col("hash_n")),
+      "id", "content_hash")
     val bandSigs = bandSigsOverride.getOrElse(repSigs)
     val near = tick("near edges (LSH+verify)") {
       val edges =

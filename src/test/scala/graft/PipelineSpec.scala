@@ -62,6 +62,28 @@ class PipelineSpec extends SparkTestBase {
     assert(reps.groupBy("cluster_id").count().filter($"count" =!= 1).count() == 0)
   }
 
+  test("exactEdges links members to the group min; singleton hashes emit nothing") {
+    val sigs = Seq(
+      ("u3", "h1"), ("u1", "h1"), ("u2", "h1"), // group min u1
+      ("u5", "h2"), ("u4", "h2"),               // group min u4
+      ("u6", "h3")                              // singleton: no edge
+    ).toDF("id", "content_hash")
+    val edges = Clustering.exactEdges(sigs, "id", "content_hash")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("u3", "u1"), ("u2", "u1"), ("u5", "u4")))
+    // the caller-supplied-aggregate form is the same operator
+    val roots = sigs.groupBy("content_hash")
+      .agg(min($"id").as("root"), count(lit(1)).as("hash_n"))
+    val edges2 = Clustering.exactEdgesFrom(sigs, roots, "id", "content_hash")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges2 == edges)
+  }
+
+  test("DedupConfig rejects fastPathBands = 0 with a clear message") {
+    val e = intercept[IllegalArgumentException](DedupConfig(fastPathBands = 0))
+    assert(e.getMessage.contains("fastPathBands must be > 0"))
+  }
+
   test("union-find: chain a-b, b-c, c-d collapses to one cluster") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("a", "b")
     val uf = Clustering.unionFind(spark, edges)

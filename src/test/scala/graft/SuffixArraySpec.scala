@@ -73,6 +73,12 @@ class SuffixArraySpec extends SparkTestBase {
     // pathological repetitive inputs stay exact (chained equal hashes)
     assert(SuffixArray.lcsRatioAtLeast("aaaaaaaaaa", "aaaaab", 0.8))
     assert(!SuffixArray.lcsRatioAtLeast("ababababab", "bbbbbb", 0.9))
+    // non-positive thresholds are vacuously satisfied (ratio >= 0 always):
+    // the t-search floor must not demand a length-1 common substring —
+    // disjoint alphabets were the inverting case
+    assert(SuffixArray.lcsRatioAtLeast("abc", "xyz", 0.0))
+    assert(SuffixArray.lcsRatioAtLeast("abc", "xyz", -0.5))
+    assert(SuffixArray.lcsRatioAtLeast("", "xyz", 0.0))
   }
 
   test("saContainmentAtLeast column agrees with saContainment >= t on the ambiguous shapes") {
