@@ -452,8 +452,9 @@ object SparkEntry {
         .select("source", "doc_id", "n_chars")
     }),
 
-    // J5/A1: exact-duplicate grouping by content hash (window-min, no
-    // collect_list — scale-safe for mega groups)
+    // J5/A1: exact-duplicate grouping by content hash (hash-agg count+min,
+    // no collect_list — scale-safe for mega groups; Clustering.exactEdges
+    // derives its edges from this same aggregate shape)
     "q_exact_dedup" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), FP.contentHash(col("text")).as("content_hash"))
@@ -1432,9 +1433,9 @@ object SparkEntry {
         |       round(least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * 0.4
         |         + (CASE WHEN n_tokens = 0 THEN 0.0
         |                 ELSE CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) END) * 0.5
-        |         + (1.0 - (CASE WHEN n_tokens = 0 THEN 0.0
-        |                 ELSE least(CAST(n_punct AS DOUBLE)
-        |                   / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0) END)) * 0.1, 6)
+        |         + (CASE WHEN n_tokens = 0 THEN 0.0
+        |                 ELSE (1.0 - least(CAST(n_punct AS DOUBLE)
+        |                   / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0)) * 0.1 END), 6)
         |         AS quality
         |FROM f""".stripMargin,
 
@@ -1970,8 +1971,11 @@ object SparkEntry {
        |FROM embeddings""".stripMargin
 
   private def langIdOracle: String = {
+    // separator runs doubled before the count, mirroring
+    // TextAnalysis.stopwordHits (adjacent stopwords must not share a space)
     def hits(words: Seq[String]): String = words.map(w =>
-      s"(length(string_split(' ' || lower(text) || ' ', ' $w ')) - 1)").mkString(" + ")
+      s"(length(string_split(' ' || regexp_replace(lower(text), '\\s+', '  ', 'g')" +
+        s" || ' ', ' $w ')) - 1)").mkString(" + ")
     val en = hits(Seq("the", "and", "of", "to", "is"))
     val de = hits(Seq("der", "die", "und", "das", "ist"))
     val fr = hits(Seq("le", "la", "les", "et", "est"))

@@ -310,8 +310,14 @@ case class DocSignature(child: Expression, k: Int, numPerms: Int, seed: Long,
     // maxShingles is the length-tiered cost cap (reference analog:
     // size-tiered downscale, file_processing.rs:134-156) — huge documents
     // fingerprint their prefix instead of blowing up the signature stage.
+    // the 2^29 clamp keeps the open-addressing table below 2^30 slots at
+    // load <= 0.5 even with the API-default maxShingles = Int.MaxValue —
+    // without it the power-of-two sizing loop overflows Int and spins on
+    // a ~GB-scale document (the tiered-cost posture: fingerprint the
+    // prefix, never wedge the task)
     val nShingles =
-      if (nTokens >= k) math.min(nTokens - k + 1, maxShingles) else 1
+      if (nTokens >= k) math.min(math.min(nTokens - k + 1, maxShingles), 1 << 29)
+      else 1
     val distinct = new Array[Long](nShingles)
     var nd = 0
     if (nTokens >= k) {
@@ -403,35 +409,48 @@ case class ShingleOverlap(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (small, large) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
-    val ns = small.numElements()
-    val nl = large.numElements()
+    val ns0 = small.numElements()
+    val nl0 = large.numElements()
     // open-addressing set over the smaller side; 0 is the empty slot, the
-    // (vanishingly rare) real 0L key is tracked by a flag
+    // (vanishingly rare) real 0L key is tracked by a flag. Sizing compares
+    // in Long (ns0 * 2 overflows Int past 2^30 elements).
     var cap = 8
-    while (cap < ns * 2) cap <<= 1
+    while (cap.toLong < math.min(ns0.toLong * 2, 1L << 30)) cap <<= 1
     val table = new Array[Long](cap)
     val mask = cap - 1
     var hasZero = false
+    // NULL elements are skipped on both sides (the declared input type
+    // allows them): getLong on a null slot would otherwise alias the 0L
+    // key and inflate the intersection — MinHashSignature and SimHash64
+    // handle element nulls the same way
+    var ns = 0
     var i = 0
-    while (i < ns) {
-      val v = small.getLong(i)
-      if (v == 0L) hasZero = true
-      else {
-        var idx = (HashKernels.avalanche(v) & 0x7fffffffffffffffL).toInt & mask
-        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
-        table(idx) = v
+    while (i < ns0) {
+      if (!small.isNullAt(i)) {
+        ns += 1
+        val v = small.getLong(i)
+        if (v == 0L) hasZero = true
+        else {
+          var idx = (HashKernels.avalanche(v) & 0x7fffffffffffffffL).toInt & mask
+          while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+          table(idx) = v
+        }
       }
       i += 1
     }
     var inter = 0
+    var nl = 0
     i = 0
-    while (i < nl) {
-      val v = large.getLong(i)
-      if (v == 0L) { if (hasZero) inter += 1 }
-      else {
-        var idx = (HashKernels.avalanche(v) & 0x7fffffffffffffffL).toInt & mask
-        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
-        if (table(idx) == v) inter += 1
+    while (i < nl0) {
+      if (!large.isNullAt(i)) {
+        nl += 1
+        val v = large.getLong(i)
+        if (v == 0L) { if (hasZero) inter += 1 }
+        else {
+          var idx = (HashKernels.avalanche(v) & 0x7fffffffffffffffL).toInt & mask
+          while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+          if (table(idx) == v) inter += 1
+        }
       }
       i += 1
     }

@@ -197,10 +197,15 @@ case class ImageAHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = PixelAHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // freshName, not a fixed local: with a non-nullable child the fragment
+    // lands UNGUARDED in the generated function, and two image_ahash calls
+    // fused into one whole-stage-codegen scope would redeclare `ah` and
+    // kick the whole stage back to interpreted execution
+    val ah = ctx.freshName("ah")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long ah = $cls.ahash($c);
-      ${ev.isNull} = ah == null;
-      ${ev.value} = ${ev.isNull} ? -1L : ah.longValue();""")
+      java.lang.Long $ah = $cls.ahash($c);
+      ${ev.isNull} = $ah == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $ah.longValue();""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ImageAHash =

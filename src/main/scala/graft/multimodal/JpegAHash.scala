@@ -82,7 +82,12 @@ object JpegPixels {
       (w, h, luma)
     } catch {
       case _: Exception => null
-      case _: java.lang.Error => null // ImageIO wraps some corrupt inputs in Errors
+      // ImageIO wraps some corrupt inputs in Errors — but genuine JVM
+      // failures (OutOfMemoryError, StackOverflowError) must fail the
+      // task, not masquerade as "undecodable image" (silent data loss on
+      // a possibly-corrupt JVM); TiffAHash documents the same boundary
+      case e: java.lang.VirtualMachineError => throw e
+      case _: java.lang.Error => null
     } finally {
       if (reader != null) reader.dispose()
       if (stream != null) try stream.close() catch { case _: Exception => () }

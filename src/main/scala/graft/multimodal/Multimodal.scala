@@ -46,7 +46,11 @@ object Multimodal {
     */
   def sniffFormat(blob: Column): Column = {
     val head = hex(substring(blob, 1, 4))
-    when(head.startsWith("89504E47"), "png")
+    // null-in/null-out: without the guard every when() condition is null
+    // (not matched) and otherwise("bin") would misclassify a MISSING
+    // payload as opaque binary content
+    when(blob.isNull, lit(null).cast("string"))
+      .when(head.startsWith("89504E47"), "png")
       .when(head.startsWith("FFD8FF"), "jpeg")
       .when(head.startsWith("47494638"), "gif")
       .when(head === "49492A00" || head === "4D4D002A", "tiff")

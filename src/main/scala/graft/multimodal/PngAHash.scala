@@ -306,9 +306,16 @@ object PngSynth {
     }
     val deflater = new Deflater()
     deflater.setInput(scan); deflater.finish()
-    val zBuf = new Array[Byte](scan.length + 64)
-    var zLen = 0
-    while (!deflater.finished()) zLen += deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+    // drain into a growable sink (TiffSynth.deflate pattern): a fixed
+    // scan.length + 64 buffer under-provisions for incompressible pixels
+    // (stored-block overhead is ~5 bytes per 64 KB) and the drain loop
+    // would spin on a full buffer
+    val zOut = new java.io.ByteArrayOutputStream(scan.length / 2 + 64)
+    val zBuf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zBuf, 0, zBuf.length)
+      if (n > 0) zOut.write(zBuf, 0, n)
+    }
     deflater.end()
     val ihdr = new Array[Byte](13)
     def be32(arr: Array[Byte], i: Int, v: Int): Unit = {
@@ -328,7 +335,7 @@ object PngSynth {
         chunk("PLTE", p)
       } else new Array[Byte](0)
     PngPixels.Signature ++ chunk("IHDR", ihdr) ++ plte ++
-      chunk("IDAT", java.util.Arrays.copyOf(zBuf, zLen)) ++
+      chunk("IDAT", zOut.toByteArray) ++
       chunk("IEND", new Array[Byte](0))
   }
 

@@ -22,11 +22,12 @@ package graft.multimodal
   */
 object TiffPixels {
 
-  /** Tiered-cost bound (X12), same cap as PNG/JPEG: an 8-byte header can
-    * declare any geometry, so the decoded pixel count is capped before any
-    * allocation — 16.7M px ≈ 4096².
+  /** Tiered-cost bound (X12): an 8-byte header can declare any geometry,
+    * so the decoded pixel count is capped before any allocation. The ONE
+    * shared cap — GIF and JPEG reference it too, so tightening it in
+    * PngPixels covers every container.
     */
-  val MaxPixels: Long = 1L << 24
+  val MaxPixels: Long = PngPixels.MaxPixels
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
 

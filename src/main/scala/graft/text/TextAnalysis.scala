@@ -42,9 +42,13 @@ object TextAnalysis {
     val nPun = punctCount(text).cast("double")
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val divScore = when(nTok === 0, lit(0.0)).otherwise(nDis / nTok)
-    val punPenalty = when(nTok === 0, lit(0.0))
-      .otherwise(least(nPun / greatest(nTok, lit(1.0)), lit(1.0)))
-    round((lenScore * 0.4 + divScore * 0.5 + (lit(1.0) - punPenalty) * 0.1), 6)
+    // the punctuation term is gated on nTok > 0 like the others: an
+    // empty/blank document must score 0, not inherit the 0.1 no-penalty
+    // bonus (a contentless doc would outscore all-punctuation text and
+    // survive any threshold <= 0.1)
+    val punTerm = when(nTok === 0, lit(0.0))
+      .otherwise((lit(1.0) - least(nPun / greatest(nTok, lit(1.0)), lit(1.0))) * 0.1)
+    round((lenScore * 0.4 + divScore * 0.5 + punTerm), 6)
   }
 
   private val stopwords = Map(
@@ -53,10 +57,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "la", "los", "que", "es"))
 
-  private def stopwordHits(text: Column, words: Seq[String]): Column =
-    words.map(w =>
-      (size(split(concat(lit(" "), lower(text), lit(" ")), s" $w ")) - 1).cast("long"))
-      .reduce(_ + _)
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    // separator runs are DOUBLED before the non-overlapping " w " count so
+    // adjacent stopwords never share a boundary space ("the the the" would
+    // otherwise count 2 of 3: each match consumes both its spaces and the
+    // next occurrence loses its leading one)
+    val padded = concat(lit(" "), regexp_replace(lower(text), "\\s+", "  "), lit(" "))
+    words.map(w => (size(split(padded, s" $w ")) - 1).cast("long")).reduce(_ + _)
+  }
 
   /** N-gram/stopword-heuristic language ID: the language whose stopword
     * list scores the most padded-token hits; ties and zero hits → "und"

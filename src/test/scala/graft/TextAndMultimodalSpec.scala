@@ -398,4 +398,62 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(viaSidecar.except(standIn).count() == 0 &&
       standIn.except(viaSidecar).count() == 0)
   }
+
+  test("quality score: empty and blank docs score exactly 0") {
+    // pre-fix, a contentless doc inherited the 0.1 no-punctuation bonus
+    // and outscored all-punctuation text
+    val r = Seq("", "   ", "\n\t ").toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].collect().toSeq
+    assert(r.forall(_ == 0.0))
+  }
+
+  test("langId counts adjacent stopwords fully") {
+    // "le le the": fr must win 2-1 — the pre-fix split count saw only one
+    // "le" (adjacent occurrences shared their boundary space) and the
+    // en-first tiebreak mislabeled the doc. Second doc pins the symmetric
+    // case: "the the" is 2 hits, tying fr and resolving to en by priority.
+    val r = Seq("le le the", "the the le la maison").toDF("t")
+      .select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(r == Seq("fr", "en"))
+  }
+
+  test("sniffFormat: null blob stays null, not 'bin'") {
+    val r = Seq(Tuple1(null: Array[Byte]), Tuple1(Array[Byte](0, 1, 2, 3)))
+      .toDF("b").select(Multimodal.sniffFormat($"b")).collect()
+      .map(row => if (row.isNullAt(0)) null else row.getString(0)).toSeq
+    assert(r == Seq(null, "bin"))
+  }
+
+  test("PngSynth: incompressible pixels still encode (growable deflate sink)") {
+    import graft.multimodal.{PngPixels, PngSynth}
+    // pseudo-random pixels deflate to MORE than scan.length once stored-
+    // block overhead (5 bytes / 64 KB) exceeds the old fixed buffer's 64
+    // spare bytes — the old drain loop then spun forever. 760×760 RGB is
+    // ~1.7 MB of scanlines ≈ 141 overhead bytes.
+    val noise: (Int, Int) => Int = (x, y) => {
+      var h = x * 2654435761L + y * 40503L + 0x9E3779B9L
+      h ^= h >>> 16; h *= 0x85EBCA6BL; h ^= h >>> 13
+      (h & 0xFFFFFF).toInt
+    }
+    val png = PngSynth.png(760, 760)(noise)
+    assert(PngPixels.ahash(png) != null) // full decode round-trips
+  }
+
+  test("two image_ahash calls fuse into one codegen scope (fresh locals)") {
+    import graft.multimodal.{BmpSynth, Multimodal}
+    // coalesce(col, lit) is NON-nullable, so nullSafeCodeGen emits the
+    // fragment unguarded (no block scope): a fixed local name would be
+    // redeclared by the second call and Janino would reject the stage —
+    // fallback=false turns that silent interpreter fallback into a failure
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val p = BmpSynth.OraclePatterns
+      val r = Seq((p(0), p(1))).toDF("x", "y")
+        .select(
+          Multimodal.imageAHash(coalesce($"x", lit(p(0)))).as("hx"),
+          Multimodal.imageAHash(coalesce($"y", lit(p(1)))).as("hy"))
+        .as[(Long, Long)].head()
+      assert(r == ((BmpSynth.OracleHashes(0), BmpSynth.OracleHashes(1))))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
