@@ -208,6 +208,61 @@ object Bench {
     System.gc()
   }
 
+  /** Median of timings: mean of the two middles for even n — the bare
+    * `sorted(n/2)` idiom reports the WORSE of the two middle runs whenever
+    * the rep count is even (e.g. SPARK_GRAFT_BENCH_REPS=2), systematically
+    * pessimizing round-over-round comparisons. Shared by every bench main.
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Box-wide busy CPU ticks (user+nice+system+irq+softirq) from
+    * /proc/stat — the numerator of the co-tenant attribution estimate.
+    * One shared copy (Bench.main's skew reps + ScalingBench) so the file
+    * handle is always closed and the formula can't diverge per caller.
+    */
+  def procBusyTicks(): Long = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val c = src.getLines().next().split("\\s+").drop(1).take(8).map(_.toLong)
+      c(0) + c(1) + c(2) + c(5) + c(6) // user+nice+system+irq+softirq
+    } finally src.close()
+  }
+
+  /** This JVM's cumulative CPU time — under `local[N]` that INCLUDES all
+    * task CPU (executors are in-process); under `local-cluster` it sees
+    * only the driver. Callers computing an "other processes" residual must
+    * subtract task CPU only in the latter shape (see ScalingBench).
+    */
+  def ownCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => 0L
+    }
+
+  /** Recursive local-FS directory copy (bench state dirs are local). */
+  def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+
+  /** Deepest-first recursive delete; a bench tier leaves multi-GB corpora
+    * and per-rep state copies behind, and repeated sessions fill the disk
+    * if the tools don't clean up after themselves. Errors are logged, not
+    * thrown — cleanup must never mask the measurement that just succeeded.
+    */
+  def deleteTree(dir: String, who: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case e: Exception => System.err.println(s"[$who] cleanup: $e") }
+
   def main(args: Array[String]): Unit = {
     // the bench line is machine-parsed JSON: the f interpolator formats
     // through the default locale, and a comma-decimal locale (de_DE) would
@@ -258,7 +313,7 @@ object Bench {
         f
         (System.nanoTime() - t0) / 1e9
       }
-      (runs.sorted.apply(runs.length / 2), runs)
+      (median(runs), runs)
     }
     val (pipeSec, pipeRuns) = medianTimed { runPipelineOn(spark, fullPath) }
     val docsPerSec = nPages / pipeSec
@@ -293,18 +348,6 @@ object Bench {
     // co-tenant/scheduling; inflated CPU = heap/memory-stall regime),
     // committed heap after the run, GC time, and box-wide other-process CPU
     // across the rep window.
-    def procBusyTicks(): Long = {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val c = src.getLines().next().split("\\s+").drop(1).take(8).map(_.toLong)
-        c(0) + c(1) + c(2) + c(5) + c(6) // user+nice+system+irq+softirq
-      } finally src.close()
-    }
-    def ownCpuNs(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _ => 0L
-      }
     case class SkewRep(sec: Double, maxRecords: Long, taskCpuSec: Double,
                        gcSec: Double, heapCommittedGb: Double, otherProcCpuSec: Double)
     val skewReps = (1 to reps).map { _ =>
@@ -320,7 +363,10 @@ object Bench {
       SkewRep(sec, l.maxShuffleReadRecords.get(), l.totalTaskCpuNs.get() / 1e9,
         l.totalGcMs.get() / 1e3, heapGb, other)
     }
-    val medianRep = skewReps.sortBy(_.sec).apply(skewReps.length / 2)
+    val skewSecMedian = median(skewReps.map(_.sec))
+    // the REP whose wall time sits closest to the numeric median — its
+    // skew/CPU/heap fields then describe the same run the time describes
+    val medianRep = skewReps.minBy(r => math.abs(r.sec - skewSecMedian))
     val (skewSec, maxSkewRecords) = (medianRep.sec, medianRep.maxRecords)
     val skewPairs = skewReps.map(r => (r.sec, r.maxRecords))
     val skewRuns = skewReps.map(_.sec)
@@ -350,13 +396,6 @@ object Bench {
     // same 10% new pages.
     val resumeBatch = materializePages(spark, numBase * 11 / 10, s"$tmp/resume_batch")
     def pagesFrame(path: String): DataFrame = Bench.pagesFrame(spark, path)
-    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-      java.nio.file.Files.walk(src).forEach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t)
-      }
-    }
     // the slice (batch minus corpus) — used by the slice-posture resume
     // lines below AND the slice-fed clustering line further down
     val slicePath = s"$tmp/resume_slice"
@@ -393,7 +432,7 @@ object Bench {
           s"$name rep $rep resumed wrong row count: $nNew (expected $sliceRows)")
         sec
       }
-      (name, runs.sorted.apply(runs.length / 2), runs)
+      (name, median(runs), runs)
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
 
@@ -423,7 +462,7 @@ object Bench {
           textsOf = textsPath.map(pagesFrame))
         (System.nanoTime() - t0) / 1e9
       }
-      (name, runs.sorted.apply(runs.length / 2), runs)
+      (name, median(runs), runs)
     }
 
     // crawl-native ingest throughput: the corpus serialized once (untimed)
@@ -547,8 +586,7 @@ object Bench {
               }
             } finally s.stop()
           }
-          def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
-          val secs = runsByShape.map(med)
+          val secs = runsByShape.map(median)
           val tputs = secs.map(scalePages / _)
           val ratio = coresOf(shapes(1)).toDouble / coresOf(shapes(0))
           val eff = tputs(1) / (ratio * tputs(0))
@@ -585,9 +623,15 @@ object Bench {
       ("mix_export" -> exportSec) :+
       ("pack_plan" -> packSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = f"${all.map(_._2).sum}%.3f"
+    // a crashed headline query keeps its visible -1.0 sentinel per-query,
+    // but must NOT be summed: -1 in the total reads as a >1s SPEEDUP in the
+    // round-over-round comparison — the exact failure mode the sentinel
+    // exists to surface. The crashed list makes the omission explicit.
+    val crashed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = f"${all.map(_._2).filter(_ >= 0).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""crashed":${crashed.mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps,""" +
       s""""pipeline_reps":$reps,"pipeline_runs":{"e2e":${arr(pipeRuns)},""" +
       s""""fast":${arr(fastRuns)},"reliable":${arr(reliableRuns)},""" +
@@ -604,5 +648,6 @@ object Bench {
       s""""skew_other_proc_cpu_sec_per_run":${skewReps.map(r => f"${r.otherProcCpuSec}%.1f").mkString("[", ",", "]")}""" +
       scalingJson + "}")
     spark.stop()
+    deleteTree(tmp, "bench")
   }
 }

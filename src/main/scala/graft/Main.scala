@@ -284,6 +284,15 @@ object Main {
         "not batch-pure replayable); point --pages at already-cleaned text")
     else if (a.exportShards.isDefined && a.nShards < 1)
       Left("--n-shards must be positive")
+    else if (a.exportShards.isDefined && a.forceRescan)
+      Left("--force-rescan cannot be combined with --export-shards: the " +
+        "export is a read-only consumer of the state, but the rescan wipe " +
+        "destroys the cross-epoch sub-document hash state with no epoch " +
+        "run to rebuild it; rescan in a dedup run first, then export")
+    else if (a.exportShards.isDefined && a.siteCap.isDefined)
+      Left("--site-cap applies to the epoch batch, not the export corpus " +
+        "(the export loads pages batch-pure, where the quota window could " +
+        "evict ids the state references); cap during the dedup run instead")
     else if (a.mixRates.isDefined && a.mixBudgets.isDefined)
       Left("--mix-rates and --mix-budgets are mutually exclusive")
     else if ((a.mixRates.isDefined || a.mixBudgets.isDefined) &&
@@ -431,20 +440,22 @@ object Main {
     a.verifyExport.foreach { dir =>
       val (issues, docs, tokens) =
         graft.mix.ShardedExport.verifyExport(spark, dir)
-      return Seq(s"""{"verified":${issues.isEmpty},"dir":"$dir",""" +
+      // Verify.jsonQuote, not bare interpolation: a backslash or newline
+      // in a path or issue string must not break the machine parse
+      return Seq(s"""{"verified":${issues.isEmpty},"dir":${Verify.jsonQuote(dir)},""" +
         s""""docs":$docs,"tokens":$tokens,""" +
-        issues.map(i => "\"" + i.replace("\"", "'") + "\"")
+        issues.map(Verify.jsonQuote)
           .mkString("\"issues\":[", ",", "]}"))
     }
     if (a.diagnose)
       // inspection mode (reference `diagnose_database` user command):
       // report state consistency and exit without processing anything
       return Checkpoints.diagnose(spark, a.state).collect().toSeq.map(r =>
-        s"""{"category":"${r.getString(0)}","n":${r.getLong(1)}}""")
+        s"""{"category":${Verify.jsonQuote(r.getString(0))},"n":${r.getLong(1)}}""")
     if (a.compact) {
       val (before, after) = Checkpoints.compactSignatures(spark, a.state)
       return Seq(s"""{"compacted":"signatures","files_before":$before,""" +
-        s""""files_after":$after,"state":"${a.state}"}""")
+        s""""files_after":$after,"state":${Verify.jsonQuote(a.state)}}""")
     }
     val cfg = toConfig(a)
     // the blocklist is CLI config: read once on the driver, shipped as
@@ -653,7 +664,7 @@ object Main {
             val (df, stats) = graft.mix.CorpusMix.mixByTokenBudget(
               kept, a.idCol, a.textCol, a.mixKeyCol, budgets, a.mixSalt, tok)
             (df, stats.map(s =>
-              s"""{"mix_source":"${s.source}","docs":${s.docs},""" +
+              s"""{"mix_source":${Verify.jsonQuote(s.source)},"docs":${s.docs},""" +
                 s""""tokens":${s.tokens},"budget":${s.budget},"rate":${s.rate}}"""), None)
           }
         case _ => (kept, Seq.empty[String], None)
@@ -669,7 +680,7 @@ object Main {
           spark, out, a.idCol, a.textCol, dir, a.nShards,
           epochCol = epochCol, tokenMetric = a.tokenMetric)
         mixLines :+
-          (s"""{"exported":"$dir","format":"jsonl","n_shards":${a.nShards},""" +
+          (s"""{"exported":${Verify.jsonQuote(dir)},"format":"jsonl","n_shards":${a.nShards},""" +
             s""""docs":$docs,"tokens":$tokens}""")
       } else {
         val stats = graft.mix.ShardedExport.exportShards(
@@ -681,11 +692,11 @@ object Main {
         val packLines = a.packLen.toSeq.map { len =>
           val (examples, rows) = graft.mix.SequencePack.writePlan(
             spark, dir, a.idCol, len, a.nShards, epochCol)
-          s"""{"packed":"$dir/_pack","seq_len":$len,""" +
+          s"""{"packed":${Verify.jsonQuote(s"$dir/_pack")},"seq_len":$len,""" +
             s""""examples":$examples,"plan_rows":$rows}"""
         }
         mixLines ++ packLines :+
-          (s"""{"exported":"$dir","n_shards":${a.nShards},""" +
+          (s"""{"exported":${Verify.jsonQuote(dir)},"n_shards":${a.nShards},""" +
             s""""docs":${stats.map(_.docs).sum},"tokens":${stats.map(_.tokens).sum}}""")
       }
     }
@@ -699,6 +710,6 @@ object Main {
       if (a.execute) Checkpoints.executeEpoch(spark, a.state, a.backupDir, cfg)
       else (0L, 0L)
     Seq(s"""{"new_signatures":$nNew,"clusters":$nClusters,""" +
-      s""""executed":$nExec,"failed":$nFail,"state":"${a.state}"}""")
+      s""""executed":$nExec,"failed":$nFail,"state":${Verify.jsonQuote(a.state)}}""")
   }
 }

@@ -41,16 +41,11 @@ object ResumeBench {
     val tmp = Files.createTempDirectory("graft-resume").toString
     val fullPath = Bench.materializePages(spark, numBase, s"$tmp/full")
     val batchPath = Bench.materializePages(spark, numBase * 11 / 10, s"$tmp/batch")
-    def pagesFrame(path: String) =
-      spark.read.parquet(path).select(col("url"),
-        graft.fingerprint.Fingerprints.extractText(col("html")).as("text"))
-
+    // the ONE shared read+extract projection + dir copy (Bench owns them:
+    // a re-implementation here once drifted from the timed front half)
+    def pagesFrame(path: String) = Bench.pagesFrame(spark, path)
     def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
-      Files.walk(src).forEach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t)
-      }
+      Bench.copyDir(src, dst)
 
     val cores = Bench.coresOf(master)
     case class Line(name: String, discover: Seq[Double], discoverSlice: Seq[Double],
@@ -170,7 +165,7 @@ object ResumeBench {
         }
     }
 
-    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    def med(xs: Seq[Double]) = Bench.median(xs)
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val nPages = numBase * graft.pages.PagesGen.variantKinds.length
     val fields = lines.map { l =>
@@ -192,10 +187,6 @@ object ResumeBench {
     spark.stop()
     // a 660k-tier run leaves ~10-16 GB of corpora + state copies; repeated
     // sessions fill the disk if the tool doesn't clean up after itself
-    try {
-      import scala.jdk.CollectionConverters._
-      Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-    } catch { case e: Exception => System.err.println(s"[resume-bench] cleanup: $e") }
+    Bench.deleteTree(tmp, "resume-bench")
   }
 }

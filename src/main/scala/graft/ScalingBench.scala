@@ -101,16 +101,6 @@ object ScalingBench {
     // at flat task CPU) is visible IN the recorded JSON, not inferred later.
     final case class Run(sec: Double, taskCpuSec: Double, gcSec: Double,
                          otherProcCpuSec: Double)
-    def procBusyTicks(): Long = {
-      val c = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .split("\\s+").drop(1).take(8).map(_.toLong)
-      c(0) + c(1) + c(2) + c(5) + c(6) // user+nice+system+irq+softirq
-    }
-    def ownCpuNs(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _ => 0L
-      }
     def timeOne(master: String, i: Int): Run = {
       val spark = Bench.sessionForMaster(master)
       runJob(spark, warmPath)
@@ -119,15 +109,23 @@ object ScalingBench {
       // executor CPU is attributed via the task metrics, and the "other
       // proc" estimate legitimately includes the executor JVMs' overhead
       // (GC threads, shuffle service) — read it as an upper bound there.
-      val busy0 = procBusyTicks(); val own0 = ownCpuNs()
+      val busy0 = Bench.procBusyTicks(); val own0 = Bench.ownCpuNs()
       val t0 = System.nanoTime()
       val (_, l) = TaskSkewListener.measure(spark) {
         runJob(spark, fullPath)
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val taskCpu = l.totalTaskCpuNs.get() / 1e9
+      // "other processes" residual = box busy − this JVM − out-of-process
+      // task CPU. Under local[N] the tasks run INSIDE the driver JVM, so
+      // ownCpuNs already contains taskCpu — subtracting it again would
+      // double-count and clamp a real co-tenant burst to ~0 (defeating the
+      // attribution the metric exists for). Only local-cluster executors
+      // burn task CPU outside this process.
+      val outOfProcTaskCpu = if (master.startsWith("local-cluster")) taskCpu else 0.0
       val other = math.max(0.0,
-        (procBusyTicks() - busy0) / 100.0 - (ownCpuNs() - own0) / 1e9 - taskCpu)
+        (Bench.procBusyTicks() - busy0) / 100.0 - (Bench.ownCpuNs() - own0) / 1e9 -
+          outOfProcTaskCpu)
       spark.stop()
       System.err.println(f"[scaling] $master run $i: $sec%.2f s " +
         f"(taskCpu ${taskCpu}%.0f s, gc ${l.totalGcMs.get() / 1e3}%.0f s, other ${other}%.0f s)")
@@ -142,8 +140,7 @@ object ScalingBench {
     val fullRuns: Seq[Seq[Run]] = // fullRuns(shapeIdx)(rep)
       (1 to reps).map(i => masters.map(m => timeOne(m, i))).transpose
     val runs: Seq[Seq[Double]] = fullRuns.map(_.map(_.sec))
-    def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val med = runs.map(medianOf)
+    val med = runs.map(Bench.median)
     // co-tenant interference is strictly ADDITIVE, so the min over reps
     // estimates the uncontended capability of each shape — reported
     // alongside the medians, never in place of them
@@ -181,5 +178,6 @@ object ScalingBench {
         f""""hw_scaling_ceiling":$ceiling%.3f,"normalized_efficiency":$norm%.3f}"""
     }.mkString("{", ",", "}")
     println(s"""{"job":"$job","pages":$nPages,"shapes":$shapesJson,"pairs":$pairsJson}""")
+    Bench.deleteTree(tmp, "scaling")
   }
 }

@@ -26,6 +26,25 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp scratch for queries that must round-trip through a real
+    * source/sink (jsonl export, sub-document hash state): the returned
+    * frame reads from the dir LAZILY, so it can only be reclaimed at JVM
+    * exit — the shutdown hook keeps repeated Verify/Bench sessions from
+    * accumulating orphaned scratch on disk.
+    */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }
+    d.toString
+  }
+
   /** PER-VECTOR invariant frame for an ANN operator: one row per input
     * vec_id carrying that vector's rank/count/cosine booleans, plus the
     * global recall@k bound vs the exact brute-force baseline. The DuckDB
@@ -564,7 +583,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(concat(lit("doc-"), col("doc_id")).as("url"),
           col("text"), col("lang"))
-      val out = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString
+      val out = scratchDir("graft-jsonl-rt")
       graft.mix.ShardedExport.exportShardsJsonl(s, docs, "url", "text", out,
         nShards = 8)
       graft.pages.PagesIO.read(s, out, "jsonl")
@@ -634,7 +653,7 @@ object SparkEntry {
       val all = t(s, dir, "documents").select(col("doc_id"), synth.as("text"))
       val e1 = all.filter(col("doc_id") % 2 === 0)
       val e2 = all.filter(col("doc_id") % 2 === 1)
-      val state = java.nio.file.Files.createTempDirectory("graft-subdoc-q").toString
+      val state = scratchDir("graft-subdoc-q")
       graft.state.SubDocState.append(s, state,
         graft.state.SubDocState.parasPath(state), "para_hash",
         graft.text.ParagraphDedup.winners(e1, "doc_id", "text"), epoch = 0L)
@@ -663,7 +682,7 @@ object SparkEntry {
       val all = t(s, dir, "documents").select(col("doc_id"), synth.as("text"))
       val e1 = all.filter(col("doc_id") % 2 === 0)
       val e2 = all.filter(col("doc_id") % 2 === 1)
-      val state = java.nio.file.Files.createTempDirectory("graft-subdoc-q").toString
+      val state = scratchDir("graft-subdoc-q")
       graft.state.SubDocState.append(s, state,
         graft.state.SubDocState.spansPath(state), "h",
         graft.text.SpanDedup.winners(e1, "doc_id", "text"), epoch = 0L)
