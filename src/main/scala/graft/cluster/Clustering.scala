@@ -278,8 +278,32 @@ object Clustering {
     * creation asc) re-targeted at text: longest text, then oldest warc_ts,
     * then url asc. Window top-1 (reference README contract `README.md:75-79`).
     */
-  def withRepresentatives(clustered: DataFrame, orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col("cluster_id")).orderBy(orderCols: _*)
-    clustered.withColumn("is_representative", row_number().over(w) === 1)
+  def withRepresentatives(clustered: DataFrame, orderCols: Seq[Column],
+                          salts: Int = 64): DataFrame = {
+    // Top-1 election is DECOMPOSABLE, so no window ever sees a whole
+    // cluster: round 1 elects per (cluster_id, salt) — partitions bounded
+    // at ~|cluster|/salts — and round 2 elects per cluster over the
+    // ≤salts finalists. A single Window.partitionBy(cluster_id) would pin
+    // a web-scale mega-cluster (empty-page / parked-domain template:
+    // millions of members behind one cluster_id) to ONE task every epoch —
+    // the exact straggler shape [[exactEdges]]'s design avoids. The salt
+    // is a hash of the id (deterministic: re-runs elect the same winner);
+    // requires an `id` column, which every cluster table carries.
+    val salted = Window.partitionBy(col("cluster_id"), col("__rep_salt"))
+      .orderBy(orderCols: _*)
+    val fin = Window.partitionBy(col("cluster_id")).orderBy(orderCols: _*)
+    val winners = clustered
+      .withColumn("__rep_salt", pmod(xxhash64(col("id")), lit(salts)))
+      .withColumn("__r1", row_number().over(salted))
+      .filter(col("__r1") === 1)
+      .withColumn("__r2", row_number().over(fin))
+      .filter(col("__r2") === 1)
+      .select(col("cluster_id").as("__rep_cid"), col("id").as("__rep_id"))
+    clustered
+      .join(winners,
+        col("cluster_id") === col("__rep_cid") && col("id") === col("__rep_id"),
+        "left")
+      .withColumn("is_representative", col("__rep_id").isNotNull)
+      .drop("__rep_cid", "__rep_id")
   }
 }

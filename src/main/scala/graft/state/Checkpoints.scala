@@ -83,15 +83,7 @@ object Checkpoints {
   /** Buckets the persisted signatures were written with; 0 = plain parquet. */
   private[graft] def signatureBuckets(spark: SparkSession, stateDir: String): Int = {
     val (fs, p) = fsFor(spark, layoutPath(stateDir))
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      """"signature_buckets"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
-    }
+    SubDocState.markerInt(fs, p, "signature_buckets").getOrElse(0)
   }
 
   private def writeLayout(spark: SparkSession, stateDir: String, buckets: Int): Unit = {
@@ -106,9 +98,7 @@ object Checkpoints {
     */
   private[graft] def sigTableName(spark: SparkSession, stateDir: String): String = {
     val (_, root) = fsFor(spark, signaturesPath(stateDir))
-    val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(root.toString.getBytes(UTF_8))
-    "graft_sigs_" + digest.take(6).map(b => f"$b%02x").mkString
+    SubDocState.tableName("graft_sigs_", root)
   }
 
   /** Companion table name for the executed-actions table (same naming
@@ -117,9 +107,7 @@ object Checkpoints {
     */
   private[graft] def execTableName(spark: SparkSession, stateDir: String): String = {
     val (_, root) = fsFor(spark, executedPath(stateDir))
-    val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(root.toString.getBytes(UTF_8))
-    "graft_exec_" + digest.take(6).map(b => f"$b%02x").mkString
+    SubDocState.tableName("graft_exec_", root)
   }
 
   /** Register (if absent) a bucketed table over existing state files and
@@ -255,12 +243,33 @@ object Checkpoints {
     val out =
       try fs.create(lp, false)
       catch { case e: java.io.IOException => locked(e) }
+    // unique holder token: release must verify the lease is still OURS —
+    // an epoch that outlives staleMs can have its lock legitimately broken
+    // by a newer writer, and an unconditional delete here would destroy
+    // that writer's LIVE lease (opening the store to a third concurrent
+    // writer — exactly the interleaving the lease exists to prevent)
+    val holderToken =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/${java.util.UUID.randomUUID()}"
     try out.write(
-      (s"""{"holder":"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}",""" +
+      (s"""{"holder":"$holderToken",""" +
         s""""acquired_ms":${System.currentTimeMillis()}}""").getBytes(UTF_8))
     finally out.close()
     try f
-    finally fs.delete(lp, false)
+    finally {
+      val stillOurs =
+        try {
+          val in = fs.open(lp)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.contains(holderToken)
+        } catch { case _: java.io.IOException => false } // gone: nothing to release
+      if (stillOurs) fs.delete(lp, false)
+      else System.err.println(
+        s"[state-lock] lease at ${lockPath(stateDir)} is no longer ours " +
+          "(taken over as stale during a long epoch); leaving it in place — " +
+          "check for overlapping writers and raise staleMs above the epoch time")
+    }
   }
 
   /** One incremental epoch: fingerprint only never-seen urls and append.
@@ -366,11 +375,21 @@ object Checkpoints {
       // would keep pre-rescan rows forever (compaction prunes only
       // tombstoned ids — vanished-by-overwrite ids are never tombstoned).
       // Dropping them forces the full path + an index rebuild next epoch.
+      // The executed table goes too: it is keyed by — and physically
+      // bucketed like — the OLD store, so keeping it would (a) apply
+      // pre-rescan tombstones to ids the rescan re-mints and (b) leave
+      // old-layout files under the re-written _layout.json, making a later
+      // ensureBucketedTable register the WRONG bucket count over them —
+      // the tombstone anti-join would then elide an exchange it needs and
+      // silently resurrect removed docs. Same for the quarantine skip
+      // list: a restarted store re-evaluates every doc from scratch.
       Seq(clustersPath(stateDir), actionsPath(stateDir), previewsPath(stateDir),
-        bandsPath(stateDir), bandsMarkerPath(stateDir)).foreach { p =>
+        bandsPath(stateDir), bandsMarkerPath(stateDir),
+        executedPath(stateDir), qPath).foreach { p =>
         val (dfs, dp) = fsFor(spark, p)
         if (dfs.exists(dp)) dfs.delete(dp, true)
       }
+      spark.sql(s"DROP TABLE IF EXISTS ${execTableName(spark, stateDir)}")
     }
     if (buckets > 0) {
       if (cfg.forceRescan)
@@ -611,8 +630,18 @@ object Checkpoints {
       case Some(prior) =>
         val settled = prior.filter(col("success") ||
           col("error").isin("missing_id", "missing_original"))
-        plan.join(settled.select("id", "original_id", "action"),
-          Seq("id", "original_id", "action"), "left_anti")
+        // NULL-SAFE key compare: plan rows for clusters with no
+        // representative carry original_id = null (Actions.plan surfaces
+        // them as error rows), and a plain equi-join's null = null is
+        // never true — such a row would count as forever-pending and
+        // append a fresh failure row on EVERY run, violating the
+        // at-most-once-per-plan-identity contract
+        val s = settled.select(col("id").as("s_id"),
+          col("original_id").as("s_orig"), col("action").as("s_action"))
+        plan.join(s,
+          col("id") <=> col("s_id") && col("original_id") <=> col("s_orig") &&
+            col("action") <=> col("s_action"),
+          "left_anti")
       case None => plan
     }
     // validate against the LIVE view: a signature row vacated by an earlier

@@ -54,12 +54,7 @@ object SubDocState {
     val root = resolved(spark, layoutPath(stateDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) {
-      val in = fs.open(root)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      """"subdoc_buckets"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+      markerInt(fs, root, "subdoc_buckets").getOrElse(0)
     } else {
       val out = fs.create(root, true)
       try out.write(s"""{"subdoc_buckets":$desiredIfFresh}""".getBytes(UTF_8))
@@ -88,11 +83,28 @@ object SubDocState {
   /** Deterministic per-path catalog name (in-memory catalog is
     * per-session; any session derives the same name for the same files).
     */
-  private def tableName(prefix: String, path: Path): String = {
+  private[state] def tableName(prefix: String, path: Path): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-1")
       .digest(path.toString.getBytes(UTF_8))
     prefix + digest.take(6).map(b => f"$b%02x").mkString
   }
+
+  /** First integer recorded for `key` in a small JSON marker file, if the
+    * file exists — the one shared layout-marker reader (Checkpoints'
+    * `_layout.json` and the sub-document `_subdoc_layout.json` both use
+    * it, so a fix to the parse can never diverge between the two stores).
+    */
+  private[state] def markerInt(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                               key: String): Option[Int] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      ("\"" + key + "\"\\s*:\\s*(\\d+)").r
+        .findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
 
   private def resolved(spark: SparkSession, path: String): Path = {
     val p = new Path(path)
@@ -111,17 +123,35 @@ object SubDocState {
     val tbl = tableName(prefix, root)
     // CREATE TABLE does not create its LOCATION, and MSCK throws on a
     // missing dir — the first append needs both to exist
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
-    if (!spark.catalog.tableExists(tbl))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    if (!spark.catalog.tableExists(tbl)) {
       spark.sql(
         s"""CREATE TABLE $tbl ($hashCol STRING, epoch BIGINT) USING PARQUET
            |PARTITIONED BY (epoch)
            |CLUSTERED BY ($hashCol) SORTED BY ($hashCol) INTO $buckets BUCKETS
            |LOCATION '${root.toString}'""".stripMargin)
-    spark.catalog.refreshTable(tbl)
-    // partitions written by another session exist on disk but not in this
-    // session's catalog entry; recover them before reading or overwriting
-    spark.sql(s"MSCK REPAIR TABLE $tbl")
+      // one full partition recovery at registration — the only moment the
+      // session catalog can be arbitrarily behind the files
+      spark.sql(s"MSCK REPAIR TABLE $tbl")
+    } else {
+      spark.catalog.refreshTable(tbl)
+      // partitions committed by another session (or a later epoch of this
+      // one) exist on disk but not in the catalog entry. Sync ONLY the
+      // missing ones: a one-level listing of epoch= dirs plus a catalog
+      // read — never a repeated MSCK, whose recursive every-file walk
+      // grows with corpus age (thousands of epochs × object-store listing
+      // per seen()/append() call was an O(corpus-age) fixed cost per epoch)
+      val onDisk = fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.getName).toSet
+      val inCatalog = spark.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0)).toSet
+      val missing = (onDisk -- inCatalog).toSeq.sorted
+      if (missing.nonEmpty)
+        spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS " +
+          missing.map(d => s"PARTITION ($d)").mkString(" "))
+    }
     tbl
   }
 
@@ -226,25 +256,34 @@ object SubDocState {
                                  stateBuckets: Int = 0,
                                  bloomFpp: Double = 0.0,
                                  bloomExpected: Long = 4000000L): DataFrame = {
-    val e = nextEpoch(spark, stateDir)
-    // slice-keyed prune (state/SlicePrune): the seen table is the
-    // CORPUS-aged side here too — and at tens of paragraphs per doc it is
-    // the largest state table of all. Sketch the batch's para hashes once
-    // (one slim aggregation; the sketch frame never carries text) and
-    // filter the seen scan — both consumers (winners' anti-join and the
-    // election's join) read the pruned frame; exact at any fpp.
-    val s0 = seen(spark, stateDir, parasPath(stateDir), "para_hash", e)
-    val s =
-      if (bloomFpp > 0)
-        s0.map(t => SlicePrune.pruneByKeys(t, "para_hash",
-          graft.text.ParagraphDedup.explodeParagraphs(df, idCol, textCol)
-            .select("para_hash"),
-          "para_hash", bloomExpected, bloomFpp))
-      else s0
-    Checkpoints.withStateLock(spark, stateDir) {
+    // epoch + seen snapshot are read UNDER the same lease as the append:
+    // read-then-lock would let two drivers both observe epoch e, serialize
+    // on the lock, and have the second INSERT OVERWRITE the first's
+    // committed epoch-e winners partition — paragraphs that shipped in the
+    // first driver's cleaned text would vanish from the seen set and
+    // re-elect in every later epoch. The seen frame is epoch-scoped
+    // (epoch < e), so returning it for the lazy cleaned output stays
+    // snapshot-correct after release.
+    val s = Checkpoints.withStateLock(spark, stateDir) {
+      val e = nextEpoch(spark, stateDir)
+      // slice-keyed prune (state/SlicePrune): the seen table is the
+      // CORPUS-aged side here too — and at tens of paragraphs per doc it is
+      // the largest state table of all. Sketch the batch's para hashes once
+      // (one slim aggregation; the sketch frame never carries text) and
+      // filter the seen scan — both consumers (winners' anti-join and the
+      // election's join) read the pruned frame; exact at any fpp.
+      val s0 = seen(spark, stateDir, parasPath(stateDir), "para_hash", e)
+      val pruned =
+        if (bloomFpp > 0)
+          s0.map(t => SlicePrune.pruneByKeys(t, "para_hash",
+            graft.text.ParagraphDedup.explodeParagraphs(df, idCol, textCol)
+              .select("para_hash"),
+            "para_hash", bloomExpected, bloomFpp))
+        else s0
       append(spark, stateDir, parasPath(stateDir), "para_hash",
-        graft.text.ParagraphDedup.winners(df, idCol, textCol, seen = s), e,
+        graft.text.ParagraphDedup.winners(df, idCol, textCol, seen = pruned), e,
         bucketsIfFresh = stateBuckets)
+      pruned
     }
     graft.text.ParagraphDedup.dedupParagraphs(df, idCol, textCol, seen = s)
   }
@@ -257,21 +296,24 @@ object SubDocState {
                             stateBuckets: Int = 0,
                             bloomFpp: Double = 0.0,
                             bloomExpected: Long = 4000000L): DataFrame = {
-    val e = nextEpoch(spark, stateDir)
-    // same slice-keyed prune as the paragraph pass; exact for the span
-    // election too — its seen join is a LEFT-with-marker, and a pruned-out
-    // seen row could never have matched a batch span hash
-    val s0 = seen(spark, stateDir, spansPath(stateDir), "h", e)
-    val s =
-      if (bloomFpp > 0)
-        s0.map(t => SlicePrune.pruneByKeys(t, "h",
-          graft.text.SpanDedup.batchHashes(df, idCol, textCol), "h",
-          bloomExpected, bloomFpp))
-      else s0
-    Checkpoints.withStateLock(spark, stateDir) {
+    // epoch + seen snapshot under the same lease as the append — see
+    // [[dedupParagraphsIncremental]] for the overwrite race this prevents
+    val s = Checkpoints.withStateLock(spark, stateDir) {
+      val e = nextEpoch(spark, stateDir)
+      // same slice-keyed prune as the paragraph pass; exact for the span
+      // election too — its seen join is a LEFT-with-marker, and a pruned-out
+      // seen row could never have matched a batch span hash
+      val s0 = seen(spark, stateDir, spansPath(stateDir), "h", e)
+      val pruned =
+        if (bloomFpp > 0)
+          s0.map(t => SlicePrune.pruneByKeys(t, "h",
+            graft.text.SpanDedup.batchHashes(df, idCol, textCol), "h",
+            bloomExpected, bloomFpp))
+          else s0
       append(spark, stateDir, spansPath(stateDir), "h",
-        graft.text.SpanDedup.winners(df, idCol, textCol, seen = s), e,
+        graft.text.SpanDedup.winners(df, idCol, textCol, seen = pruned), e,
         bucketsIfFresh = stateBuckets)
+      pruned
     }
     graft.text.SpanDedup.dedupSpans(df, idCol, textCol, seen = s)
   }
