@@ -26,7 +26,12 @@ final class TaskSkewListener extends SparkListener {
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
-    if (m != null) {
+    // SUCCESSFUL attempts only: a failed or killed-speculative attempt's
+    // metrics would double-count work in the totals ledger and could set
+    // the skew maxima from an attempt whose results were discarded —
+    // tripping the quadratic gate (or inflating task CPU attribution) on
+    // evidence the job never committed
+    if (m != null && te.reason == org.apache.spark.Success) {
       maxShuffleReadRecords.getAndAccumulate(
         m.shuffleReadMetrics.recordsRead, math.max)
       maxTaskMillis.getAndAccumulate(m.executorRunTime, math.max)

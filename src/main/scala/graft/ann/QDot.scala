@@ -1,7 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * (the combinator form allocates a zipped array per evaluated pair — at
   * n² pairs that dominates the join).
   */
-case class QDotLong(left: Expression, right: Expression) extends BinaryExpression {
+case class QDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with graft.fingerprint.BoxedKernelCodegen {
 
   override def dataType: DataType = LongType
 
@@ -28,20 +29,22 @@ case class QDotLong(left: Expression, right: Expression) extends BinaryExpressio
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // match the combinator form exactly: zip_with null-pads a LENGTH
+    // MISMATCH into null products and aggregate's sum propagates them, so
+    // the result is NULL — a truncated/empty vector from an upstream bug
+    // must surface as NULL, not read as a partial (or zero = "orthogonal")
+    // similarity that silently misses near-dup pairs. Same for a null
+    // element inside either array.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     java.lang.Long.valueOf(acc)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("qdotExpr", this, classOf[QDotLong].getName)
-    nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($l, $r)).longValue();")
   }
 
   override protected def withNewChildrenInternal(

@@ -186,7 +186,14 @@ object Fingerprints {
     * (exact dups, caught upstream by content hash anyway).
     */
   def saContainment(a: Column, b: Column): Column = {
-    val minLen = least(length(a), length(b)).cast("double")
+    // UTF-16 code units, NOT length() (code points): lcsLength measures in
+    // Java chars, so a code-point denominator over-scores supplementary-
+    // plane text (emoji/rare CJK: ratio could exceed 1.0) and disagrees
+    // with the decision form SuffixArrayContainsAtLeast, which is Java-
+    // length throughout. utf16 len = code points + count of astral chars.
+    def utf16Len(c: Column): Column =
+      length(c) + size(regexp_extract_all(c, lit("[\\x{10000}-\\x{10FFFF}]"), lit(0)))
+    val minLen = least(utf16Len(a), utf16Len(b)).cast("double")
     when(minLen === 0.0, lit(1.0))
       .otherwise(saLcs(a, b).cast("double") / minLen)
   }

@@ -230,7 +230,7 @@ object SuffixArray {
   * fingerprint path.
   */
 case class SuffixArrayLCS(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with BoxedKernelCodegen {
 
   override def dataType: DataType = IntegerType
 
@@ -247,12 +247,6 @@ case class SuffixArrayLCS(left: Expression, right: Expression)
     java.lang.Integer.valueOf(SuffixArray.lcsLength(
       a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("saLcsExpr", this, classOf[SuffixArrayLCS].getName)
-    nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = ((java.lang.Integer) $ref.nullSafeEval($l, $r)).intValue();")
-  }
-
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SuffixArrayLCS =
     copy(left = newLeft, right = newRight)
@@ -264,13 +258,15 @@ case class SuffixArrayLCS(left: Expression, right: Expression)
   * via [[SuffixArray.lcsRatioAtLeast]]'s O(n+m) window scan — the decision
   * form the verify stage consumes (it never reads the LCS value, and the
   * generalized-SA build is the pipeline's single most CPU-dense kernel).
-  * Decision-equivalent to `SuffixArrayLCS(a,b) / least(length(a),
-  * length(b)) >= threshold` including the double-division edge cases
-  * (property-gated in SuffixArraySpec).
+  * Decision-equivalent to [[graft.fingerprint.Fingerprints.saContainment]]
+  * `>= threshold` — both measure in UTF-16 code units (lcsLength's unit;
+  * `length()` counts code points and would disagree on supplementary-plane
+  * text) — including the double-division edge cases (property-gated in
+  * SuffixArraySpec).
   */
 case class SuffixArrayContainsAtLeast(left: Expression, right: Expression,
                                       threshold: Double)
-    extends BinaryExpression {
+    extends BinaryExpression with BoxedKernelCodegen {
 
   override def dataType: DataType = BooleanType
 
@@ -287,13 +283,6 @@ case class SuffixArrayContainsAtLeast(left: Expression, right: Expression,
     java.lang.Boolean.valueOf(SuffixArray.lcsRatioAtLeast(
       a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
       threshold))
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("saThreshExpr", this,
-      classOf[SuffixArrayContainsAtLeast].getName)
-    nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = ((java.lang.Boolean) $ref.nullSafeEval($l, $r)).booleanValue();")
-  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SuffixArrayContainsAtLeast =

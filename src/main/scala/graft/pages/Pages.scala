@@ -42,12 +42,19 @@ object PagesIO {
     s.contains("/") || s.endsWith(".parquet") ||
       s.matches("(?i)^[a-z][a-z0-9+.-]*://.*")
 
+  // the WRITE-side resolver: warc/jsonl are read-only ingestion formats
+  // (writes go through ShardedExport for jsonl), so the error must say so
+  // instead of listing them as if they were accepted here
   private def asPath(s: String, format: String): Boolean = format match {
     case "parquet" => true
     case "table"   => false
     case "auto"    => isPathLike(s)
-    case other     => throw new IllegalArgumentException(
-      s"pages format must be auto/parquet/table/warc/jsonl, got $other")
+    case "warc" | "jsonl" => throw new IllegalArgumentException(
+      s"pages writes support auto/parquet/table only — '$format' is a " +
+        "read-side ingestion format (for jsonl output use --export-format " +
+        "jsonl / ShardedExport.exportShardsJsonl)")
+    case other => throw new IllegalArgumentException(
+      s"pages write format must be auto/parquet/table, got $other")
   }
 
   /** Explicit read schema for jsonl corpora — the other loader lingua
