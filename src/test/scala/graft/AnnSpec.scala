@@ -346,4 +346,30 @@ class AnnSpec extends SparkTestBase {
       (!col("one_keep") || !col("covered"))).count() === 1)
     assert(dComp >= 0L) // silence unused warning paths on tiny fixtures
   }
+  test("qdot: dimension mismatch and null elements surface as NULL, matching the combinator form") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),        // clean: 4+10+18 = 32
+      (2L, Seq(1L, 2L, 3L), Seq(4L, 5L)),            // truncated vector
+      (3L, Seq[Long](), Seq(4L, 5L)),                // empty vs non-empty
+      (4L, Seq[Long](), Seq[Long]()))                // both empty: legit 0
+      .toDF("row_id", "a", "b")
+      // a null element inside an otherwise aligned pair
+      .union(Seq((5L, Seq(1L, 2L), Seq(7L, 8L))).toDF("row_id", "a", "b")
+        .withColumn("a", array(lit(1L), lit(null).cast("long"))))
+    val got = df.select(col("row_id"), Ann.qdot(col("a"), col("b")).as("q"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("combinator"))
+      .orderBy("row_id")
+      .collect()
+    got.foreach { r =>
+      val q = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      val c = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+      assert(q == c, s"row ${r.getLong(0)}: qdot $q != combinator $c")
+    }
+    assert(got(0).getLong(1) == 32L)
+    assert(got(1).isNullAt(1), "a truncated vector must surface as NULL, not a partial sum")
+    assert(got(2).isNullAt(1))
+    assert(got(3).getLong(1) == 0L)
+    assert(got(4).isNullAt(1), "a null element must surface as NULL")
+  }
 }

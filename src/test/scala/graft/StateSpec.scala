@@ -425,4 +425,76 @@ class StateSpec extends SparkTestBase {
       java.nio.file.Paths.get(Checkpoints.manifestPath(dir)))
     assert(manifest.size() == 1 && manifest.get(0).contains(s"\"new_signatures\":$expected"))
   }
+
+  test("state lock: a finished holder does not release a lease taken over mid-epoch") {
+    val dir = tempDir()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(Checkpoints.lockPath(dir))
+    Checkpoints.withStateLock(spark, dir) {
+      // simulate a takeover during an epoch that outlived staleMs: a newer
+      // writer broke our stale-looking lease and holds its own at the path
+      fs.delete(lock, false)
+      fs.create(lock, false).close()
+    }
+    assert(fs.exists(lock),
+      "the finishing holder deleted the successor writer's live lease")
+    fs.delete(lock, false)
+    // and when the lease is still its own, release works as always
+    Checkpoints.withStateLock(spark, dir) { () }
+    assert(!fs.exists(lock), "own lease must be released on exit")
+  }
+
+  test("forceRescan restarts the executed and quarantine tables with the store") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 4L, seed = 31L, tokensPerDoc = 80).toDF()
+    // a doc with unusable text → quarantined in epoch 1
+    val bad = pages.orderBy("url").limit(1)
+      .withColumn("url", concat(col("url"), lit("#bad")))
+      .withColumn("text", lit(""))
+    Checkpoints.clusterEpoch(spark, pages.unionByName(bad), "url", "text", dir,
+      action = "delete")
+    Checkpoints.executeEpoch(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(Checkpoints.executedPath(dir))))
+    val totalSigs = spark.read.parquet(Checkpoints.signaturesPath(dir)).count()
+    assert(Checkpoints.liveSignatures(spark, dir).count() < totalSigs,
+      "executed deletes should tombstone some rows before the rescan")
+    // the rescan restarts the WHOLE store: the formerly-bad doc now has
+    // text, no pre-rescan tombstone may suppress a re-minted id, and the
+    // old skip list must not survive
+    val fixed = pages.orderBy("url").limit(1)
+      .withColumn("url", concat(col("url"), lit("#bad")))
+      .withColumn("text", lit("now perfectly fine text"))
+    val (n, q) = Checkpoints.runEpoch(spark, pages.unionByName(fixed), "url", "text",
+      dir, DedupConfig(forceRescan = true))
+    assert(q == 0L, s"nothing to quarantine after the fix, got $q")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Checkpoints.executedPath(dir))),
+      "pre-rescan executed table survived the store restart")
+    val live = Checkpoints.liveSignatures(spark, dir)
+    assert(live.count() == n, "rescan store must carry no tombstones")
+    assert(live.filter(col("id").endsWith("#bad")).count() == 1,
+      "the re-minted formerly-quarantined id must be live after the rescan")
+  }
+
+  test("executeEpoch settles a null-original plan row after one run") {
+    val dir = tempDir()
+    val pages = PagesGen.pages(spark, 2L, seed = 7L, tokensPerDoc = 60).toDF()
+    Checkpoints.runEpoch(spark, pages, "url", "text", dir)
+    val someId = spark.read.parquet(Checkpoints.signaturesPath(dir))
+      .select("id").orderBy("id").first().getString(0)
+    // a plan row for a representative-less cluster: original_id is null
+    // (Actions.plan surfaces these as error rows). Plain equi-join keys
+    // would never match its settled row — it would re-execute forever.
+    Seq((someId, Option.empty[String], "delete", false, false,
+        Option.empty[String]))
+      .toDF("id", "original_id", "action", "dry_run", "success", "error")
+      .write.mode("overwrite").parquet(Checkpoints.actionsPath(dir))
+    val (ok1, fail1) = Checkpoints.executeEpoch(spark, dir)
+    assert(ok1 == 0L && fail1 == 1L, s"first run must fail it once: $ok1/$fail1")
+    val (ok2, fail2) = Checkpoints.executeEpoch(spark, dir)
+    assert(ok2 == 0L && fail2 == 0L,
+      s"null-original row must be settled, not re-executed: $ok2/$fail2")
+    assert(spark.read.parquet(Checkpoints.executedPath(dir)).count() == 1L,
+      "exactly one executed row for the one plan identity")
+  }
 }
