@@ -26,8 +26,12 @@ object GcProbe {
     * host gave to someone else.
     */
   private def procStat(): Array[Long] = {
-    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-    line.split("\\s+").drop(1).take(8).map(_.toLong)
+    // wider than Bench.procBusyTicks (this probe needs idle/iowait/steal
+    // individually, not just the busy sum) but the handle is closed the
+    // same way — a probe that leaks fds per run is its own co-tenant
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try src.getLines().next().split("\\s+").drop(1).take(8).map(_.toLong)
+    finally src.close()
   }
 
   /** This JVM's cumulative CPU nanoseconds (sum of all threads). */
@@ -86,6 +90,11 @@ object GcProbe {
           })
         Bench.runPipelineOn(spark, s"$path/warm")
         Bench.dropPipelineState(spark)
+        // drain the ASYNC listener bus before zeroing: straggler warm-run
+        // task-end events would otherwise land after the reset and be
+        // attributed to the timed window (same discipline as
+        // TaskSkewListener.measure / ScalingProfile)
+        org.apache.spark.sql.graftshim.shim.drainListenerBus(spark.sparkContext, 30000)
         taskTimeMs = 0; taskCpuNs = 0; gcTimeMs = 0; peakMem = 0
         nTasks = 0; nFailedTasks = 0; nStageAttemptRetries = 0
         spillBytes = 0; shuffleReadB = 0; shuffleWriteB = 0

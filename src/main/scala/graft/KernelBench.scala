@@ -70,16 +70,20 @@ object KernelBench {
     timeRun(htmls.take(math.min(docs, 5000)), hiThreads, TextExtraction.extract)
     timeRun(htmls.take(math.min(docs, 5000)), hiThreads, TextExtraction.extractViaRegex)
 
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    def window(threads: Int, f: Array[Byte] => String): Double =
-      median((1 to reps).map(_ => timeRun(htmls, threads, f)))
-
-    // interleave fused/regex at each thread count so co-tenant drift hits
-    // both kernels alike
-    val fused1 = window(1, TextExtraction.extract)
-    val regex1 = window(1, TextExtraction.extractViaRegex)
-    val fusedN = window(hiThreads, TextExtraction.extract)
-    val regexN = window(hiThreads, TextExtraction.extractViaRegex)
+    // TRUE per-rep interleave: alternate fused/regex inside every rep so a
+    // co-tenant burst spanning one multi-second window hits both arms
+    // alike (all-reps-of-one-arm-first lets a single spike inflate one
+    // arm's entire sample, which no median can reject). Bench.median, not
+    // sorted(n/2): even rep counts must not report the worse middle run.
+    def pairWindow(threads: Int): (Double, Double) = {
+      val runs = (1 to reps).map { _ =>
+        (timeRun(htmls, threads, TextExtraction.extract),
+          timeRun(htmls, threads, TextExtraction.extractViaRegex))
+      }
+      (Bench.median(runs.map(_._1)), Bench.median(runs.map(_._2)))
+    }
+    val (fused1, regex1) = pairWindow(1)
+    val (fusedN, regexN) = pairWindow(hiThreads)
 
     def rate(sec: Double) = docs / sec
     val json =

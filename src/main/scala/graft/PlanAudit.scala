@@ -36,17 +36,23 @@ object PlanAudit {
     // invariant aggregates, which would hide the pair-shuffle shape).
     // Scale check: NO array<...> column may appear in any Exchange feeding
     // a pair join — vectors re-join after the distinct.
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // parquet schema resolution is EAGER — reads stay inside show()'s
+    // by-name argument so a dataset without embeddings/documents degrades
+    // to a per-section "[audit] ... failed" line instead of aborting every
+    // remaining audit section
     show("ann_lsh_knn (raw operator)",
-      graft.ann.Ann.lshKnn(emb, "vec_id", "embedding", 3))
+      graft.ann.Ann.lshKnn(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", 3))
     show("ann_neardup_lsh (raw operator)",
-      graft.ann.Ann.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.9))
+      graft.ann.Ann.embeddingNearDupsLsh(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", 0.9))
     // dictionary encode: ONE range exchange; the dedup aggregate must reuse
     // the range partitioning (no second hashpartitioning exchange)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     show("id_dictionary (encode plan)",
       graft.pipeline.DedupPipeline.idDictionaryPlan(
-        docs.select(org.apache.spark.sql.functions.col("doc_id").cast("string"))))
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(org.apache.spark.sql.functions.col("doc_id").cast("string"))))
 
     // bucketed state layout (round 5c): the resume anti-join must show ONE
     // exchange (incoming side only; state scan carries its bucketing) and

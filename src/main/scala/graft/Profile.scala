@@ -7,10 +7,20 @@ import org.apache.spark.sql.functions._
 import graft.cluster.Clustering
 import graft.pipeline.{DedupConfig, DedupPipeline}
 
-/** Stage-level profiling of the dedup pipeline exactly as [[DedupPipeline.run]]
-  * composes it, over a pre-materialized parquet corpus: times each stage with
-  * upstream materialized so shuffle/compute hotspots are attributable per
-  * parallelism level. Not part of the driver contract — a tuning tool.
+/** Stage-level profiling of the dedup pipeline's MINHASH CHANNEL in the
+  * order [[DedupPipeline.run]] composes it, over a pre-materialized parquet
+  * corpus: times each stage with upstream materialized so shuffle/compute
+  * hotspots are attributable per parallelism level.
+  *
+  * SCOPE — a deliberate simplification, not the production composition:
+  * the containment band channels (prefix/anchor), the minhash-estimate
+  * verify prefilter and the pair-key repartition before the suffix-array
+  * kernel are all ABSENT here, so absolute stage times understate the
+  * real pipeline's candidate volume and overstate its verify cost. Use
+  * this tool to compare the SAME stage across parallelism levels or
+  * code changes; use Bench/ScalingBench (which run the full
+  * [[DedupPipeline.run]]) for anything end-to-end. Not part of the driver
+  * contract — a tuning tool.
   */
 object Profile {
   def main(args: Array[String]): Unit = {

@@ -24,10 +24,13 @@ object RunOnce {
       if (sys.env.get("SPARK_GRAFT_STAGE").contains("shuffle")) {
         // pure shuffle ceiling: synthetic wide groupBy (no engine code) —
         // measures what ANY shuffle-bound Spark job can scale to on this
-        // box, the shuffle-stage analog of the chained-sha2 CPU ceiling
+        // box, the shuffle-stage analog of the chained-sha2 CPU ceiling.
+        // The synthetic job has no corpus: a warm call (path under /warm)
+        // runs a 1/20-size shuffle, not a second full-size one.
         import org.apache.spark.sql.functions._
-        spark.range(numBase * 600)
-          .select(pmod(xxhash64(col("id")), lit(numBase * 60)).as("k"))
+        val rows = if (path.endsWith("/warm")) numBase * 30 else numBase * 600
+        spark.range(rows)
+          .select(pmod(xxhash64(col("id")), lit(rows / 10)).as("k"))
           .groupBy("k").count()
           .agg(sum("count")).collect()(0).getLong(0)
       } else if (mapOnly) {
@@ -52,7 +55,9 @@ object RunOnce {
       }
 
     if (warm) {
-      Bench.materializePages(spark, math.max(50L, numBase / 20), s"$tmp/warm")
+      // the synthetic shuffle mode reads no corpus — don't materialize one
+      if (!sys.env.get("SPARK_GRAFT_STAGE").contains("shuffle"))
+        Bench.materializePages(spark, math.max(50L, numBase / 20), s"$tmp/warm")
       job(s"$tmp/warm")
       Bench.dropPipelineState(spark)
       System.err.println("[once] warmup done")
@@ -62,7 +67,11 @@ object RunOnce {
     // meaningless — alternate the toggle within one session and take
     // per-arm medians
     if (sys.env.contains("SPARK_GRAFT_AB")) {
-      val reps = sys.env.getOrElse("SPARK_GRAFT_AB", "3").toInt
+      // the flag doubles as rep count when numeric; SPARK_GRAFT_AB=true /
+      // empty means "on, default reps" rather than a NumberFormatException
+      // after the corpus already materialized
+      val reps = sys.env.get("SPARK_GRAFT_AB").flatMap(_.toIntOption)
+        .filter(_ > 0).getOrElse(3)
       def one(est: Boolean): Double = {
         Bench.dropPipelineState(spark)
         val t0 = System.nanoTime()
@@ -73,7 +82,7 @@ object RunOnce {
       one(false) // JIT both code paths once
       one(true)
       val runs = (1 to reps).map(i => (one(false), one(true)))
-      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      def med(xs: Seq[Double]) = Bench.median(xs)
       println(f"""{"ab":"estimateTier","off_med":${med(runs.map(_._1))}%.2f,""" +
         f""""on_med":${med(runs.map(_._2))}%.2f,""" +
         f""""off":[${runs.map(r => f"${r._1}%.1f").mkString(",")}],""" +

@@ -214,6 +214,13 @@ object StreamOps {
         graft.fingerprint.Fingerprints.docSignature(col(textCol),
           cfg.shingleK, cfg.numPerms, cfg.maxShingles).as("ds"),
         col(tsCol).as("ts"))
+      // shingle-less docs (empty/parked pages, text shorter than one
+      // shingle) never band — same filter as the batch channel
+      // (allChannelBandRows): without it every such doc hashes the same
+      // empty prefix into ONE shared bucket and, with the SimHash gate
+      // disabled on this channel, pairs ungated against up to maxBucket
+      // unrelated empty docs while churning the overflow list forever
+      .filter(size(col("ds.shingles")) > 0)
       .select(lit(1000).as("band"),
         graft.lsh.LSH.prefixBandHash(col("ds.shingles"), cfg.prefixBandShingles)
           .as("band_hash"),
