@@ -65,6 +65,13 @@ object LSH {
     * discovery channel that dense minhash banding can only approximate.
     * Boilerplate-shared prefixes make hot buckets; the salted hot path in
     * [[candidatePairs]] absorbs them.
+    *
+    * The P = 1 guarantee requires the SHORTER side to still carry ≥ `m`
+    * shingles: a doc with fewer hashes its full shorter array, which can
+    * never equal an m-prefix hash. The pipeline therefore bands this
+    * channel at TWO lengths (m and m/2 — `fullBandRows`), pushing the
+    * floor down to m/2 shingles; below that a truncation is only
+    * discoverable by the anchor/minhash channels.
     */
   def prefixBandHash(shingles: Column, m: Int): Column =
     xxhash64(slice(shingles, 1, m))
@@ -143,13 +150,17 @@ object LSH {
       .filter(col("bucket_n") <= cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def sides(df: DataFrame, extra: Seq[String]): (DataFrame, DataFrame) = {
+    // the ONE side-projection shape (cold and hot paths both build their
+    // join sides through it, hot appending its salt columns via `extra` —
+    // a change to the side shape happens in exactly one place)
+    def sides(df: DataFrame, extraL: Seq[Column], extraR: Seq[Column])
+        : (DataFrame, DataFrame) = {
       val l = df.select(
         (idCol +: carry).map(c => col(c).as(c + "_a")) ++
-          bucketKey.map(c => col(c).as(c + "_la")) ++ extra.map(col): _*)
+          bucketKey.map(c => col(c).as(c + "_la")) ++ extraL: _*)
       val r = df.select(
         (idCol +: carry).map(c => col(c).as(c + "_b")) ++
-          bucketKey.map(c => col(c).as(c + "_rb")) ++ extra.map(col): _*)
+          bucketKey.map(c => col(c).as(c + "_rb")) ++ extraR: _*)
       (l, r)
     }
     val outCols = (idCol +: carry).flatMap(c => Seq(col(c + "_a"), col(c + "_b"))) :+
@@ -157,7 +168,7 @@ object LSH {
 
     // cold path: plain within-bucket self-join; AQE handles residual skew
     val coldPairs = {
-      val (l, r) = sides(tagged.filter(col("bucket_n") <= hotThreshold), Nil)
+      val (l, r) = sides(tagged.filter(col("bucket_n") <= hotThreshold), Nil, Nil)
       prune(l.join(r,
           col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
             col(idCol + "_a") < col(idCol + "_b"))
@@ -171,12 +182,8 @@ object LSH {
     val hotPairs = {
       val hot = tagged.filter(col("bucket_n") > hotThreshold)
         .withColumn("salt", pmod(xxhash64(col(idCol)), lit(saltFactor)))
-      val l = hot
-        .withColumn("j", explode(sequence(lit(0), lit(saltFactor - 1))))
-        .select((idCol +: carry).map(c => col(c).as(c + "_a")) ++
-          bucketKey.map(c => col(c).as(c + "_la")) :+ col("j"): _*)
-      val r = hot.select((idCol +: carry).map(c => col(c).as(c + "_b")) ++
-        bucketKey.map(c => col(c).as(c + "_rb")) :+ col("salt"): _*)
+      val (l0, r) = sides(hot, Nil, Seq(col("salt")))
+      val l = l0.withColumn("j", explode(sequence(lit(0), lit(saltFactor - 1))))
       prune(l.join(r,
           col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
             col("j") === col("salt") && col(idCol + "_a") < col(idCol + "_b"))

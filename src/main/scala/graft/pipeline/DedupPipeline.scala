@@ -205,17 +205,6 @@ object DedupPipeline {
           size(col("ds.shingles")).as("n_shingles")): _*)
   }
 
-  /** Candidate pairs → verified near-dup edges.
-    *
-    * The verify stage re-joins the (pruned) signature table twice to fetch
-    * shingle sets only for surviving candidates — the expensive columns
-    * never travel through the band explode/self-join.
-    *
-    * @param texts optional (id, norm_text) frame enabling the authoritative
-    *              suffix-array substring pass on the ambiguous slice; when
-    *              absent, shingle-set containment decides alone (weaker:
-    *              can over-accept reordered-block pairs).
-    */
   /** All discovery-channel band rows for SHINGLED signatures — minhash
     * bands [0, bands), the prefix band (= bands) and anchor bands
     * (= bands+1): (id, simhash, band, band_hash). One shared definition so
@@ -224,15 +213,41 @@ object DedupPipeline {
     * channel added here is automatically part of both.
     */
   private[graft] def fullBandRows(banded: DataFrame, cfg: DedupConfig): DataFrame = {
-    val slim = banded.select("id", "minhash", "simhash")
+    // resume-path config guard: persisted minhash arrays must match the
+    // banding config. slice() past a SHORTER stored array returns [], so
+    // every old row would hash IDENTICAL empty-band keys for the high
+    // bands — one mega-bucket per band, dropped at the cap (silent recall
+    // loss mislogged as boilerplate) or a quadratic pair storm below it.
+    // Fail loudly instead; the check rides codegen, zero extra jobs.
+    val expectedSlots = cfg.bands * cfg.rowsPerBand
+    val guardedMinhash = when(
+      col("minhash").isNull || size(col("minhash")) === 0 ||
+        size(col("minhash")) === expectedSlots, col("minhash"))
+      .otherwise(raise_error(concat(
+        lit("state minhash carries "), size(col("minhash")).cast("string"),
+        lit(s" slots but bands*rowsPerBand = $expectedSlots — the store " +
+          "was written under a different banding config; run forceRescan " +
+          "to re-fingerprint (or restore the original bands/rowsPerBand)"))))
+    val slim = banded.select(col("id"), guardedMinhash.as("minhash"), col("simhash"))
     val minhashBands = LSH.explodeBands(slim, "id", "minhash",
       cfg.bands, cfg.rowsPerBand, carry = Seq("simhash"))
-    // extra containment channel: one prefix-shingle band (P=1 for prefix
-    // truncations at any Jaccard) — computed per ROW before the explode, so
-    // the wide shingle array itself never enters the banding shuffle
+    // extra containment channel: prefix-shingle bands at TWO lengths (m
+    // and m/2). P=1 for prefix truncations holds only while the truncated
+    // side still carries >= m shingles (a shorter doc hashes its full
+    // shorter array — never equal to an m-prefix hash); the half-length
+    // level pushes the floor down to m/2 shingles (~m/2+k-1 tokens).
+    // Below that a doc is under this channel's floor (exact/minhash/anchor
+    // still see it). Hashes are computed per ROW before the explode, so
+    // the wide shingle array never enters the banding shuffle; distinct
+    // band ids keep the bucket spaces disjoint, and the downstream pair
+    // distinct absorbs pairs colliding at both levels.
+    val mHalf = math.max(2, cfg.prefixBandShingles / 2)
     val prefixBand = banded.select(col("id"), col("simhash"),
       lit(cfg.bands).as("band"),
       LSH.prefixBandHash(col("shingles"), cfg.prefixBandShingles).as("band_hash"))
+      .unionByName(banded.select(col("id"), col("simhash"),
+        lit(cfg.bands + 2).as("band"),
+        LSH.prefixBandHash(col("shingles"), mHalf).as("band_hash")))
     // second containment channel: winnowed anchor-pair bands — offset-
     // invariant, so middle-of-document quotes collide too. Hashes are
     // computed per ROW pre-explode; the shingle array never enters the
@@ -246,13 +261,6 @@ object DedupPipeline {
     anchorBands.foldLeft(minhashBands.unionByName(prefixBand))(_ unionByName _)
   }
 
-  /** Ids sharing ANY discovery bucket — every full channel plus the
-    * fast-tier SimHash slices — with the focus set: the delta-cluster
-    * re-verify frontier. Both semi-joins broadcast (focus and the hot
-    * bucket keys are delta-sized), so selecting the frontier never
-    * shuffles the corpus-wide banding projection — the whole point of the
-    * delta mode at the 10^12-doc posture.
-    */
   /** All-channel band rows of a signatures frame: full channels for
     * shingled rows, plus — when `includeFast` — the fast-tier SimHash
     * slices for EVERY row, offset past every full channel (band >= 1000)
@@ -278,7 +286,14 @@ object DedupPipeline {
     }
   }
 
-  def bucketMates(spark: SparkSession, sigs: DataFrame, focusIds: DataFrame,
+  /** Ids sharing ANY discovery bucket — every full channel plus the
+    * fast-tier SimHash slices — with the focus set: the delta-cluster
+    * re-verify frontier. Both semi-joins broadcast (focus and the hot
+    * bucket keys are delta-sized), so selecting the frontier never
+    * shuffles the corpus-wide banding projection — the whole point of the
+    * delta mode at the 10^12-doc posture.
+    */
+  def bucketMates(sigs: DataFrame, focusIds: DataFrame,
                   cfg: DedupConfig, includeFastChannel: Boolean = false): DataFrame = {
     // the fast channel joins in ONLY when the store mixes in fast-path
     // rows (or the run itself is fast-path), mirroring the pairing tiers
@@ -300,6 +315,17 @@ object DedupPipeline {
       .select("id").distinct()
   }
 
+  /** Candidate pairs → verified near-dup edges.
+    *
+    * The verify stage re-joins the (pruned) signature table twice to fetch
+    * shingle sets only for surviving candidates — the expensive columns
+    * never travel through the band explode/self-join.
+    *
+    * @param texts optional (id, norm_text) frame enabling the authoritative
+    *              suffix-array substring pass on the ambiguous slice; when
+    *              absent, shingle-set containment decides alone (weaker:
+    *              can over-accept reordered-block pairs).
+    */
   def nearEdges(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
                 texts: Option[DataFrame] = None,
                 mat: Materializer = Materializer.local): DataFrame = {
@@ -381,7 +407,14 @@ object DedupPipeline {
     val estJGate = math.max(0.0,
       cfg.jaccardThreshold - 3 * math.sqrt(
         cfg.jaccardThreshold * (1 - cfg.jaccardThreshold) / cfg.numPerms))
-    val estCGate = math.max(0.0, cfg.containmentGate - 0.2)
+    // containment slack: a flat 0.2 floor (MORE conservative than 3 sigma
+    // at production perm counts, so fewer false rejects than the sigma
+    // bound promises) with the delta-method 3-sigma term taking over for
+    // small numPerms, where 0.2 alone would under-cover the estimator
+    // spread -- the gate is never tighter than either bound
+    val estCGate = math.max(0.0, cfg.containmentGate - math.max(0.2,
+      3 * math.sqrt(
+        cfg.containmentGate * (1 - cfg.containmentGate) / cfg.numPerms)))
     // set size derived from the array (not the optional n_shingles column:
     // the resume path's state projection doesn't carry it)
     val mhDf = banded.select(col("id"), col("minhash"),
@@ -471,7 +504,7 @@ object DedupPipeline {
     * shingles, no Jaccard, no suffix array — one banding shuffle + one
     * pair distinct.
     */
-  def nearEdgesFast(spark: SparkSession, sigs: DataFrame, cfg: DedupConfig,
+  def nearEdgesFast(sigs: DataFrame, cfg: DedupConfig,
                     mat: Materializer = Materializer.local): DataFrame = {
     val exploded = sigs.select(col("id"), col("simhash"))
       .withColumn("band", explode(sequence(lit(0), lit(cfg.fastPathBands - 1))))
@@ -609,7 +642,7 @@ object DedupPipeline {
       cfg, orderCols, mat,
       // fresh full-path signatures are all-shingled by construction: the
       // mixed-state probe only applies on the resume path (clusterSignatures)
-      mayHaveFastRows = cfg.fastPath)
+      fastRows = Some(cfg.fastPath))
     val result = decode(coded, dict, mat, rowObs)
     repSigs.unpersist()
     nearPages.unpersist()
@@ -687,7 +720,8 @@ object DedupPipeline {
 
   /** Cluster a full persisted signatures table (the resume path: fingerprints
     * come from the state table, never recomputed). `stateSigs` must carry
-    * (id, order_len, content_hash, simhash, minhash, shingles); `texts` is
+    * (id, order_len, content_hash, n_shingles, simhash, minhash, shingles)
+    * — exactly what [[graft.state.Checkpoints.runEpoch]] persists; `texts` is
     * the optional (id, norm_text) side input enabling the suffix-array pass,
     * keyed by the ORIGINAL ids (encoding is internal).
     */
@@ -710,8 +744,10 @@ object DedupPipeline {
       .select("id", "norm_text"))
     // persisted state MAY mix fast-path (shingle-less) and full epochs —
     // only this resume path pays the mixed-state probe job
+    // None: the probe (one limit-1 job over the CACHED slim) runs inside
+    // clusterFromParts -- persisted state MAY mix fast-path epochs
     val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,
-      cfg, orderCols, mat, mayHaveFastRows = true)
+      cfg, orderCols, mat, fastRows = None)
     val result = decode(coded, dict, mat)
     repSigs.unpersist()
     hashGroups.unpersist()
@@ -804,7 +840,7 @@ object DedupPipeline {
             .select(col("id").as("sid")).distinct()
             .join(dict, "sid").select("id")
         case None =>
-          bucketMates(spark, repSigs, focusReps, cfg,
+          bucketMates(repSigs, focusReps, cfg,
             includeFastChannel = hasFastRows)
       }
       val f = mates.union(focusReps).distinct().cache()
@@ -837,10 +873,11 @@ object DedupPipeline {
       t.toDF("sid", "norm_text").join(frontierDict, "sid")
         .select("id", "norm_text")
     }
-    // pass the already-computed fast-row answer down: when false,
-    // clusterFromParts skips its own blocking mixed-state probe statically
+    // pass the already-computed fast-row answer down: clusterFromParts
+    // then runs ZERO probe jobs on the delta path (its own probe would
+    // replay the uncached corpus-wide repSigs scan just to re-learn this)
     val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,
-      cfg, orderCols, mat, mayHaveFastRows = hasFastRows,
+      cfg, orderCols, mat, fastRows = Some(hasFastRows),
       bandSigsOverride = Some(subsetReps), extraEdges = Some(codedAssign))
     val result = decode(coded, dict, mat)
     frontier.unpersist()
@@ -864,7 +901,13 @@ object DedupPipeline {
                                texts: Option[DataFrame], cfg: DedupConfig,
                                orderCols: Seq[org.apache.spark.sql.Column],
                                mat: Materializer = Materializer.local,
-                               mayHaveFastRows: Boolean = true,
+                               // Some(x): the caller already knows whether
+                               // fast (shingle-less) rows exist -- use it,
+                               // no probe job. None: probe the CACHED slim
+                               // (requires its n_shingles column) -- never
+                               // repSigs, whose delta-path re-evaluation
+                               // replays a corpus-wide scan
+                               fastRows: Option[Boolean] = None,
                                // delta mode (clusterSignaturesDelta): band
                                // and verify only this (CACHED) subset of
                                // repSigs — nearEdges consumes its input
@@ -886,7 +929,7 @@ object DedupPipeline {
     val bandSigs = bandSigsOverride.getOrElse(repSigs)
     val near = tick("near edges (LSH+verify)") {
       val edges =
-        if (cfg.fastPath) nearEdgesFast(spark, bandSigs, cfg, mat)
+        if (cfg.fastPath) nearEdgesFast(bandSigs, cfg, mat)
         else {
           val full = nearEdges(spark, bandSigs, cfg, texts, mat)
           // MIXED state: rows persisted by a fast-path epoch carry no
@@ -896,9 +939,9 @@ object DedupPipeline {
           // AND with new full rows) at fast-path precision. The probe job
           // only runs where mixed state is possible (the resume path) —
           // fresh full-path runs skip it statically (driver-job floor).
-          val hasFastRows = mayHaveFastRows &&
-            repSigs.filter(size(col("shingles")) === 0).limit(1).count() > 0
-          if (hasFastRows) full.union(nearEdgesFast(spark, bandSigs, cfg, mat))
+          val hasFastRows = fastRows.getOrElse(
+            slim.filter(col("n_shingles") === 0).limit(1).count() > 0)
+          if (hasFastRows) full.union(nearEdgesFast(bandSigs, cfg, mat))
           else full
         }
       mat(edges, eager = false)

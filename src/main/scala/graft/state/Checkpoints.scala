@@ -747,6 +747,10 @@ object Checkpoints {
   private def channelKnobsJson(cfg: DedupConfig): String =
     s"""{"bands":${cfg.bands},"rows_per_band":${cfg.rowsPerBand},""" +
       s""""prefix_band_shingles":${cfg.prefixBandShingles},""" +
+      // structural version of the prefix channel (two-level ladder):
+      // bumping it invalidates pre-ladder indexes so they rebuild with
+      // the new level rows instead of silently missing half the buckets
+      s""""prefix_band_levels":2,""" +
       s""""anchor_modulus":${cfg.anchorModulus},""" +
       s""""fast_path_bands":${cfg.fastPathBands}}"""
 

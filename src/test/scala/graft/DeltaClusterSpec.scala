@@ -147,7 +147,7 @@ class DeltaClusterSpec extends SparkTestBase {
       // as BROADCAST semi-joins — a sort-merge join here would shuffle the
       // full corpus's band rows every delta epoch, erasing the mode's point
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val mates = DedupPipeline.bucketMates(spark, sigs, focus, cfg)
+      val mates = DedupPipeline.bucketMates(sigs, focus, cfg)
       val plan = mates.queryExecution.executedPlan
       val smj = plan.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j

@@ -244,4 +244,50 @@ class PipelineSpec extends SparkTestBase {
     // exactly one representative per cluster, none lost on the mega group
     assert(got.size == expected.size && got.contains("mega"))
   }
+  private def ladderSigs(texts: Seq[(String, String)], cfg: DedupConfig) =
+    texts.toDF("id", "text")
+      .select(col("id"),
+        graft.fingerprint.Fingerprints.docSignature(col("text"),
+          cfg.shingleK, cfg.numPerms, cfg.maxShingles).as("ds"))
+      .select(col("id"), col("ds.minhash").as("minhash"),
+        col("ds.simhash").as("simhash"), col("ds.shingles").as("shingles"))
+
+  test("prefix ladder: a truncation SHORTER than m shingles still collides with its parent") {
+    val cfg = DedupConfig()
+    val parent = (1 to 200).map(i => s"tok$i").mkString(" ")
+    // first 8 tokens -> 6 three-shingles: under prefixBandShingles (8),
+    // at/above the half level (4) — invisible to the single-level channel,
+    // caught by the ladder's half-length band
+    val child = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val rows = DedupPipeline.fullBandRows(
+      ladderSigs(Seq(("parent", parent), ("child", child)), cfg), cfg)
+    val shared = rows
+      .filter(col("band") >= cfg.bands && col("band") =!= cfg.bands + 1)
+      .groupBy("band", "band_hash").agg(collect_set("id").as("ids"))
+      .filter(array_contains(col("ids"), "parent") &&
+        array_contains(col("ids"), "child"))
+      .select("band").as[Int].collect()
+    assert(shared.nonEmpty,
+      "a short prefix truncation must share a prefix-ladder bucket with its parent")
+    assert(shared.contains(cfg.bands + 2),
+      s"the HALF-length level must be the catching bucket, got bands ${shared.toSeq}")
+  }
+
+  test("fullBandRows fails loudly on a minhash/banding config mismatch") {
+    val cfg = DedupConfig()
+    val sigs = ladderSigs(Seq(
+      ("a", (1 to 60).map(i => s"w$i").mkString(" ")),
+      ("b", (1 to 60).map(i => s"x$i").mkString(" "))), cfg)
+    // simulate a store written under a smaller numPerms: arrays shorter
+    // than bands*rowsPerBand — slicing past them would silently hash
+    // identical empty-band keys for every high band
+    val mangled = sigs.withColumn("minhash", slice(col("minhash"), 1, 10))
+    val e = intercept[Throwable] {
+      DedupPipeline.fullBandRows(mangled, cfg).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("forceRescan")),
+      s"expected the loud banding-config message, got: ${chain(e).mkString(" | ")}")
+  }
 }
