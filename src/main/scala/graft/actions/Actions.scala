@@ -37,8 +37,16 @@ object Actions {
   def plan(clusters: DataFrame, action: String = "symlink",
            dryRun: Boolean = true): DataFrame = {
     require(ValidActions.contains(action), s"unknown action $action")
+    // min-id per cluster, not a bare projection: the dual malformation
+    // (a foreign table with SEVERAL representatives in one cluster) would
+    // otherwise fan the equi-join out into one action row per rep —
+    // executing each duplicate multiple times against different
+    // "originals" and inflating the executed ledger. The engine's own
+    // tables carry exactly one rep (the min id, oracled per-row), so this
+    // aggregate is the identity there.
     val reps = clusters.filter(col("is_representative"))
-      .select(col("cluster_id"), col("id").as("original_id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("original_id"))
     // LEFT join: a malformed clusters table (a cluster with NO
     // representative — foreign or hand-edited input; the engine's own
     // tables carry exactly one, oracled per-row by q_dedup_invariants)

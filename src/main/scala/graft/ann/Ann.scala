@@ -37,11 +37,6 @@ object Ann {
   /** Quantized L2 norm (double, deterministic: sqrt of an exact long). */
   def qnorm(a: Column): Column = sqrt(qdot(a, a).cast("double"))
 
-  /** Cosine similarity over quantized vectors — deterministic to the bit. */
-  def qcosine(a: Column, b: Column): Column =
-    when(qnorm(a) === 0.0 || qnorm(b) === 0.0, lit(0.0))
-      .otherwise(qdot(a, b).cast("double") / (qnorm(a) * qnorm(b)))
-
   /** Pairwise cosine from per-row precomputed (qv, norm): norms are computed
     * once per ROW before the join, never per pair — at n² pairs that is the
     * difference between O(n·d) and O(n²·d) norm work.
@@ -74,6 +69,10 @@ object Ann {
     * stored model, reproducible everywhere.
     */
   def hyperplaneSignature(v: Column, nPlanes: Int, seed: Long): Column = {
+    // the require lives HERE, not only in bandedSignatures: 1L << p wraps
+    // at p = 64 (aliasing plane 0) and a direct caller would get silently
+    // corrupted signatures
+    require(nPlanes >= 1 && nPlanes <= 64, "nPlanes must be in [1, 64]")
     val bits = (0 until nPlanes).map { p =>
       // h_i components: deterministic in {-1,0,1}-ish via hashed index sign
       val dot = aggregate(
@@ -94,7 +93,14 @@ object Ann {
                                nPlanes: Int, bands: Int, seed: Long): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     require(nPlanes <= 64, "at most 64 hyperplanes per signature")
-    vecs.select(col(idCol).as("id"),
+    // degenerate vectors (all-zero, empty, any null element) all map to
+    // signature 0 — one guaranteed cross-band mega-bucket. A zero/null
+    // vector also has no meaningful cosine (the scorers treat norm 0 as
+    // similarity 0), so excluding it from banding loses nothing: it could
+    // never verify as similar anyway. qdot(v,v) is NULL for null elements
+    // and 0 for zero/empty vectors; the > 0 filter drops both.
+    vecs.filter(qdot(quantize(col(vecCol)), quantize(col(vecCol))) > 0)
+      .select(col(idCol).as("id"),
         hyperplaneSignature(col(vecCol), nPlanes, seed).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
@@ -120,12 +126,16 @@ object Ann {
   def lshKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     val exploded = bandedSignatures(vecs, idCol, vecCol, nPlanes, bands, seed)
-    val r = exploded.select(col("id").as("nbr_id"),
-      col("band").as("band_r"), col("band_hash").as("band_hash_r"))
-    val pairs = exploded.join(r,
-        col("band") === col("band_r") && col("band_hash") === col("band_hash_r") &&
-          col("id") =!= col("nbr_id"))
-      .select("id", "nbr_id").distinct()
+    // the DEFENDED pair generator — salted hot buckets, size caps, logged
+    // drops — not a raw band self-join: nPlanes/bands give only
+    // 2^(nPlanes/bands) possible bucket values per band (16 at the 16/4
+    // default), so every bucket holds ~n/16 rows and one unsalted join
+    // task per bucket goes quadratic at corpus scale. Same machinery as
+    // [[embeddingNearDupsLsh]] and the shingle path; kNN needs DIRECTED
+    // pairs, so the unordered output is mirrored (slim ids only).
+    val undirected = graft.lsh.LSH.candidatePairs(exploded, "id")
+    val pairs = undirected.select(col("id_a").as("id"), col("id_b").as("nbr_id"))
+      .union(undirected.select(col("id_b").as("id"), col("id_a").as("nbr_id")))
     val qa = scoringTable(vecs, idCol, vecCol, "id", "qv", "nl")
     val qb = scoringTable(vecs, idCol, vecCol, "nbr_id", "qw", "nr")
     val scored = pairs.join(qa, "id").join(qb, "nbr_id")
@@ -226,7 +236,13 @@ object Ann {
     // probe side derive from it, and without this the n x cells broadcast
     // assignment would re-run for each (the drop-count job below
     // materializes it once)
-    val ranked = mat(assign(cents), eager = false)
+    // slim the checkpointed columns to what downstream reads (ivfQuery
+    // probes, inverted lists, semDeDup): the raw assign() rows also carry
+    // the joined centroid vector cqv/cnrm per (vector, cell) row — at
+    // n x cells rows that is a multi-TB redundant copy of the centroid
+    // table in checkpoint blocks, read by nobody
+    val ranked = mat(assign(cents)
+      .select("id", "qv", "nrm", "cell", "csim", "crank"), eager = false)
     val listsAll = ranked.filter(col("crank") === 1)
       .select(col("cell"), col("id").as("nbr_id"),
         col("qv").as("qw"), col("nrm").as("nr"))
@@ -290,11 +306,16 @@ object Ann {
     */
   def nProbeForRecall(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                       target: Double, candidates: Seq[Int] = Seq(4, 8, 12, 16),
-                      nCells: Int = 0,
+                      nCells: Int = 0, maxListSize: Int = 100000,
+                      kmeansIters: Int = 2,
                       mat: graft.state.Materializer = graft.state.Materializer.local)
       : (Int, Seq[(Int, Double)]) = {
     require(candidates.nonEmpty, "need at least one candidate nProbe")
-    val curve = ivfRecallCurve(vecs, idCol, vecCol, k, candidates, nCells, mat = mat)
+    // every index knob forwards: calibrating on a default-configured index
+    // and deploying with different centroids/caps is exactly the
+    // hand-tuning error this helper exists to prevent
+    val curve = ivfRecallCurve(vecs, idCol, vecCol, k, candidates, nCells,
+      maxListSize, kmeansIters, mat = mat)
     curve.find(_._2 >= target) match {
       case Some((p, _)) => (p, curve)
       case None =>

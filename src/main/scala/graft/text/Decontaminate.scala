@@ -58,8 +58,16 @@ object Decontaminate {
   /** `docs` with every contaminated document removed. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
-                    n: Int = 13): DataFrame =
+                    n: Int = 13, broadcastIds: Boolean = true): DataFrame =
     docs.join(
-      broadcast(contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n)),
+      // NOTE: the id set is corpus-dependent, not structurally bounded —
+      // benchmark prose that is widely mirrored on the web can mark a
+      // large corpus fraction contaminated, and the forced broadcast
+      // would then collect it all to the driver (8 GB hard cap / OOM).
+      // Pass broadcastIds = false for mirror-heavy eval sets; the anti-
+      // join then degrades to a shuffle, never a crash.
+      (if (broadcastIds)
+        broadcast(contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n))
+      else contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n)),
       Seq(idCol), "left_anti")
 }

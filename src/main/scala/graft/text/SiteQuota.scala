@@ -54,7 +54,23 @@ object SiteQuota {
   def capPerSite(df: DataFrame, urlCol: String, cap: Int,
                  order: Seq[Column] = Nil): DataFrame = {
     require(cap >= 1, s"site cap must be >= 1, got $cap")
-    val rowHash = xxhash64(df.columns.toIndexedSeq.map(col): _*)
+    // tiebreak hash over the HASHABLE columns only: xxhash64 rejects
+    // MapType (plan-time AnalysisException), and a pages frame carrying
+    // e.g. a map<string,string> headers column must not crash a quota
+    // pass that never reads it. Excluding a column only coarsens the
+    // tiebreak among rows identical on every hashable column — swapping
+    // those is already documented as unobservable.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.forall(f => hashable(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => hashable(at.elementType)
+      case _ => true
+    }
+    val hashCols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val rowHash =
+      if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
     val part = when(col(urlCol).isNull,
         concat(lit("__nosite__"), monotonically_increasing_id().cast("string")))
       .otherwise(siteKey(col(urlCol)))
