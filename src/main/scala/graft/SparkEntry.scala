@@ -153,13 +153,23 @@ object SparkEntry {
     val noPhantoms = out.join(
       vecs.select(col("vec_id").as("id")), Seq("id"), "left_anti").isEmpty
 
-    // independent τ-edge recompute within the operator's cells
-    val q = vecs.select(col("vec_id"), posexplode(col("embedding")))
-      .toDF("vec_id", "idx", "v")
-      .select(col("vec_id"), col("idx"),
-        round(col("v").cast("double") * 1000).cast("long").as("qv"))
-    val norms = q.groupBy("vec_id")
-      .agg(sqrt(sum(col("qv") * col("qv")).cast("double")).as("nrm"))
+    // independent τ-edge recompute within the operator's cells. The
+    // quantized vector / norm / dot algebra uses plain SQL building blocks
+    // only (transform → zip_with → aggregate) — none of Ann.scala's column
+    // helpers participate, so the checks stay cross-implementation. The
+    // per-pair array dot is value-identical to the previous
+    // posexplode-join-groupBy-sum form (coalesce(x*y, 0) replicates sum()'s
+    // null-skipping; positions past the shorter array pad to null → 0,
+    // exactly the rows the position inner join excluded) but the pair join
+    // now runs on slim (cell, id) rows with the d-element arrays attached
+    // only per surviving pair — the exploded form shuffled
+    // |cell|²·d/2 rows through the (cell, idx) self-join.
+    val qarr = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+    val norms = qarr.select(col("vec_id"),
+      sqrt(aggregate(col("qv"), lit(0L),
+        (acc, x) => acc + coalesce(x * x, lit(0L))).cast("double")).as("nrm"))
     // replicate the operator's DETERMINISTIC inverted-list cap (its
     // documented spec: the xxhash64-ranked first maxListSize members of
     // each cell pair, the rest become singleton keeps) — without this, a
@@ -170,14 +180,16 @@ object SparkEntry {
         Window.partitionBy("cell").orderBy(xxhash64(col("id")), col("id"))))
       .filter(col("lrank") <= maxListSize)
       .select(col("id").as("vec_id"))
-    val withCell = q.join(out.select(col("id").as("vec_id"), col("cell")), "vec_id")
+    val cellMembers = out.select(col("id").as("vec_id"), col("cell"))
       .join(listed, "vec_id")
-    val edges = withCell
-      .select(col("cell"), col("idx"), col("vec_id").as("a"), col("qv").as("qa"))
-      .join(withCell.select(col("cell"), col("idx"),
-        col("vec_id").as("b"), col("qv").as("qb")), Seq("cell", "idx"))
+    val edges = cellMembers
+      .select(col("cell"), col("vec_id").as("a"))
+      .join(cellMembers.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(sum(col("qa") * col("qb")).as("dot"))
+      .join(qarr.select(col("vec_id").as("a"), col("qv").as("qa")), "a")
+      .join(qarr.select(col("vec_id").as("b"), col("qv").as("qb")), "b")
+      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + coalesce(x, lit(0L))))
       .join(norms.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
       .join(norms.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
       .withColumn("cos",

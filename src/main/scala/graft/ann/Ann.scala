@@ -51,11 +51,22 @@ object Ann {
     */
   def bruteForceKnn(left: DataFrame, right: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    // the left side is hash-partitioned by id BEFORE the pair join: the
+    // broadcast nested-loop join preserves the streamed side's
+    // partitioning, so the top-k window's ClusteredDistribution(id) is
+    // already satisfied and NO exchange runs over the n² scored pairs —
+    // the n-row pre-join exchange replaces what was the operator's
+    // dominant shuffle (measured: the post-join hashpartitioning(id)
+    // exchange carried every scored pair). The right side is explicitly
+    // broadcast: it is the q-side of a kNN (bounded by construction), and
+    // without the hint a planner statistics miss could flip the build
+    // side and re-key the output by nbr_id, putting the big exchange back.
     val l = left.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("nl", qnorm(col("qv")))
+      .repartition(col("id"))
     val r = right.select(col(idCol).as("nbr_id"), quantize(col(vecCol)).as("qw"))
       .withColumn("nr", qnorm(col("qw")))
-    val scored = l.join(r, col("id") =!= col("nbr_id"))
+    val scored = l.join(broadcast(r), col("id") =!= col("nbr_id"))
       .withColumn("cos", pairCos(col("nl"), col("nr"), qdot(col("qv"), col("qw"))))
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -124,16 +135,28 @@ object Ann {
     * a pair shuffle.
     */
   def lshKnn(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-             nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+             nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L,
+             maxBucketSize: Int = 100000): DataFrame = {
+    // HARD INPUT-SIZE CEILING: the hyperplane signature space gives only
+    // 2^(nPlanes/bands) bucket values per band (16 at the 16/4 default),
+    // so the AVERAGE bucket holds ~n / 2^(nPlanes/bands) rows. Once the
+    // corpus pushes every bucket of every band past `maxBucketSize`, the
+    // cap drops ALL of a vector's bands simultaneously (the drop log's
+    // "members remain covered by their other bands" does not hold for
+    // this geometry — all bands share the one signature) and kNN recall
+    // collapses toward 0 for exactly the densest regions. Size the knobs
+    // so 2^(nPlanes/bands) · maxBucketSize comfortably exceeds n: either
+    // raise nPlanes/bands (more, finer buckets) or pass a maxBucketSize
+    // scaled to corpus size (candidatePairs logs every dropped bucket, so
+    // a triggered cap is visible in the run log).
     val exploded = bandedSignatures(vecs, idCol, vecCol, nPlanes, bands, seed)
     // the DEFENDED pair generator — salted hot buckets, size caps, logged
-    // drops — not a raw band self-join: nPlanes/bands give only
-    // 2^(nPlanes/bands) possible bucket values per band (16 at the 16/4
-    // default), so every bucket holds ~n/16 rows and one unsalted join
-    // task per bucket goes quadratic at corpus scale. Same machinery as
+    // drops — not a raw band self-join: one unsalted join task per bucket
+    // goes quadratic at corpus scale. Same machinery as
     // [[embeddingNearDupsLsh]] and the shingle path; kNN needs DIRECTED
     // pairs, so the unordered output is mirrored (slim ids only).
-    val undirected = graft.lsh.LSH.candidatePairs(exploded, "id")
+    val undirected = graft.lsh.LSH.candidatePairs(exploded, "id",
+      maxBucketSize = maxBucketSize)
     val pairs = undirected.select(col("id_a").as("id"), col("id_b").as("nbr_id"))
       .union(undirected.select(col("id_b").as("id"), col("id_a").as("nbr_id")))
     val qa = scoringTable(vecs, idCol, vecCol, "id", "qv", "nl")

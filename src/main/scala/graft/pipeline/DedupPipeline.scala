@@ -213,16 +213,20 @@ object DedupPipeline {
     * channel added here is automatically part of both.
     */
   private[graft] def fullBandRows(banded: DataFrame, cfg: DedupConfig): DataFrame = {
-    // resume-path config guard: persisted minhash arrays must match the
-    // banding config. slice() past a SHORTER stored array returns [], so
-    // every old row would hash IDENTICAL empty-band keys for the high
-    // bands — one mega-bucket per band, dropped at the cap (silent recall
-    // loss mislogged as boilerplate) or a quadratic pair storm below it.
-    // Fail loudly instead; the check rides codegen, zero extra jobs.
+    // resume-path config guard: persisted minhash arrays must carry at
+    // least bands*rowsPerBand slots. slice() past a SHORTER stored array
+    // returns [], so every old row would hash IDENTICAL empty-band keys
+    // for the high bands — one mega-bucket per band, dropped at the cap
+    // (silent recall loss mislogged as boilerplate) or a quadratic pair
+    // storm below it. LONGER arrays are fine (DedupConfig.numPerms >
+    // bands*rowsPerBand is the documented forward-compat path: slice()
+    // reads exactly the first bands*rowsPerBand slots losslessly), so
+    // only a too-short array fails. Fail loudly; the check rides codegen,
+    // zero extra jobs.
     val expectedSlots = cfg.bands * cfg.rowsPerBand
     val guardedMinhash = when(
       col("minhash").isNull || size(col("minhash")) === 0 ||
-        size(col("minhash")) === expectedSlots, col("minhash"))
+        size(col("minhash")) >= expectedSlots, col("minhash"))
       .otherwise(raise_error(concat(
         lit("state minhash carries "), size(col("minhash")).cast("string"),
         lit(s" slots but bands*rowsPerBand = $expectedSlots — the store " +

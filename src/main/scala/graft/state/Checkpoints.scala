@@ -256,14 +256,30 @@ object Checkpoints {
     finally out.close()
     try f
     finally {
+      // a token MISMATCH is the only positive takeover signal. A missing
+      // file means the lease is gone (nothing to release); any other read
+      // failure on a healthy lease is retried once, then defaults to
+      // releasing — the write above succeeded under this holder, and
+      // leaving the lock in place on a transient read hiccup would block
+      // every subsequent writer until staleMs with no live holder.
+      def readIsOurs(): Boolean = {
+        val in = fs.open(lp)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.contains(holderToken)
+      }
       val stillOurs =
-        try {
-          val in = fs.open(lp)
-          val txt =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          txt.contains(holderToken)
-        } catch { case _: java.io.IOException => false } // gone: nothing to release
+        try readIsOurs()
+        catch {
+          case _: java.io.FileNotFoundException => false // gone: nothing to release
+          case _: java.io.IOException =>
+            try readIsOurs()
+            catch {
+              case _: java.io.FileNotFoundException => false
+              case _: java.io.IOException => true // transient reads; release anyway
+            }
+        }
       if (stillOurs) fs.delete(lp, false)
       else System.err.println(
         s"[state-lock] lease at ${lockPath(stateDir)} is no longer ours " +

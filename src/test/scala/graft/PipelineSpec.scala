@@ -290,4 +290,24 @@ class PipelineSpec extends SparkTestBase {
     assert(chain(e).exists(m => m.contains("forceRescan")),
       s"expected the loud banding-config message, got: ${chain(e).mkString(" | ")}")
   }
+
+  test("fullBandRows accepts minhash arrays LONGER than bands*rowsPerBand") {
+    // numPerms > bands*rowsPerBand is the documented forward-compat path
+    // (DedupConfig.numPerms scaladoc: persisted state may carry extra
+    // permutations to support denser re-banding later); slice() past a
+    // longer array is lossless, so banding must NOT raise — and the band
+    // hashes must equal those of an exact-width array, since only the
+    // first bands*rowsPerBand slots are read.
+    val cfg = DedupConfig()
+    val wide = cfg.copy(numPerms = cfg.bands * cfg.rowsPerBand + 8)
+    val texts = Seq(
+      ("a", (1 to 60).map(i => s"w$i").mkString(" ")),
+      ("b", (1 to 60).map(i => s"x$i").mkString(" ")))
+    val wideRows = DedupPipeline.fullBandRows(ladderSigs(texts, wide), cfg)
+      .select("id", "band", "band_hash").collect().toSet
+    val exactRows = DedupPipeline.fullBandRows(ladderSigs(texts, cfg), cfg)
+      .select("id", "band", "band_hash").collect().toSet
+    assert(wideRows == exactRows,
+      "a longer minhash array must band identically to the exact-width array")
+  }
 }
