@@ -68,6 +68,49 @@ object BenchExtra {
           s""""$n":[${f"$c%.2f"},${f"$w%.2f"}]""" }
           .mkString("""{"extra":"queries","cold_warm":{""", ",", "}}"))
 
+      case "epochs" =>
+        // replicates Bench's cluster_epoch_{full,delta,slice} protocol
+        // (same corpus tier, same +10% batch, same state-copy-per-rep)
+        // so epoch-path optimizations are measurable without the frozen
+        // 16-minute Bench run
+        val numBase = Bench.numBaseFor(sfDir)
+        val tmp = Files.createTempDirectory("graft-extra-ep").toString
+        val warmPath = Bench.materializePages(spark, math.max(50L, numBase / 20),
+          s"$tmp/warm")
+        val fullPath = Bench.materializePages(spark, numBase, s"$tmp/full")
+        val resumeBatch = Bench.materializePages(spark, numBase * 11 / 10,
+          s"$tmp/resume_batch")
+        val slicePath = s"$tmp/resume_slice"
+        spark.read.parquet(resumeBatch)
+          .join(spark.read.parquet(fullPath).select("url"), Seq("url"), "left_anti")
+          .write.mode("overwrite").parquet(slicePath)
+        Bench.runPipelineOn(spark, warmPath)
+        def pf(p: String) = Bench.pagesFrame(spark, p)
+        val clusterBase = java.nio.file.Paths.get(tmp, "st_cluster")
+        graft.state.Checkpoints.clusterEpoch(spark, pf(fullPath),
+          "url", "text", clusterBase.toString, DedupConfig(deltaCluster = true))
+        val lines = Seq(
+          ("cluster_epoch_full", DedupConfig(), resumeBatch, None),
+          ("cluster_epoch_delta", DedupConfig(deltaCluster = true), resumeBatch, None),
+          ("cluster_epoch_slice", DedupConfig(deltaCluster = true), slicePath,
+            Some(resumeBatch)))
+        val out = lines.map { case (name, cfg, inPath, textsPath) =>
+          val runs = (1 to reps).map { rep =>
+            Bench.dropPipelineState(spark)
+            val dir = java.nio.file.Paths.get(tmp, s"st_${name}_r$rep")
+            Bench.copyDir(clusterBase, dir)
+            timed(s"$name rep $rep") {
+              graft.state.Checkpoints.clusterEpoch(
+                spark, pf(inPath), "url", "text", dir.toString, cfg,
+                textsOf = textsPath.map(pf))
+            }
+          }
+          name -> Bench.median(runs)
+        }
+        println(out.map { case (n, s) => s""""$n":${f"$s%.2f"}""" }
+          .mkString("""{"extra":"epochs",""", ",", "}"))
+        Bench.deleteTree(tmp, "bench-extra")
+
       case _ => // pipeline
         val numBase = Bench.numBaseFor(sfDir)
         val tmp = Files.createTempDirectory("graft-extra").toString

@@ -622,12 +622,23 @@ object DedupPipeline {
     val keyed = pages.select(col(idCol).as("sid"), col(textCol).as("__text"))
       .join(dict, "sid").select("id", "__text")
 
-    // slim exact-identity pass: nothing wider than the hash is shuffled
-    val slim = keyed.select(
-      col("id"),
-      length(col("__text")).as("order_len"),
-      Fingerprints.contentHash(col("__text")).as("content_hash"))
-      .cache() // reused by: exact edges, hash groups, kind join, universe
+    // slim exact-identity pass: nothing wider than the hash is shuffled.
+    // MATERIALIZED (not cached): the extract+hash subtree is the pipeline's
+    // most expensive per-row kernel, and a lazily-cached plan replays it
+    // into every downstream stage's lineage — under AQE the pair job's
+    // concurrently-submitted exchange/broadcast subqueries each carry (and
+    // race to fill) the whole scan→extract plan, and every stage pays the
+    // giant plan's codegen + task-binary cost even on a cache hit. The
+    // eager checkpoint runs extraction exactly once as one clean job and
+    // truncates every consumer's plan to a checkpoint scan (guide §3.3:
+    // materializing an intermediate truncates the plan), with honest row
+    // stats for the join planning downstream.
+    val slim = tick("slim mat (extract+hash)") {
+      mat(keyed.select(
+        col("id"),
+        length(col("__text")).as("order_len"),
+        Fingerprints.contentHash(col("__text")).as("content_hash")))
+    }
 
     // ONE aggregation serves both downstream needs: the representative
     // (min id ≡ exactEdges root) per content_hash that enters the near-dup
@@ -636,22 +647,33 @@ object DedupPipeline {
     val hashGroups = hashGroupsOf(slim)
     val nearPages = keyed
       .join(hashGroups.select("id"), Seq("id"), "left_semi")
-      .cache() // read twice: fingerprints + SA-pass norm texts
-    val repSigs = signatures(nearPages, "id", "__text", cfg)
-      .cache() // reused by band explode (×2 paths) + verify shingle re-join
+    // fingerprint pass over the reps, MATERIALIZED for the same plan-
+    // truncation reason as slim: nearEdges consumes repSigs in ~10 places
+    // (banding ×2 channels, estimate-tier joins ×2, shingle fetch ×2), and
+    // each previously dragged the scan→extract→semi-join→DocSignature
+    // subtree into its stage. norm_text rides the SAME pass (carry) so the
+    // suffix-array verify slice never re-extracts the corpus — the second
+    // extraction pass this job pays is the exact-first design's minimum
+    // (reps are unknowable before the hash pass).
+    val sigsAll = tick("signatures mat") {
+      if (cfg.fastPath) mat(signatures(nearPages, "id", "__text", cfg))
+      else mat(signatures(
+        nearPages.select(col("id"), col("__text"),
+          substring(Fingerprints.normalized(col("__text")), 1, cfg.saMaxChars)
+            .as("norm_text")),
+        "id", "__text", cfg, carry = Seq("norm_text")))
+    }
+    val repSigs = if (cfg.fastPath) sigsAll else sigsAll.drop("norm_text")
 
     val coded = clusterFromParts(spark, slim, hashGroups, repSigs,
       texts = if (cfg.fastPath) None
-              else Some(normTexts(nearPages, "id", "__text", cfg)),
+              else Some(sigsAll.select("id", "norm_text")),
       cfg, orderCols, mat,
       // fresh full-path signatures are all-shingled by construction: the
       // mixed-state probe only applies on the resume path (clusterSignatures)
       fastRows = Some(cfg.fastPath))
     val result = decode(coded, dict, mat, rowObs)
-    repSigs.unpersist()
-    nearPages.unpersist()
     hashGroups.unpersist()
-    slim.unpersist()
     dict.unpersist()
     result
   }
@@ -687,14 +709,20 @@ object DedupPipeline {
     * cache fill of KB-scale shingle rows was the delta epoch's single
     * biggest fixed cost — ~8 s at the 220k tier, measured).
     */
-  private def codedParts(stateSigs: DataFrame)
+  private def codedParts(stateSigs: DataFrame, mat: Materializer)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dict = idDictionary(stateSigs.select(col("id")))
     val keyed = stateSigs
       .select(col("id").as("sid"), col("order_len"), col("content_hash"),
         col("n_shingles"), col("simhash"), col("minhash"), col("shingles"))
       .join(dict, "sid")
-    val slim = keyed.select("id", "order_len", "content_hash", "n_shingles").cache()
+    // MATERIALIZED (not cached) for the same plan-truncation reason as
+    // run()'s slim: every consumer (hash groups, mixed-state probe, kind
+    // join, exact edges) previously dragged the state-scan + dictionary-
+    // join subtree into its stage plan, and the delta path's many
+    // broadcast subqueries raced to fill the lazy cache. One clean slim
+    // pass (4 narrow columns), honest stats downstream.
+    val slim = mat(keyed.select("id", "order_len", "content_hash", "n_shingles"))
     val hashGroups = hashGroupsOf(slim.select("id", "order_len", "content_hash"))
     val repSigs = keyed
       .select("id", "simhash", "minhash", "shingles")
@@ -734,16 +762,18 @@ object DedupPipeline {
                         orderCols: Seq[org.apache.spark.sql.Column] =
                           Seq(col("order_len").desc, col("id").asc)): DataFrame = {
     val mat = cfg.materializer(spark)
-    val (dict, slim, hashGroups, repSigs0) = codedParts(stateSigs)
-    // CACHE repSigs on THIS path only: the full resume feeds it straight
-    // into nearEdges, which consumes its input in ~10 places (banding ×2,
-    // estimate-tier joins ×2, shingle fetch ×2, mixed-state probe) — each
-    // re-evaluation would replay the state scan + the dictionary join
-    // shuffle over the whole corpus. The delta path deliberately does NOT
-    // cache it (codedParts doc: the corpus-wide fill of KB-scale shingle
-    // rows was the delta epoch's biggest fixed cost); it materializes its
-    // frontier subset instead.
-    val repSigs = repSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dict, slim, hashGroups, repSigs0) = codedParts(stateSigs, mat)
+    // MATERIALIZE repSigs on THIS path only: the full resume feeds it
+    // straight into nearEdges, which consumes its input in ~10 places
+    // (banding ×2, estimate-tier joins ×2, shingle fetch ×2, mixed-state
+    // probe) — each re-evaluation would replay the state scan + the
+    // dictionary join shuffle over the whole corpus, and a lazy cache
+    // both races its fill across AQE's concurrent subqueries and drags
+    // the full lineage into every consumer stage's plan. The delta path
+    // deliberately does NOT materialize it (codedParts doc: the corpus-
+    // wide fill of KB-scale shingle rows was the delta epoch's biggest
+    // fixed cost); it materializes its frontier subset instead.
+    val repSigs = mat(repSigs0)
     val codedTexts = texts.map(_.toDF("sid", "norm_text").join(dict, "sid")
       .select("id", "norm_text"))
     // persisted state MAY mix fast-path (shingle-less) and full epochs —
@@ -753,9 +783,7 @@ object DedupPipeline {
     val coded = clusterFromParts(spark, slim, hashGroups, repSigs, codedTexts,
       cfg, orderCols, mat, fastRows = None)
     val result = decode(coded, dict, mat)
-    repSigs.unpersist()
     hashGroups.unpersist()
-    slim.unpersist()
     dict.unpersist()
     result
   }
@@ -801,7 +829,7 @@ object DedupPipeline {
                              // array every epoch
                              bandIndex: Option[DataFrame] = None): DataFrame = {
     val mat = cfg.materializer(spark)
-    val (dict, slim, hashGroups, repSigs) = codedParts(stateSigs)
+    val (dict, slim, hashGroups, repSigs) = codedParts(stateSigs, mat)
     // focus → coded → content-hash representatives: a focus doc that is
     // not its hash group's rep reaches the rep by an exact edge, and the
     // rep's near neighbourhood is already encoded in the assignments
@@ -885,9 +913,7 @@ object DedupPipeline {
       bandSigsOverride = Some(subsetReps), extraEdges = Some(codedAssign))
     val result = decode(coded, dict, mat)
     frontier.unpersist()
-    repSigs.unpersist()
     hashGroups.unpersist()
-    slim.unpersist()
     dict.unpersist()
     result
   }
