@@ -141,14 +141,18 @@ object LSH {
       .filter(col("bucket_n") > 1)
       .cache()
 
-    // materialize the collision rows ONCE: the cold and hot paths both read
-    // this frame, and without persistence each would re-run the explode +
-    // size-join. Contains only colliding-bucket rows (≤ maxBucketSize), so
-    // it is far smaller than the exploded table; MEMORY_AND_DISK spills
-    // rather than OOMs if a dup-heavy corpus makes it large.
-    val tagged = exploded.join(sizes, bucketKey)
-      .filter(col("bucket_n") <= cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGERLY materialize the collision rows ONCE: the cold and hot paths
+    // both read this frame, and a lazy persist raced its fill across the
+    // two concurrently-submitted self-join subqueries (tasks of one stage
+    // blocking on the other's block computation) while dragging the
+    // explode + size-join lineage into both stages' plans. The checkpoint
+    // keeps the size-join's (band, band_hash) output partitioning and
+    // ordering, so the self-joins' SMJ sorts start from co-located sorted
+    // runs. Contains only colliding-bucket rows (≤ cap), far smaller than
+    // the exploded table; blocks spill rather than OOM on dup-heavy
+    // corpora.
+    val tagged = mat(exploded.join(sizes, bucketKey)
+      .filter(col("bucket_n") <= cap))
 
     // the ONE side-projection shape (cold and hot paths both build their
     // join sides through it, hot appending its salt columns via `extra` —
@@ -223,7 +227,6 @@ object LSH {
           s"(base $maxBucketSize${if (bucketCap.isDefined) ", per-band overrides" else ""}): " +
           "boilerplate mega-buckets; members remain covered by their other bands")
     }
-    tagged.unpersist()
     sizes.unpersist()
     result
   }
