@@ -120,6 +120,8 @@ object BenchExtra {
         Bench.runPipelineOn(spark, warmPath)
         val cfg =
           if (sys.env.contains("SPARK_GRAFT_EXTRA_FAST")) DedupConfig(fastPath = true)
+          else if (sys.env.contains("SPARK_GRAFT_EXTRA_RELIABLE"))
+            DedupConfig(reliableCheckpoints = true, checkpointDir = s"$tmp/ckpt")
           else DedupConfig()
         val runs = (1 to reps).map { i =>
           Bench.dropPipelineState(spark)

@@ -440,12 +440,19 @@ object DedupPipeline {
         .select("id_a", "id_b")
 
     val shinglesDf = banded.select(col("id"), col("shingles"))
-    val scored = needShingles
+    // LAZY checkpoint: scored feeds BOTH the cheap-accept branch and the
+    // ambiguous/SA branch of the edge union — without it each branch
+    // re-runs the two wide shingle-fetch joins and the ShingleOverlap
+    // kernel (the verify stage's dominant bytes and CPU). The first
+    // materializing action computes it once; the sibling branch reads
+    // blocks.
+    val scored = mat(needShingles
       .join(shinglesDf.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shinglesDf.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("ov", Fingerprints.shingleOverlap(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
-        col("ov.jaccard").as("jaccard"), col("ov.containment").as("containment"))
+        col("ov.jaccard").as("jaccard"), col("ov.containment").as("containment")),
+      eager = false)
     val cheapAccept = col("jaccard") >= cfg.jaccardThreshold
     val accepted = acceptedByHamming
       .union(scored.filter(cheapAccept).select("id_a", "id_b"))
