@@ -186,6 +186,14 @@ object SparkEntry {
       .select(col("cell"), col("vec_id").as("a"))
       .join(cellMembers.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
       .filter(col("a") < col("b"))
+      // pinned-count exchange on the pair key BEFORE the arrays attach:
+      // the pair join is keyed by `cell` (few distinct values) and the
+      // attach joins broadcast, so without it the whole per-pair
+      // zip_with/aggregate dot pass — this verifier's dominant CPU — runs
+      // in ≤ |cells| tasks. Pure re-distribution: values unchanged, the
+      // cross-implementation property intact.
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("a"), col("b"))
       .join(qarr.select(col("vec_id").as("a"), col("qv").as("qa")), "a")
       .join(qarr.select(col("vec_id").as("b"), col("qv").as("qb")), "b")
       .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
@@ -935,9 +943,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           array_distinct(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
             .as("words"))
-      val a = d.select(col("doc_id").as("id_a"), col("source"), col("words").as("wa"))
-      val b = d.select(col("doc_id").as("id_b"), col("source"), col("words").as("wb"))
+      // pair generation runs SLIM (id, source — the word arrays never enter
+      // the source-keyed join), then an explicit pinned-count exchange on
+      // the pair key spreads the per-pair array_intersect — this query's
+      // dominant CPU — across every core: the self-join is keyed by
+      // `source` (20 distinct values < cores) and the attach joins below
+      // broadcast, so without it the whole intersect pass ran in ≤ 20
+      // tasks. Same rows, same jaccard — a pure re-distribution.
+      val slim = d.select(col("doc_id"), col("source"))
+      val a = slim.select(col("doc_id").as("id_a"), col("source"))
+      val b = slim.select(col("doc_id").as("id_b"), col("source"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("id_a"), col("id_b"))
+        .join(broadcast(d.select(col("doc_id").as("id_a"), col("words").as("wa"))),
+          "id_a")
+        .join(broadcast(d.select(col("doc_id").as("id_b"), col("words").as("wb"))),
+          "id_b")
         .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
         .withColumn("jaccard",
           col("inter").cast("double") /

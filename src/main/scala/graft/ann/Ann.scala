@@ -431,10 +431,22 @@ object Ann {
     // within-cell unordered candidate pairs on SLIM ids; quantized vectors
     // re-join (from the already-built lists) only to score survivors
     val members = idx.lists.select(col("cell"), col("nbr_id"))
+    // EXPLICIT pinned-count exchange on the pair key between pair
+    // generation and scoring: the self-join is keyed by `cell` (k = √n
+    // distinct values — far fewer than cores at bench scale, and the
+    // scoring joins below broadcast their vector sides), so without it the
+    // entire Θ(n²/k)-pair qdot pass runs in ≤ k tasks. Hashing the
+    // (id_a, id_b) pair spreads scoring across every core, and the pinned
+    // count opts the byte-light compute-dense exchange out of AQE's
+    // byte-based coalescing (same pattern as the pipeline's suffix-array
+    // pass). The exchange carries 16 B/row — noise next to the per-pair
+    // dot it parallelizes.
     val pairs = members.select(col("cell"), col("nbr_id").as("id_a"))
       .join(members.select(col("cell"), col("nbr_id").as("id_b")), "cell")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
     val qa = idx.lists.select(col("nbr_id").as("id_a"),
       col("qw").as("qva"), col("nr").as("na"))
     val qb = idx.lists.select(col("nbr_id").as("id_b"),
