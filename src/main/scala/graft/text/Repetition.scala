@@ -42,6 +42,17 @@ object Repetition {
 
   private[text] val Trim = "^\\s+|\\s+$"
 
+  /** Default n-gram orders and fraction bounds (Rae et al. 2021, table A1)
+    * — ONE definition shared by the column battery, [[gopherKeep]] and the
+    * fused [[GopherKeepExpr]], so the spec path and the production path can
+    * never disagree on a threshold.
+    */
+  val DefaultTopNs: Seq[Int] = Seq(2, 3, 4)
+  val DefaultDupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+  val DefaultTopBounds: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DefaultDupBounds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
   /** Non-empty trimmed lines of `text`. */
   def linesOf(text: Column): Column =
     filter(transform(split(text, "\\n"), l => regexp_replace(l, Trim, "")),
@@ -142,8 +153,8 @@ object Repetition {
     * costs microseconds.
     */
   def withSignals(df: DataFrame, textCol: String,
-                  topNs: Seq[Int] = Seq(2, 3, 4),
-                  dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+                  topNs: Seq[Int] = DefaultTopNs,
+                  dupNs: Seq[Int] = DefaultDupNs): DataFrame = {
     import org.apache.spark.sql.graftshim.shim
     val sig = shim.toColumn(
       GopherSignalsExpr(shim.toExpression(col(textCol)), topNs, dupNs))
@@ -164,8 +175,8 @@ object Repetition {
     * signal tree.
     */
   def withSignalsCombinators(df: DataFrame, textCol: String,
-                             topNs: Seq[Int] = Seq(2, 3, 4),
-                             dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+                             topNs: Seq[Int] = DefaultTopNs,
+                             dupNs: Seq[Int] = DefaultDupNs): DataFrame = {
     val grams = (topNs ++ dupNs).distinct.sorted
     val base = df
       .withColumn("_lines", linesOf(col(textCol)))
@@ -208,14 +219,25 @@ object Repetition {
   /** Drop Gopher-repetitive docs from `df` (default thresholds), leaving
     * the column set unchanged — the CLI's `--gopher-filter` step. Per-row
     * signals + filter: no shuffle, no join-back.
+    *
+    * The keep decision is the fused [[GopherKeepExpr]] over ONE
+    * [[GopherSignalsExpr]] — a single filter predicate that references the
+    * signal kernel exactly once. The previous shape (withSignals → filter
+    * on the ~20 extracted signal columns → drop) let predicate pushdown
+    * substitute the kernel into EVERY conjunct of the threshold battery:
+    * the pushed filter condition held ~40 copies of gopher_signals(text),
+    * FilterExec codegen does no cross-conjunct subexpression elimination,
+    * and the kernel ran ~40× per row (measured at the bench tier: the
+    * isolated gopher stage fell 72.7 s → 2.3 s on identical input/output;
+    * plan gate in RepetitionSpec counts kernel references in the
+    * condition). gopherKeep() remains the executable spec of the
+    * threshold semantics, pinned equivalent by RepetitionSpec.
     */
   def filterGopher(df: DataFrame, textCol: String): DataFrame = {
-    val before = df.columns.toSet
-    val sig = withSignals(df, textCol)
-    val added = sig.columns.filterNot(before)
-    require(added.size == sig.columns.size - df.columns.size,
-      s"repetition signal columns collide with existing columns in ${df.columns.mkString(",")}")
-    sig.filter(gopherKeep()).drop(added: _*)
+    import org.apache.spark.sql.graftshim.shim
+    val sig = GopherSignalsExpr(shim.toExpression(col(textCol)),
+      DefaultTopNs, DefaultDupNs)
+    df.filter(shim.toColumn(GopherKeepExpr(sig, DefaultTopNs, DefaultDupNs)))
   }
 
   /** Gopher's repetition keep-mask over `withSignals` output (paper
@@ -223,11 +245,8 @@ object Repetition {
     * bound. Fractions with a zero denominator count as 0 (an empty doc is
     * not "repetitive" — the length filters own that case).
     */
-  def gopherKeep(topBounds: Map[Int, Double] =
-                   Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
-                 dupBounds: Map[Int, Double] =
-                   Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
-                       9 -> 0.11, 10 -> 0.10),
+  def gopherKeep(topBounds: Map[Int, Double] = DefaultTopBounds,
+                 dupBounds: Map[Int, Double] = DefaultDupBounds,
                  dupLineFrac: Double = 0.30, dupParaFrac: Double = 0.30,
                  dupLineCharFrac: Double = 0.20,
                  dupParaCharFrac: Double = 0.20): Column = {
@@ -368,4 +387,67 @@ case class GopherSignalsExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[Int]
   override protected def withNewChildInternal(newChild: Expression): GopherSignalsExpr =
     copy(child = newChild)
   override def prettyName: String = "gopher_signals"
+}
+
+/** Fused Gopher keep-decision: signals struct → boolean, the whole
+  * threshold battery ([[Repetition.gopherKeep]]'s executable-spec
+  * semantics, value-identical: same den==0→0.0 fraction rule, same
+  * double division and comparisons, same modal-gram-occurring-once
+  * exemption) evaluated in one tight JVM pass over ONE struct value.
+  *
+  * Exists for plan shape, not speed of the arithmetic itself: as a single
+  * predicate expression referencing its child once, predicate pushdown can
+  * relocate it freely without duplicating the expensive child — the
+  * column-battery form (filter over ~20 extracted signal columns) gets its
+  * alias substituted per conjunct on pushdown, and FilterExec codegen does
+  * no cross-conjunct subexpression elimination, so the signals kernel ran
+  * ~40× per row (RepetitionSpec pins both the equivalence and the
+  * single-reference plan shape).
+  */
+case class GopherKeepExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[Int],
+    topBounds: Map[Int, Double] = Repetition.DefaultTopBounds,
+    dupBounds: Map[Int, Double] = Repetition.DefaultDupBounds,
+    dupLineFrac: Double = 0.30, dupParaFrac: Double = 0.30,
+    dupLineCharFrac: Double = 0.20, dupParaCharFrac: Double = 0.20)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  // field ordinals of the signals struct — the ONE signalNames order
+  @transient private lazy val idx: Map[String, Int] =
+    Repetition.signalNames(topNs, dupNs).zipWithIndex.toMap
+  // bounds resolved to ordinals once, not per row
+  @transient private lazy val topChecks: Seq[(Int, Int, Double)] =
+    topBounds.toSeq.sortBy(_._1).map { case (n, b) =>
+      (idx(s"top${n}_count"), idx(s"top${n}_chars"), b) }
+  @transient private lazy val dupChecks: Seq[(Int, Double)] =
+    dupBounds.toSeq.sortBy(_._1).map { case (n, b) => (idx(s"dup${n}_chars"), b) }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    def v(name: String): Long = r.getLong(idx(name))
+    def frac(num: Long, den: Long): Double =
+      if (den == 0L) 0.0 else num.toDouble / den.toDouble
+    val lineOk =
+      frac(v("dup_lines"), v("n_lines")) <= dupLineFrac &&
+        frac(v("dup_paras"), v("n_paras")) <= dupParaFrac &&
+        frac(v("dup_line_chars"), v("line_chars")) <= dupLineCharFrac &&
+        frac(v("dup_para_chars"), v("para_chars")) <= dupParaCharFrac
+    val wordChars = v("word_chars")
+    val topOk = topChecks.forall { case (cnt, chars, b) =>
+      r.getLong(cnt) < 2 || frac(r.getLong(chars), wordChars) <= b }
+    val dupOk = dupChecks.forall { case (chars, b) =>
+      frac(r.getLong(chars), wordChars) <= b }
+    java.lang.Boolean.valueOf(lineOk && topOk && dupOk)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherKeep", this, classOf[GopherKeepExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((Boolean) $ref.nullSafeEval($c)).booleanValue();")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherKeepExpr =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_keep"
 }

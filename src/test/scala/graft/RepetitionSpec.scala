@@ -121,4 +121,40 @@ class RepetitionSpec extends SparkTestBase {
       assert(f.toSeq == c.toSeq, s"fused/combinator mismatch for id ${f.get(0)}")
     }
   }
+
+  test("filterGopher == the executable-spec path (withSignals + gopherKeep)") {
+    // the gopherKeep fixture docs plus the crafted/random battery corpus:
+    // repetitive-line, repetitive-gram, clean and empty docs all present
+    val repetitiveLines = (1 to 10).map(_ => "subscribe to our newsletter")
+      .mkString("\n") + "\nunique closing line"
+    val repetitiveGrams = ("click here " * 30).trim
+    val clean = (1 to 60).map(i => s"r$i alpha$i beta$i gamma${i * 7} delta${i * 13}.")
+      .mkString("\n")
+    val df = (docs ++ Seq(repetitiveLines, repetitiveGrams, clean))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fused = Repetition.filterGopher(df, "text")
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    val spec = Repetition.withSignals(df, "text")
+      .filter(Repetition.gopherKeep())
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(fused == spec, "fused keep-filter diverges from the spec path")
+    // null text must drop the row in both paths (null predicate == false)
+    val withNull = Seq((0L, null.asInstanceOf[String]), (1L, "fine text")).toDF("id", "text")
+    assert(Repetition.filterGopher(withNull, "text").count() ==
+      Repetition.withSignals(withNull, "text")
+        .filter(Repetition.gopherKeep()).count())
+  }
+
+  test("filterGopher's plan evaluates the signals kernel exactly once per row") {
+    val plan = Repetition.filterGopher(
+      spark.range(10).select($"id", concat(lit("a\nb\na "), $"id").as("text")), "text")
+      .queryExecution.executedPlan.toString
+    // the column-battery form let predicate pushdown inline the kernel into
+    // every threshold conjunct (~40 copies); the fused predicate references
+    // it exactly once
+    assert("gopher_signals".r.findAllIn(plan).size == 1,
+      s"kernel duplicated in the filter condition:\n$plan")
+    assert(plan.contains("gopher_keep"), s"fused keep predicate missing:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
