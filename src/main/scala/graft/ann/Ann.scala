@@ -61,9 +61,18 @@ object Ann {
     // broadcast: it is the q-side of a kNN (bounded by construction), and
     // without the hint a planner statistics miss could flip the build
     // side and re-key the output by nbr_id, putting the big exchange back.
+    // PINNED-count repartition (not bare repartition(col)): the pre-join
+    // exchange carries n byte-light rows, and AQE's byte-based coalescing
+    // folds it to one or two partitions — putting the ENTIRE n²-pair
+    // dot+window pass (the operator's only compute, invisible to AQE's
+    // byte heuristics) into one task. The explicit count opts this
+    // exchange out of coalescing, same as the pipeline's suffix-array and
+    // pair-scoring repartitions (measured at sf0.1: the one real job fell
+    // 4.5 s → sub-second once the scoring spread across cores).
     val l = left.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("nl", qnorm(col("qv")))
-      .repartition(col("id"))
+      .repartition(left.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
     val r = right.select(col(idCol).as("nbr_id"), quantize(col(vecCol)).as("qw"))
       .withColumn("nr", qnorm(col("qw")))
     val scored = l.join(broadcast(r), col("id") =!= col("nbr_id"))
