@@ -224,6 +224,35 @@ object BenchExtra {
           s""""mix_export":${arr(mixRuns)},"pack_plan":${arr(packRuns)}}""")
         Bench.deleteTree(tmp, "bench-extra")
 
+      case "skew" =>
+        // replicates Bench's dedup_pipeline_skew protocol (same skewPages
+        // corpus, same listener, same per-rep attribution columns)
+        val numBase = Bench.numBaseFor(sfDir)
+        val tmp = Files.createTempDirectory("graft-extra-sk").toString
+        val warmPath = Bench.materializePages(spark, math.max(50L, numBase / 20),
+          s"$tmp/warm")
+        val skewPath = s"$tmp/skew"
+        graft.pages.PagesGen.skewPages(spark, numBase, seed = 42L, tokensPerDoc = 200)
+          .toDF().write.mode("overwrite").parquet(skewPath)
+        Bench.runPipelineOn(spark, warmPath)
+        val runs = (1 to reps).map { i =>
+          Bench.dropPipelineState(spark)
+          var maxRec = 0L; var cpuS = 0.0
+          val sec = timed(s"skew rep $i") {
+            val (_, l) = TaskSkewListener.measure(spark) {
+              Bench.runPipelineOn(spark, skewPath)
+            }
+            maxRec = l.maxShuffleReadRecords.get()
+            cpuS = l.totalTaskCpuNs.get() / 1e9
+          }
+          println(f"[extra]   max task shuffle records $maxRec, task cpu $cpuS%.0f s")
+          sec
+        }
+        println(s"""{"extra":"skew","runs":[${
+          runs.map(r => f"$r%.2f").mkString(",")}],"median":${
+          f"${Bench.median(runs)}%.2f"}}""")
+        Bench.deleteTree(tmp, "bench-extra")
+
       case "epochs" =>
         // replicates Bench's cluster_epoch_{full,delta,slice} protocol
         // (same corpus tier, same +10% batch, same state-copy-per-rep)

@@ -557,12 +557,27 @@ object SparkEntry {
     // an exact oracle; in the pipeline the kernel runs only on the
     // containment-gated ambiguous slice of LSH candidates.
     "q_substring_containment" -> ((s, dir) => {
+      // pair generation runs SLIM (id, source — the text never enters the
+      // source-keyed self-join), then an explicit pinned-count exchange on
+      // the pair key spreads the per-pair saLcs kernel — the engine's most
+      // expensive per-pair kernel, and this query's entire cost — across
+      // every core: the self-join is keyed by `source` (20 distinct values
+      // < cores) and the attach joins below broadcast, so without it the
+      // whole all-pairs SA pass ran in ≤ 20 tasks (measured at sf0.1:
+      // 121 s warm → 8.4 s). Same pairs, same saLcs filter — a pure
+      // re-distribution, hash-verified against the DuckDB oracle.
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
         FP.normalized(col("text")).as("nt"))
-      val a = d.select(col("doc_id").as("id_a"), col("source"),
-        substring(col("nt"), 1, 120).as("pa"))
-      val b = d.select(col("doc_id").as("id_b"), col("source"), col("nt").as("nb"))
+      val slim = d.select(col("doc_id"), col("source"))
+      val a = slim.select(col("doc_id").as("id_a"), col("source"))
+      val b = slim.select(col("doc_id").as("id_b"), col("source"))
       a.join(b, Seq("source"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("id_a"), col("id_b"))
+        .join(broadcast(d.select(col("doc_id").as("id_a"),
+          substring(col("nt"), 1, 120).as("pa"))), "id_a")
+        .join(broadcast(d.select(col("doc_id").as("id_b"), col("nt").as("nb"))),
+          "id_b")
         .filter(FP.saLcs(col("pa"), col("nb")) === length(col("pa")))
         .select("id_a", "id_b")
     }),
