@@ -934,13 +934,24 @@ object SparkEntry {
     // channel is probabilistic; the cluster-resolution engine itself is
     // fully oracled here).
     "q_union_find" -> ((s, dir) => {
+      // same slim-pairs + pinned-exchange + broadcast-attach shape as
+      // q_ngram_jaccard below (whose edge set this reuses): keyed by
+      // `source` alone the per-pair array_intersect pass ran in ≤ 20
+      // tasks. Same edges, same jaccard expression — hash-verified.
       val d = t(s, dir, "documents")
       val w = d.select(col("doc_id"), col("source"),
         array_distinct(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
           .as("words"))
-      val a = w.select(col("doc_id").as("id_a"), col("source"), col("words").as("wa"))
-      val b = w.select(col("doc_id").as("id_b"), col("source"), col("words").as("wb"))
+      val slim = w.select(col("doc_id"), col("source"))
+      val a = slim.select(col("doc_id").as("id_a"), col("source"))
+      val b = slim.select(col("doc_id").as("id_b"), col("source"))
       val edges = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("id_a"), col("id_b"))
+        .join(broadcast(w.select(col("doc_id").as("id_a"), col("words").as("wa"))),
+          "id_a")
+        .join(broadcast(w.select(col("doc_id").as("id_b"), col("words").as("wb"))),
+          "id_b")
         .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
         .filter(col("inter").cast("double") /
           (size(col("wa")) + size(col("wb")) - col("inter")).cast("double") >= 0.5)
